@@ -1,0 +1,72 @@
+"""Column-level vector expressions (JVM-side, whole-stage-codegen friendly).
+
+These are the SQL-native analogues of the reference's SIMD distance kernels
+(`/root/reference/include/efanna2e/distance.h:21-225`). They run inside
+Catalyst (higher-order functions over ``array<float>``), so filters and
+projections around them still push down; the NumPy/BLAS fast path for bulk
+GEMM lives in ``operators/`` as ``mapInPandas`` stages.
+
+Conventions mirrored from the reference:
+  * cosine is inner-product on L2-normalized rows
+    (`/root/reference/src/index.cpp:15-19`);
+  * inner-product *distances* are negated so smaller = closer
+    (`/root/reference/include/efanna2e/distance.h:222`) — exposed here as
+    ``neg_ip``; ranking code can equivalently ORDER BY ip DESC.
+
+All arithmetic is promoted to double so results are reproducible against
+a DuckDB/NumPy oracle independent of float32 accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    """array<float> -> array<double> (stable cross-engine arithmetic)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Inner product via zip_with+aggregate (stays in codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def neg_ip(a: Column, b: Column) -> Column:
+    """Negated inner product: the reference's IP *distance* convention."""
+    return -dot(a, b)
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance (`DistanceL2::compare`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Row L2-normalization (`/root/reference/include/efanna2e/util.h:213-224`).
+
+    Zero vectors are left unscaled (norm guarded to 1) rather than NaN.
+    """
+    n = norm(a)
+    safe = F.when(n > F.lit(0.0), n).otherwise(F.lit(1.0))
+    return F.transform(a, lambda x: x / safe)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of not-necessarily-normalized vectors."""
+    na = F.when(norm(a) > 0, norm(a)).otherwise(F.lit(1.0))
+    nb = F.when(norm(b) > 0, norm(b)).otherwise(F.lit(1.0))
+    return dot(a, b) / (na * nb)

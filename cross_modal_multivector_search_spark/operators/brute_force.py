@@ -1,0 +1,131 @@
+"""Exact brute-force kNN (vector level) — the engine's oracle + GT generator.
+
+Reference semantics: `RankAllVectorsBySequentialScan`
+(`/root/reference/src/multivector_reranker.cpp:183-230`): queries x data
+GEMM per data batch, partial top-k per batch, merge. Also the producer of
+the RoarGraph build input `learn_base_knn`
+(`/root/reference/src/index_bipartite.cpp:3111-3131`).
+
+Two physical strategies:
+
+  * ``knn_exact_sql`` — declarative: broadcast the (small) query side into
+    a nested-loop join with JVM-side distance expressions, then windowed
+    top-k. Fully Catalyst-visible (column pruning + codegen); the DuckDB
+    oracle runs the literally-equivalent SQL.
+  * ``knn_exact_gemm`` — scale path: queries collected to a NumPy matrix,
+    broadcast to executors; ``mapInPandas`` computes a BLAS GEMM per Arrow
+    batch of base vectors and emits only each batch's per-query top-k
+    (the Spark analog of the reference's per-batch partial_sort at
+    `:217-229`); a final grouped top-k merges. Shuffle volume is
+    O(#batches * q * k), never O(n * q). Base side scales to any size —
+    it is never collected, only scanned partition-parallel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+
+from ..functions import vector as V
+from .topk import grouped_topk
+
+#: metric name -> (column-expression builder, ascending?)  — ascending=True
+#: means smaller = closer (distances); False means similarities rank desc.
+_SQL_METRICS = {
+    "ip": (lambda a, b: V.dot(a, b), False),        # similarity (dot)
+    "cosine": (lambda a, b: V.dot(a, b), False),    # on pre-normalized rows
+    "l2": (lambda a, b: V.l2_sq(a, b), True),       # squared L2 distance
+}
+
+
+def knn_exact_sql(queries: DataFrame, base: DataFrame, k: int,
+                  metric: str = "ip",
+                  query_id: str = "query_id", base_id: str = "base_id",
+                  vec_col: str = "vec") -> DataFrame:
+    """Declarative exact kNN: broadcast(queries) NLJ base -> window top-k.
+
+    Returns (query_id, rank, base_id, score) where score is the raw
+    similarity (ip/cosine) or squared distance (l2), double precision.
+    """
+    expr_fn, asc = _SQL_METRICS[metric]
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    b = base.select(F.col(base_id), F.col(vec_col).alias("_bv"))
+    score = expr_fn(V.to_double(F.col("_qv")), V.to_double(F.col("_bv")))
+    pairs = F.broadcast(q).crossJoin(b).select(
+        query_id, base_id, score.alias("score"))
+    order = [F.col("score").asc() if asc else F.col("score").desc(),
+             F.col(base_id).asc()]
+    return grouped_topk(pairs, [query_id], order, k).select(
+        query_id, "rank", base_id, "score")
+
+
+def knn_exact_gemm(queries: DataFrame, base: DataFrame, k: int,
+                   metric: str = "ip",
+                   query_id: str = "query_id", base_id: str = "base_id",
+                   vec_col: str = "vec") -> DataFrame:
+    """BLAS-blocked exact kNN with per-batch partial top-k.
+
+    The query side must fit on the driver/executors (it is the small side
+    of a cross-modal workload: |Q| << |base|). The base side streams
+    through ``mapInPandas`` one Arrow batch at a time — O(batch) memory.
+    """
+    if metric not in _SQL_METRICS:
+        raise ValueError(f"unknown metric {metric!r}")
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, metric, k))
+
+    schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("base_id", LongType()),
+        StructField("score", DoubleType()),
+    ])
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm, met, kk = bc.value
+        if len(ids) == 0:
+            return
+        for pdf in it:
+            bids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            bmat = np.vstack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            if met == "l2":
+                # ||q-b||^2 = ||q||^2 - 2 q.b + ||b||^2 (FastL2 expansion)
+                sims = (
+                    (qm * qm).sum(axis=1)[:, None]
+                    - 2.0 * (qm @ bmat.T)
+                    + (bmat * bmat).sum(axis=1)[None, :]
+                )
+                sign = 1.0  # ascending
+            else:
+                sims = -(qm @ bmat.T)  # negated IP: ascending = closest
+                sign = 1.0
+            kk_eff = min(kk, sims.shape[1])
+            # per-batch partial top-k per query (argpartition = partial_sort)
+            idx = np.argpartition(sims, kk_eff - 1, axis=1)[:, :kk_eff]
+            rows = np.repeat(np.arange(sims.shape[0]), kk_eff)
+            cols = idx.ravel()
+            out_scores = sims[rows, cols] * sign
+            if met != "l2":
+                out_scores = -out_scores  # report raw similarity
+            yield pd.DataFrame({
+                "query_id": ids[rows],
+                "base_id": bids[cols],
+                "score": out_scores,
+            })
+
+    partials = base.select(
+        F.col(base_id).cast("long"), vec_col
+    ).mapInPandas(score_batches, schema=schema)
+    asc = _SQL_METRICS[metric][1]
+    order = [F.col("score").asc() if asc else F.col("score").desc(),
+             F.col("base_id").asc()]
+    out = grouped_topk(partials, ["query_id"], order, k)
+    return out.select(F.col("query_id").alias(query_id), "rank",
+                      F.col("base_id").alias(base_id), "score")

@@ -1,0 +1,76 @@
+"""Two-phase rerank: candidate vector ids -> set-level top-k.
+
+Reference: `MultiVectorReranker::Rerank`
+(`/root/reference/src/multivector_reranker.cpp:38-98`):
+  1. candidate member-vector ids -> vector-SET ids (fixed m: vsid = vid/m,
+     `tests/test_search_multivector_rerank.cpp:241-244`; variable
+     cardinality via the mapping table — see operators/mapping.py);
+  2. sort+unique (here: dropDuplicates);
+  3. gather each candidate set's member vectors (a join, not a pointer
+     gather);
+  4. set-to-set score vs the query set; 5. top-k by descending score.
+
+The scoring reuses set_search's SQL-native scorers restricted to the
+candidate pairs (a join pre-filter instead of a full cross product) —
+the same "score only candidates" semantics as the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .set_search import maxsim_scores_sql, smooth_chamfer_scores_sql
+from .topk import grouped_topk
+
+
+def candidates_to_sets(candidates: DataFrame, m: int | None = None,
+                       mapping: DataFrame | None = None,
+                       query_set_col: str = "query_set_id",
+                       base_vec_col: str = "base_vec_id") -> DataFrame:
+    """Distinct (query_set_id, data_set_id) candidate pairs.
+
+    Fixed cardinality: set = vid div m. Variable cardinality: broadcast
+    join against mapping(first_vid, cardinality, set_id) with a range
+    predicate (first_vid <= vid < first_vid+cardinality).
+    """
+    if mapping is not None:
+        j = candidates.join(
+            F.broadcast(mapping),
+            (F.col(base_vec_col) >= mapping.first_vid)
+            & (F.col(base_vec_col) < mapping.first_vid + mapping.cardinality),
+        )
+        pairs = j.select(query_set_col, F.col("set_id").alias("data_set_id"))
+    elif m is not None:
+        pairs = candidates.select(
+            query_set_col,
+            (F.col(base_vec_col) / m).cast("long").alias("data_set_id"))
+    else:
+        raise ValueError("need fixed m or a cardinality mapping")
+    return pairs.dropDuplicates([query_set_col, "data_set_id"])
+
+
+def rerank(candidates: DataFrame, query_vecs: DataFrame,
+           data_vecs: DataFrame, k: int,
+           metric: str = "smooth_chamfer", m: int | None = None,
+           mapping: DataFrame | None = None) -> DataFrame:
+    """candidates(query_set_id, base_vec_id) -> top-k reranked sets."""
+    cand_sets = candidates_to_sets(candidates, m=m, mapping=mapping)
+    # Restrict the data side to candidate sets before scoring: a semi-join
+    # prunes the expensive GEMM/LSE to the candidate universe.
+    cand_data_ids = cand_sets.select(
+        F.col("data_set_id").alias("set_id")).distinct()
+    data_subset = data_vecs.join(F.broadcast(cand_data_ids), "set_id", "semi")
+    scorer = {"smooth_chamfer": smooth_chamfer_scores_sql,
+              "summed_max_similarity": maxsim_scores_sql}[metric]
+    scores = scorer(query_vecs, data_subset)
+    # Keep only (query, candidate-set) pairs that were actually proposed.
+    scoped = scores.join(
+        cand_sets,
+        (scores.q_set == cand_sets.query_set_id)
+        & (scores.d_set == cand_sets.data_set_id),
+        "semi")
+    return grouped_topk(
+        scoped, ["q_set"], [F.col("score").desc(), F.col("d_set").asc()], k
+    ).select(F.col("q_set").alias("query_set_id"), "rank",
+             F.col("d_set").alias("data_set_id"), "score")

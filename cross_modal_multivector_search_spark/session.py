@@ -1,0 +1,38 @@
+"""SparkSession factory with the engine's recommended configuration.
+
+Tuned for correctness-at-scale defaults: AQE on (runtime skew/shuffle
+re-planning), Arrow on (vectorized Python boundary), sane shuffle
+partition count for local testing (the 100 TB deployment overrides
+``spark.sql.shuffle.partitions`` / relies on AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cross-modal-multivector-search-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # Runtime re-planning: coalesce small shuffles, split skewed ones.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every Python<->JVM boundary (pandas UDFs, mapInPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Vector payloads are wide; keep broadcast threshold generous so
+        # dim-table joins (set mappings, GT, candidate lists) broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,63 @@
+"""Adapters from the driver's synthetic tables to the engine's schemas.
+
+The driver materializes TPC-H-ish tables plus `embeddings(vec_id,
+embedding: array<float>, label)` and `documents(doc_id, text, lang,
+source, n_chars)` at /root/testdata/sf*/ (see TESTDATA.md). The vector
+surface of the engine works on (set_id, vec_id, vec) tables; we derive
+multivector sets from `embeddings` with the reference's fixed-m id
+projection (vsid = vid / m,
+`/root/reference/tests/test_search_multivector_rerank.cpp:241-244`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import vector as V
+
+M_FIXED = 5           # DIVE embeddings: 5 member vectors per set
+N_QUERY_SETS = 10     # first 10 sets act as the query side
+N_QUERY_VECS = 20     # first 20 vectors act as vector-level queries
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def embeddings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, set_id, vec) with L2-normalized double vectors.
+
+    Normalization mirrors the reference's cosine->IP reduction applied at
+    load time (`/root/reference/src/index_bipartite.cpp:73-79`).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        (F.col("vec_id") / M_FIXED).cast("long").alias("set_id"),
+        V.l2_normalize(V.to_double(F.col("embedding"))).alias("vec"),
+    )
+
+
+def embeddings_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vec) double vectors without normalization (l2 metric)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        V.to_double(F.col("embedding")).alias("vec"),
+    )
+
+
+# DuckDB SQL fragments matching the above (the oracle side of the contract).
+SQL_NORM_VECS = """
+  SELECT vec_id,
+         vec_id // 5 AS set_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[]))) AS vec
+  FROM embeddings
+"""
+
+SQL_RAW_VECS = """
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+"""

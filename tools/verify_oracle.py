@@ -1,0 +1,96 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted).
+
+Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from cross_modal_multivector_search_spark.session import get_spark
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = canon(fn(spark, sf_dir).toPandas())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"PASS(rows-only) {name}: {len(sdf)} rows "
+                  f"[spark {t_spark:.1f}s]")
+            continue
+        try:
+            odf = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok_rows = len(sdf) == len(odf)
+        ok_cols = list(sdf.columns) == list(odf.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(
+                    sdf, odf, check_dtype=False, check_exact=False,
+                    rtol=0, atol=1e-9)
+                ok_vals = True
+            except AssertionError as e:
+                msg = str(e).splitlines()[0]
+                print(f"   value diff: {msg}")
+        status = "PASS" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            n_fail += 1
+            print(f"{status} {name}: rows {len(sdf)}/{len(odf)} "
+                  f"cols_ok={ok_cols} vals_ok={ok_vals}")
+            if not ok_cols:
+                print(f"   spark cols:  {list(sdf.columns)}")
+                print(f"   oracle cols: {list(odf.columns)}")
+        else:
+            print(f"PASS {name}: {len(sdf)} rows [spark {t_spark:.1f}s]")
+    spark.stop()
+    return n_fail
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
