@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from cross_modal_multivector_search_spark import testdata as TD
 from cross_modal_multivector_search_spark.functions import vector as V
 from cross_modal_multivector_search_spark.operators import (
-    brute_force, mapping, recall, rerank, set_search, stats, topk,
+    brute_force, graph_build, graph_search, mapping, recall, rerank,
+    set_search, stats, topk,
 )
 
 K = 10
@@ -470,6 +471,54 @@ ORDER BY t.rank
 
 
 # --------------------------------------------------------------------------
+# ANN path: RoarGraph build + adaptive multi-vector beam search + rerank
+# (SURVEY §2.7, §2.8 — not SQL-expressible; driver records rows-only checks,
+# the strong recall gate lives in tests/test_roargraph.py)
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, graph_build.RoarGraphIndex] = {}
+
+
+def _roar_index(spark: SparkSession, sf_dir: str) -> graph_build.RoarGraphIndex:
+    if sf_dir not in _INDEX_CACHE:
+        v = TD.embeddings_norm(spark, sf_dir)
+        base = v.select("vec_id", "vec")
+        params = graph_build.RoarGraphParams(m_sq=20, m_pjbp=12, l_pjpq=40)
+        _INDEX_CACHE[sf_dir] = graph_build.build_roargraph(base, base, params)
+    return _INDEX_CACHE[sf_dir]
+
+
+def q_ann_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship ANN pipeline: graph search -> smooth-Chamfer rerank."""
+    index = _roar_index(spark, sf_dir)
+    q, v = _queries_norm(spark, sf_dir)
+    out = graph_search.search_and_rerank(
+        index, q, v, K,
+        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M)
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(budget, mean recall@10 vs exact oracle) — the reference's own
+    reporting tuple (`tests/test_search_multivector_rerank.cpp:341-347`)."""
+    index = _roar_index(spark, sf_dir)
+    q, v = _queries_norm(spark, sf_dir)
+    gt = set_search.set_topk_sql(q, v, K).select(
+        "query_set_id", "data_set_id")
+    rows = []
+    for budget in (50, 100, 400):
+        res = graph_search.search_and_rerank(
+            index, q, v, K,
+            graph_search.SearchParams(min_pq=5, max_pq=budget,
+                                      budget=budget), m=M)
+        mr = recall.mean_recall(
+            res.select("query_set_id", "data_set_id"), gt, K
+        ).collect()[0]["mean_recall"]
+        rows.append((budget, round(float(mr), 5)))
+    return spark.createDataFrame(rows, "budget long, mean_recall double")
+
+
+# --------------------------------------------------------------------------
 # generic relational path (engine completeness demo on the TPC-H-ish tables)
 # --------------------------------------------------------------------------
 
@@ -528,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_mapping": q_cardinality_mapping,
         "knn_significance": q_knn_significance,
         "pricing_summary": q_pricing_summary,
+        "ann_multivector_search": q_ann_multivector_search,
+        "ann_recall_report": q_ann_recall_report,
     }
 
 

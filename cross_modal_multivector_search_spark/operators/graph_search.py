@@ -1,0 +1,112 @@
+"""Online multi-vector ANN search over a broadcast RoarGraph.
+
+Reference: `SearchMultivectorOnRoarGraph`
+(`/root/reference/src/index_bipartite.cpp:2424-2544`) — m member beam
+searches sharing a total beam-size budget with adaptive allocation —
+driven per query set by the flagship driver
+(`/root/reference/tests/test_search_multivector_rerank.cpp:276-300`).
+
+Spark shape (SURVEY §3.1 restatement): the index (adjacency + vectors) is
+a broadcast variable; queries are a DataFrame repartitioned across
+executors; one Arrow batch of query sets at a time runs the NumPy beam
+search. Traversal stays node-local inside the UDF; Spark parallelizes
+across query sets (the reference's OpenMP-over-queries boundary).
+
+The emitted candidate lists feed operators/rerank.py — the same two-phase
+pipeline, with the exact scorer pruned to candidates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                               StructField, StructType)
+
+from . import _roar_core as core
+from .graph_build import RoarGraphIndex
+
+
+@dataclass
+class SearchParams:
+    """Search knobs; defaults mirror the experiment scripts
+    (`/root/reference/expr_configs/dive_train.yaml`, min_beam_width=5)."""
+    min_pq: int = 5
+    max_pq: int = 200
+    budget: int = 200          # max_pq_size_budget (total beam size)
+    adaptive: bool = True      # enable_adaptive_expansion
+
+
+_CAND_SCHEMA = StructType([
+    StructField("query_set_id", LongType()),
+    StructField("member_pos", IntegerType()),
+    StructField("base_vec_id", LongType()),
+    StructField("dist", DoubleType()),
+])
+
+
+def multivector_search(index: RoarGraphIndex, query_vecs: DataFrame,
+                       params: SearchParams = SearchParams(),
+                       set_id: str = "set_id", vec_id: str = "vec_id",
+                       vec_col: str = "vec") -> DataFrame:
+    """query_vecs(set_id, vec_id, vec) -> per-member candidates
+    (query_set_id, member_pos, base_vec_id, dist).
+
+    dist is the negated inner product (reference convention). The number
+    of candidates per member equals its final beam size — budget
+    allocation decides how deep each member searched.
+    """
+    spark = query_vecs.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (index.adj, index.vecs, index.ids, index.entry_point,
+         params.min_pq, params.max_pq, params.budget, params.adaptive))
+
+    grouped = (
+        query_vecs.groupBy(F.col(set_id).alias("query_set_id"))
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col(vec_id).alias("vid"), F.col(vec_col).alias("v")
+        ))).alias("members"))
+        .select("query_set_id", F.col("members.v").alias("mats"))
+    )
+
+    def search_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        adj, vecs, ids, ep, min_pq, max_pq, budget, adaptive = bc.value
+        for pdf in it:
+            frames = []
+            for qsid, mats in zip(pdf["query_set_id"], pdf["mats"]):
+                q = np.stack([np.asarray(r, dtype=np.float64)
+                              for r in mats])
+                results = core.multivector_search(
+                    adj, vecs, q, ep, min_pq, max_pq, budget, adaptive)
+                for pos, (cids, cdists) in enumerate(results):
+                    frames.append(pd.DataFrame({
+                        "query_set_id": np.full(len(cids), int(qsid),
+                                                dtype=np.int64),
+                        "member_pos": np.full(len(cids), pos,
+                                              dtype=np.int32),
+                        "base_vec_id": ids[cids],
+                        "dist": cdists,
+                    }))
+            if frames:
+                yield pd.concat(frames)
+
+    return grouped.mapInPandas(search_batches, schema=_CAND_SCHEMA)
+
+
+def search_and_rerank(index: RoarGraphIndex, query_vecs: DataFrame,
+                      data_vecs: DataFrame, k: int,
+                      params: SearchParams = SearchParams(),
+                      metric: str = "smooth_chamfer",
+                      m: int | None = None,
+                      mapping: DataFrame | None = None) -> DataFrame:
+    """The full flagship pipeline: ANN candidates -> set-level rerank."""
+    from .rerank import rerank
+    cands = multivector_search(index, query_vecs, params)
+    return rerank(cands.select("query_set_id", "base_vec_id"),
+                  query_vecs, data_vecs, k, metric=metric, m=m,
+                  mapping=mapping)
