@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 from cross_modal_multivector_search_spark import testdata as TD
 from cross_modal_multivector_search_spark.functions import vector as V
 from cross_modal_multivector_search_spark.operators import (
-    brute_force, graph_build, graph_search, mapping, recall, rerank,
-    set_search, stats, topk,
+    brute_force, dedup, graph_build, graph_search, mapping, recall,
+    rerank, set_search, simsearch, stats, text, topk,
 )
 
 K = 10
@@ -552,6 +552,296 @@ ORDER BY l_returnflag, l_linestatus
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline: dedup family (north-star extras)
+# --------------------------------------------------------------------------
+
+# shared DuckDB CTE: whitespace tokens (1-based idx) and 3-token shingles,
+# the oracle twin of operators/dedup.py tokens()/shingles()
+_SQL_TOK_SH = r"""
+tok AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx,
+         unnest(toks) AS token
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents)),
+sh AS (
+  SELECT doc_id, idx,
+         concat_ws(' ', token, lead(token, 1) OVER w,
+                   lead(token, 2) OVER w) AS shingle,
+         lead(token, 2) OVER w AS _last
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+shf AS (SELECT doc_id, idx, shingle FROM sh WHERE _last IS NOT NULL)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, only_dups=False)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents GROUP BY digest
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, num_hashes=8, shingle_n=3) \
+        .withColumn("seed", F.col("seed").cast("long"))
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {_SQL_TOK_SH},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shf),
+seeds AS (SELECT unnest(range(0, 8)) AS seed),
+salted AS (
+  SELECT doc_id, seed, md5(seed || ':' || shingle) AS h
+  FROM dsh CROSS JOIN seeds)
+SELECT doc_id, seed, min(h) AS minhash
+FROM salted GROUP BY doc_id, seed
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                   shingle_n=3).orderBy("a", "b")
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_SQL_TOK_SH},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shf),
+seeds AS (SELECT unnest(range(0, 8)) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM dsh CROSS JOIN seeds GROUP BY doc_id, seed),
+sigs AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(seed || '@' || minhash, '|'
+                    ORDER BY seed || '@' || minhash) AS sig
+  FROM mh GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+ORDER BY a, b
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return _r(out, "jaccard").orderBy("a", "b")
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_SQL_TOK_SH},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shf),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM dsh a JOIN dsh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (
+  SELECT a, b, i / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = a
+             JOIN sizes sb ON sb.doc_id = b)
+SELECT a, b, ROUND(jaccard, 5) AS jaccard
+FROM j WHERE jaccard >= 0.2 ORDER BY a, b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs, bits=32).orderBy("doc_id")
+
+
+SQL_SIMHASH = f"""
+WITH {_SQL_TOK_SH},
+tokc AS (SELECT doc_id, token, count(*) AS w FROM tok GROUP BY doc_id, token),
+h AS (SELECT doc_id, w,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+      FROM tokc),
+bits AS (SELECT unnest(range(0, 32)) AS b),
+per_bit AS (
+  SELECT doc_id, b,
+         sum(((CAST(floor(h / power(2, b)) AS BIGINT) % 2) * 2 - 1) * w)
+           AS s
+  FROM h CROSS JOIN bits GROUP BY doc_id, b)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+         AS simhash
+FROM per_bit GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = TD.embeddings_norm(spark, sf_dir).select("vec_id", "vec")
+    out = dedup.embedding_near_dup_pairs(v, threshold=0.4)
+    return _r(out, "cos").orderBy("a", "b")
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH v AS ({TD.SQL_NORM_VECS})
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_dot_product(a.vec, b.vec), 5) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.vec, b.vec) >= 0.4
+ORDER BY a, b
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: text analysis (north-star extras)
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    return text.token_stats(docs).orderBy("doc_id")
+
+
+SQL_TOKEN_STATS = f"""
+WITH {_SQL_TOK_SH}
+SELECT doc_id, count(*) AS n_tokens,
+       sum(len(token)) AS n_token_chars,
+       ROUND(avg(len(token)), 5) AS avg_token_len
+FROM tok GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    return text.quality_scores(docs).orderBy("doc_id")
+
+
+SQL_QUALITY_SCORES = f"""
+WITH {_SQL_TOK_SH},
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         avg(CASE WHEN token IN ('the','a','of','and','to')
+             THEN 1 ELSE 0 END) AS stopword_ratio,
+         sum(len(regexp_replace(token, '[^a-zA-Z]', '', 'g')))
+           / CAST(sum(len(token)) AS DOUBLE) AS alpha_ratio,
+         avg(len(token)) AS mean_token_len
+  FROM tok GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(stopword_ratio, 5) AS stopword_ratio,
+       ROUND(alpha_ratio, 5) AS alpha_ratio,
+       ROUND(mean_token_len, 5) AS mean_token_len,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + stopword_ratio * 0.2 + alpha_ratio * 0.3
+             + LEAST(mean_token_len / 10.0, 1.0) * 0.1, 5)
+         AS quality_score
+FROM agg ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    return text.lang_id(docs).orderBy("doc_id")
+
+
+SQL_LANG_ID = f"""
+WITH {_SQL_TOK_SH},
+agg AS (
+  SELECT doc_id,
+    sum(CASE WHEN token IN ('der','die','und','das','ist') THEN 1 ELSE 0 END) AS hits_de,
+    sum(CASE WHEN token IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS hits_en,
+    sum(CASE WHEN token IN ('el','la','de','los','que') THEN 1 ELSE 0 END) AS hits_es,
+    sum(CASE WHEN token IN ('le','la','les','et','des') THEN 1 ELSE 0 END) AS hits_fr
+  FROM tok GROUP BY doc_id)
+SELECT doc_id,
+       CASE WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       GREATEST(hits_de, hits_en, hits_es, hits_fr) AS marker_hits
+FROM agg ORDER BY doc_id
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, shingle_n=3, window=4) \
+        .orderBy("doc_id", "fingerprint")
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_SQL_TOK_SH},
+h AS (SELECT doc_id, idx,
+             ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h
+      FROM shf),
+mins AS (
+  SELECT doc_id, idx,
+         min(h) OVER (PARTITION BY doc_id ORDER BY idx
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         max(idx) OVER (PARTITION BY doc_id) AS last_idx
+  FROM h)
+SELECT DISTINCT doc_id, wmin AS fingerprint
+FROM mins WHERE idx <= last_idx - 3
+ORDER BY doc_id, fingerprint
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF approximate similarity search (north-star extra, oracle-checkable)
+# --------------------------------------------------------------------------
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = TD.load(spark, sf_dir, "embeddings")
+    v = e.select(F.col("vec_id").cast("long").alias("vec_id"), "label",
+                 V.l2_normalize(V.to_double(F.col("embedding")))
+                 .alias("vec"))
+    cents = simsearch.ivf_centroids(v)
+    q = v.filter(F.col("vec_id") < TD.N_QUERY_VECS) \
+         .select(F.col("vec_id").alias("query_id"), "vec")
+    b = v.select(F.col("vec_id").alias("base_id"), "label", "vec")
+    out = simsearch.ivf_search(q, b, cents, nprobe=2, k=K)
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_IVF_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[]))) AS vec
+  FROM embeddings),
+expl AS (
+  SELECT label AS cell, unnest(vec) AS x,
+         unnest(range(1, len(vec) + 1)) AS pos
+  FROM v),
+cents AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM
+    (SELECT cell, pos, avg(x) AS m FROM expl GROUP BY cell, pos)
+  GROUP BY cell),
+q AS (SELECT vec_id AS query_id, vec FROM v
+      WHERE vec_id < {TD.N_QUERY_VECS}),
+probed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.vec, c.centroid)
+                                       DESC, c.cell) AS cell_rank
+    FROM q CROSS JOIN cents c)
+  WHERE cell_rank <= 2),
+pairs AS (
+  SELECT p.query_id, b.vec_id AS base_id,
+         list_dot_product(q.vec, b.vec) AS score
+  FROM probed p
+  JOIN q ON q.query_id = p.query_id
+  JOIN v b ON b.label = p.cell)
+SELECT query_id, rank, base_id, ROUND(score, 5) AS score FROM (
+  SELECT query_id, base_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, base_id) AS rank
+  FROM pairs)
+WHERE rank <= {K}
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -579,6 +869,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "ann_multivector_search": q_ann_multivector_search,
         "ann_recall_report": q_ann_recall_report,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_fingerprints": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -599,4 +900,15 @@ def oracle_sql() -> dict[str, str]:
         "cardinality_mapping": SQL_CARDINALITY_MAPPING,
         "knn_significance": SQL_KNN_SIGNIFICANCE,
         "pricing_summary": SQL_PRICING_SUMMARY,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_signatures": SQL_MINHASH_SIGNATURES,
+        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "simhash_fingerprints": SQL_SIMHASH,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality_scores": SQL_QUALITY_SCORES,
+        "lang_id": SQL_LANG_ID,
+        "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+        "ivf_topk": SQL_IVF_TOPK,
     }

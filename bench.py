@@ -1,0 +1,66 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+The headline set covers every engine subsystem at its scale path:
+GEMM kNN, batched-GEMM set top-k, two-phase rerank, the ANN index
+build + adaptive multi-vector search, IVF search, and the pipeline
+extras (minhash LSH, simhash, near-dup join, token stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from cross_modal_multivector_search_spark.session import get_spark
+
+HEADLINE = [
+    "knn_ip_topk_gemm",
+    "chamfer_topk_gemm",
+    "maxsim_topk",
+    "rerank_two_phase",
+    "ann_multivector_search",   # includes one-time index build
+    "ivf_topk",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "embedding_near_dup",
+    "token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("cmms-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Embedding similarity search beyond the RoarGraph path.
+
+North-star extras: brute-force cosine top-k is operators/brute_force.py;
+here are the bucketed scale paths:
+
+  * IVF (inverted file): coarse-quantize vectors to centroid cells, probe
+    the nprobe nearest cells per query. Declarative: two joins + window
+    top-k, fully oracle-checkable. At 100 TB the cell id is the partition
+    key — each query's candidate scan prunes to nprobe cells
+    (partition pruning on disk, no full scan).
+  * random-hyperplane LSH bucketing for cosine: sign-bit signatures via
+    a deterministic seeded projection matrix; near-dup joins then run
+    within buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .topk import grouped_topk
+
+
+def ivf_centroids(vecs: DataFrame, cell_col: str = "label",
+                  vec_col: str = "vec") -> DataFrame:
+    """Per-cell mean vector (posexplode + groupBy — map-side partial agg).
+
+    Cells can come from any coarse quantizer; the driver tables ship a
+    `label` column which we treat as the trained cell assignment.
+    """
+    return (vecs.select(F.col(cell_col).alias("cell"),
+                        F.posexplode(V.to_double(F.col(vec_col)))
+                        .alias("pos", "x"))
+            .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("s"))
+            .select("cell", F.col("s.m").alias("centroid")))
+
+
+def ivf_search(queries: DataFrame, vecs: DataFrame,
+               centroids: DataFrame, nprobe: int, k: int,
+               cell_col: str = "label", query_id: str = "query_id",
+               base_id: str = "base_id", vec_col: str = "vec") -> DataFrame:
+    """IVF top-k: probe the nprobe best cells, exact search within them.
+
+    Both joins broadcast the small side (queries, centroids); the base
+    scan prunes to probed cells before any distance math.
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    cell_score = V.dot(V.to_double(F.col("_qv")), F.col("centroid"))
+    probed = grouped_topk(
+        F.broadcast(q).crossJoin(F.broadcast(centroids))
+        .select(query_id, "cell", cell_score.alias("cscore")),
+        [query_id], [F.col("cscore").desc(), F.col("cell").asc()], nprobe,
+        rank_col="cell_rank").select(query_id, "cell")
+    b = vecs.select(F.col(base_id), F.col(cell_col).alias("cell"),
+                    F.col(vec_col).alias("_bv"))
+    pairs = probed.join(b, "cell").join(F.broadcast(q), query_id).select(
+        query_id, base_id,
+        V.dot(V.to_double(F.col("_qv")), V.to_double(F.col("_bv")))
+        .alias("score"))
+    return grouped_topk(
+        pairs, [query_id], [F.col("score").desc(), F.col(base_id).asc()],
+        k).select(query_id, "rank", base_id, "score")
+
+
+def lsh_buckets(vecs: DataFrame, n_planes: int = 8, seed: int = 42,
+                id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
+    """(id, bucket): sign-bit signature under seeded random hyperplanes.
+
+    The projection matrix is generated on the driver (seeded, tiny:
+    n_planes x dim) and folded into a JVM-side expression — no UDF. Used
+    to pre-bucket cosine near-dup joins.
+    """
+    dim = len(vecs.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    sig = None
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (V.dot(V.to_double(F.col(vec_col)), plane) > 0).cast("long")
+        term = bit * (2 ** i)
+        sig = term if sig is None else sig + term
+    return vecs.select(F.col(id_col), sig.alias("bucket"))

@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines.
+
+North-star extras (BASELINE.json): language ID, quality scoring, token
+counting, document fingerprinting. All JVM-side column expressions —
+no Python UDFs in these paths — and all portable to an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles, tokens
+
+# simple marker vocabularies for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "los", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len)."""
+    t = tokens(docs, id_col, text_col)
+    return (t.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.length("token")).alias("n_token_chars"),
+                 F.round(F.avg(F.length("token")), 5)
+                 .alias("avg_token_len")))
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score per document.
+
+    Features follow the usual pretraining-filter recipe: document length,
+    stopword ratio, non-alphabetic ratio, mean token length. The score is
+    a fixed affine combination (deterministic, oracle-checkable).
+    """
+    t = tokens(docs, id_col, text_col)
+    stop = F.col("token").isin(STOPWORDS).cast("long")
+    alpha_chars = F.length(F.regexp_replace("token", "[^a-zA-Z]", ""))
+    agg = (t.groupBy(id_col)
+           .agg(F.count("*").alias("n_tokens"),
+                F.avg(stop).alias("stopword_ratio"),
+                (F.sum(alpha_chars) / F.sum(F.length("token")))
+                .alias("alpha_ratio"),
+                F.avg(F.length("token")).alias("mean_token_len")))
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+        + F.col("stopword_ratio") * 0.2
+        + F.col("alpha_ratio") * 0.3
+        + F.least(F.col("mean_token_len") / 10.0, F.lit(1.0)) * 0.1
+    )
+    return agg.select(
+        id_col, "n_tokens",
+        F.round("stopword_ratio", 5).alias("stopword_ratio"),
+        F.round("alpha_ratio", 5).alias("alpha_ratio"),
+        F.round("mean_token_len", 5).alias("mean_token_len"),
+        F.round(score, 5).alias("quality_score"))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, marker_hits): argmax marker-hit language.
+
+    Ties (including zero hits) resolve to the lexicographically first
+    language — deterministic for the oracle.
+    """
+    t = tokens(docs, id_col, text_col)
+    hit_cols = [
+        F.sum(F.col("token").isin(m).cast("long")).alias(f"hits_{lang}")
+        for lang, m in sorted(LANG_MARKERS.items())
+    ]
+    agg = t.groupBy(id_col).agg(*hit_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+          for lang in langs])
+    return agg.select(id_col, pred.alias("pred_lang"),
+                      best.alias("marker_hits"))
+
+
+def winnow_fingerprints(docs: DataFrame, shingle_n: int = 3,
+                        window: int = 4, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing (rolling-min) document fingerprints.
+
+    Hash each n-shingle (md5 prefix as integer), take the min hash of
+    every ``window`` consecutive shingles, keep the distinct mins: the
+    standard MOSS-style fingerprint set, here as pure window functions.
+    """
+    sh = shingles(docs, shingle_n, id_col, text_col)
+    h = sh.select(
+        id_col, "idx",
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+        .cast("long").alias("h"))
+    w = (Window.partitionBy(id_col).orderBy("idx")
+         .rowsBetween(0, window - 1))
+    n = Window.partitionBy(id_col)
+    mins = (h.withColumn("wmin", F.min("h").over(w))
+            .withColumn("last_idx", F.max("idx").over(n))
+            .filter(F.col("idx") <= F.col("last_idx") - window + 1))
+    return mins.select(id_col, F.col("wmin").alias("fingerprint")) \
+        .distinct()

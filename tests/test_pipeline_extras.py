@@ -1,0 +1,154 @@
+"""Dedup / text / simsearch / multimodal / fbin operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cross_modal_multivector_search_spark import testdata as TD
+from cross_modal_multivector_search_spark.operators import (
+    dedup, multimodal, simsearch, text,
+)
+from cross_modal_multivector_search_spark.sources import fbin
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return TD.load(spark, SF_SMOKE, "documents").cache()
+
+
+def test_dedup_exact_finds_planted_dup(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string")
+    out = dedup.dedup_exact(d).collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 1 and out[0]["n_docs"] == 2
+
+
+def test_shingles_lead_chain(spark):
+    d = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    sh = dedup.shingles(d, 3).orderBy("idx").collect()
+    assert [r["shingle"] for r in sh] == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_superset_of_high_jaccard(docs):
+    """LSH candidates must include every very-high-jaccard pair
+    (probabilistic, but deterministic given the md5 hash family)."""
+    jac = dedup.ngram_jaccard_pairs(docs, 3, threshold=0.9) \
+        .select("a", "b").collect()
+    lsh = {(r["a"], r["b"]) for r in
+           dedup.minhash_lsh_pairs(docs, 8, 4, 3).collect()}
+    for r in jac:
+        assert (r["a"], r["b"]) in lsh
+
+
+def test_simhash_similar_docs_close(spark):
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated content")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_fingerprints(d).collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_embedding_near_dup_gemm_vs_sql(spark):
+    v = TD.embeddings_norm(spark, SF_SMOKE).select("vec_id", "vec")
+    sql = {(r["a"], r["b"]) for r in
+           dedup.embedding_near_dup_pairs(v, 0.4, impl="sql").collect()}
+    gemm = {(r["a"], r["b"]) for r in
+            dedup.embedding_near_dup_pairs(v, 0.4, impl="gemm").collect()}
+    assert sql == gemm and len(gemm) > 0
+
+
+def test_quality_and_lang(docs):
+    q = text.quality_scores(docs)
+    rows = q.collect()
+    assert all(0 <= r["quality_score"] <= 1.001 for r in rows)
+    langs = text.lang_id(docs).select("pred_lang").distinct().collect()
+    assert {r["pred_lang"] for r in langs} <= set(text.LANG_MARKERS)
+
+
+def test_winnow_fingerprint_shared_substring(spark):
+    d = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten"),
+         (2, "zz one two three four five six seven eight nine yy")],
+        "doc_id long, text string")
+    fp = text.winnow_fingerprints(d, 3, 4).collect()
+    s1 = {r["fingerprint"] for r in fp if r["doc_id"] == 1}
+    s2 = {r["fingerprint"] for r in fp if r["doc_id"] == 2}
+    assert s1 & s2, "shared substring must share fingerprints"
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with nprobe=all cells == exact brute force."""
+    e = TD.load(spark, SF_SMOKE, "embeddings")
+    from cross_modal_multivector_search_spark.functions import vector as V
+    v = e.select(F.col("vec_id").cast("long").alias("vec_id"), "label",
+                 V.l2_normalize(V.to_double(F.col("embedding"))).alias("vec"))
+    n_cells = v.select("label").distinct().count()
+    cents = simsearch.ivf_centroids(v)
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "vec")
+    b = v.select(F.col("vec_id").alias("base_id"), "label", "vec")
+    ivf_all = simsearch.ivf_search(q, b, cents, n_cells, 10)
+    from cross_modal_multivector_search_spark.operators import brute_force
+    exact = brute_force.knn_exact_sql(q, b.drop("label"), 10, "ip")
+    a = [(r["query_id"], r["rank"], r["base_id"])
+         for r in ivf_all.orderBy("query_id", "rank").collect()]
+    x = [(r["query_id"], r["rank"], r["base_id"])
+         for r in exact.orderBy("query_id", "rank").collect()]
+    assert a == x
+
+
+def test_lsh_buckets_deterministic(spark):
+    v = TD.embeddings_norm(spark, SF_SMOKE).select("vec_id", "vec")
+    b1 = simsearch.lsh_buckets(v, 8, seed=1).collect()
+    b2 = simsearch.lsh_buckets(v, 8, seed=1).collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    n_buckets = len({r["bucket"] for r in b1})
+    assert n_buckets > 1
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, 32)
+    feats = multimodal.extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["feature"]) == 8 for r in rows)
+    norms = [np.linalg.norm(r["feature"]) for r in rows]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+    plan = multimodal.frame_sample_plan(media, 1000)
+    per_video = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] == 5 for r in per_video)  # 5000ms / 1000ms
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx")
+
+
+def test_fbin_roundtrip(spark, tmp_path):
+    v = TD.embeddings_norm(spark, SF_SMOKE).select("vec_id", "vec").limit(50)
+    p = str(tmp_path / "test.fbin")
+    fbin.write_fbin(v, p)
+    npts, dim = fbin.read_meta(p)
+    assert npts == 50 and dim == 64
+    back = fbin.read_fbin(spark, p)
+    orig = {r["vec_id"]: r["vec"] for r in v.collect()}
+    for r in back.collect():
+        assert np.allclose(r["vec"], orig[r["vec_id"]], atol=1e-6)
+
+
+def test_set_gt_ibin_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(q, r, q * 10 + r) for q in range(4) for r in range(3)],
+        "query_id long, rank int, neighbor_id long")
+    p = str(tmp_path / "gt.ibin")
+    fbin.write_set_gt_ibin(df, p)
+    back = fbin.read_set_gt_ibin(spark, p)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
