@@ -23,8 +23,9 @@ from cross_modal_multivector_search_spark import testdata as TD
 from cross_modal_multivector_search_spark.functions import vector as V
 from cross_modal_multivector_search_spark.operators import (
     brute_force, dedup, graph_build, graph_search, mapping, recall,
-    rerank, set_search, simsearch, stats, text, topk,
+    rerank, sampling, set_search, simsearch, stats, text, topk,
 )
+from cross_modal_multivector_search_spark.streaming import events as stream_events
 
 K = 10
 M = TD.M_FIXED
@@ -842,6 +843,170 @@ WHERE rank <= {K}
 
 
 # --------------------------------------------------------------------------
+# sampling / validation / diversity utilities (SURVEY §2.2, §2.4, §2.5)
+# --------------------------------------------------------------------------
+
+def q_sampled_set_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-set sampled/remaining split (extract_vectorsets semantics)."""
+    v = TD.embeddings_norm(spark, sf_dir)
+    sampled_ids = sampling.deterministic_sample(v, 20, seed=42,
+                                                id_col="set_id")
+    samp, rest = sampling.split_by_sets(v, sampled_ids)
+    return (samp.select(F.lit("sampled").alias("side"), "set_id", "vec_id")
+            .unionByName(rest.select(F.lit("remaining").alias("side"),
+                                     "set_id", "vec_id"))
+            .groupBy("side")
+            .agg(F.countDistinct("set_id").alias("n_sets"),
+                 F.count("*").alias("n_vecs"))
+            .orderBy("side"))
+
+
+SQL_SAMPLED_SET_SPLIT = """
+WITH s AS (SELECT DISTINCT vec_id // 5 AS set_id FROM embeddings),
+samp AS (SELECT set_id FROM s
+         ORDER BY md5('42:' || set_id::VARCHAR), set_id LIMIT 20),
+base AS (SELECT vec_id, vec_id // 5 AS set_id FROM embeddings),
+tagged AS (
+  SELECT CASE WHEN base.set_id IN (SELECT set_id FROM samp)
+              THEN 'sampled' ELSE 'remaining' END AS side,
+         base.set_id, base.vec_id
+  FROM base)
+SELECT side, count(DISTINCT set_id) AS n_sets, count(*) AS n_vecs
+FROM tagged GROUP BY side ORDER BY side
+"""
+
+
+def q_superset_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-5 results must be a subset of top-10 (anti-join must be empty;
+    compare_two_ibin_and_validate_superset semantics)."""
+    v = TD.embeddings_norm(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < TD.N_QUERY_VECS) \
+         .select(F.col("vec_id").alias("query_id"), "vec")
+    b = v.select(F.col("vec_id").alias("base_id"), "vec")
+    k10 = brute_force.knn_exact_sql(q, b, 10, metric="ip") \
+        .select("query_id", "base_id")
+    k5 = brute_force.knn_exact_sql(q, b, 5, metric="ip") \
+        .select("query_id", "base_id")
+    viol = sampling.validate_superset(k10, k5, ["query_id", "base_id"])
+    return viol.agg(F.count("*").alias("n_violations"))
+
+
+SQL_SUPERSET_VALIDATION = f"""
+WITH v AS ({TD.SQL_NORM_VECS}),
+q AS (SELECT vec_id AS query_id, vec FROM v WHERE vec_id < {TD.N_QUERY_VECS}),
+ranked AS (
+  SELECT q.query_id, b.vec_id AS base_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_dot_product(q.vec, b.vec) DESC,
+                                     b.vec_id) AS rank
+  FROM q CROSS JOIN v b),
+k10 AS (SELECT query_id, base_id FROM ranked WHERE rank <= 10),
+k5 AS (SELECT query_id, base_id FROM ranked WHERE rank <= 5)
+SELECT count(*) AS n_violations
+FROM k5 LEFT JOIN k10 USING (query_id, base_id)
+WHERE k10.query_id IS NULL
+"""
+
+
+def q_nn_wise_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-list diversity statistic (GetNNWiseDistance)."""
+    v = TD.embeddings_norm(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < TD.N_QUERY_VECS) \
+         .select(F.col("vec_id").alias("query_id"), "vec")
+    b = v.select(F.col("vec_id").alias("base_id"), "vec")
+    cands = brute_force.knn_exact_sql(q, b, K, metric="ip") \
+        .select("query_id", "base_id")
+    out = sampling.nn_wise_similarity(cands, v)
+    return out.orderBy("query_id")
+
+
+SQL_NN_WISE_SIMILARITY = f"""
+WITH v AS ({TD.SQL_NORM_VECS}),
+q AS (SELECT vec_id AS query_id, vec FROM v WHERE vec_id < {TD.N_QUERY_VECS}),
+cands AS (
+  SELECT query_id, base_id FROM (
+    SELECT q.query_id, b.vec_id AS base_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.vec, b.vec) DESC,
+                                       b.vec_id) AS rank
+    FROM q CROSS JOIN v b) WHERE rank <= {K}),
+cv AS (SELECT c.query_id, c.base_id, v.vec
+       FROM cands c JOIN v ON v.vec_id = c.base_id)
+SELECT a.query_id,
+       ROUND(avg(list_dot_product(a.vec, b.vec)), 5) AS mean_pairwise_sim
+FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.base_id <> b.base_id
+GROUP BY a.query_id ORDER BY a.query_id
+"""
+
+
+def q_random_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded unit-norm Gaussian synthesis (rows-only: NumPy PRNG has no
+    SQL twin). Returns per-vector norm checks instead of raw floats."""
+    v = sampling.generate_random_vectors(spark, 200, 16, seed=42)
+    return v.select(
+        "vec_id",
+        F.round(F.sqrt(F.aggregate(
+            F.transform("vec", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x)), 5).alias("norm"))
+
+
+# --------------------------------------------------------------------------
+# events: sessionization + windowed aggregation (streaming-shared logic)
+# --------------------------------------------------------------------------
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = TD.load_events(spark, sf_dir)
+    out = stream_events.sessionize(ev, gap_min=30)
+    return out.select(
+        "user_id", "session_idx",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events", "sum_value",
+    ).orderBy("user_id", "session_idx")
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > 30 * 60 * 1000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*) AS n_events,
+       ROUND(sum(value), 5) AS sum_value
+FROM sess GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = TD.load_events(spark, sf_dir)
+    out = stream_events.windowed_event_counts(ev, "1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type", "n_events", "sum_value",
+    ).orderBy("window_start_us", "event_type")
+
+
+SQL_WINDOWED_EVENT_COUNTS = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type, count(*) AS n_events, ROUND(sum(value), 5) AS sum_value
+FROM events GROUP BY window_start_us, event_type
+ORDER BY window_start_us, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -880,6 +1045,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ivf_topk": q_ivf_topk,
+        "sampled_set_split": q_sampled_set_split,
+        "superset_validation": q_superset_validation,
+        "nn_wise_similarity": q_nn_wise_similarity,
+        "random_vectors": q_random_vectors,
+        "sessionize_events": q_sessionize_events,
+        "windowed_event_counts": q_windowed_event_counts,
     }
 
 
@@ -911,4 +1082,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "ivf_topk": SQL_IVF_TOPK,
+        "sampled_set_split": SQL_SAMPLED_SET_SPLIT,
+        "superset_validation": SQL_SUPERSET_VALIDATION,
+        "nn_wise_similarity": SQL_NN_WISE_SIMILARITY,
+        "sessionize_events": SQL_SESSIONIZE_EVENTS,
+        "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
     }

@@ -1,0 +1,103 @@
+"""Sampling / splitting / validation utilities from the reference's tooling.
+
+  * deterministic sample of n distinct ids — `gen_rand_ids`
+    (`/root/reference/tests/gen_rand_ids.cpp`): here via md5-ordering so
+    the "random" choice is reproducible across engines (the oracle runs
+    the same expression), unlike engine-native rand().
+  * whole-set split into sampled/remaining — `extract_vectorsets`
+    (`/root/reference/tests/extract_vectorsets.cpp:9-93`): semi/anti join.
+  * superset validation of two candidate tables —
+    `compare_two_ibin_and_validate_superset.cpp`: left-anti must be empty.
+  * unit-norm Gaussian vector synthesis —
+    `UtilityMethods::GenerateRandomVectorsAndStore`
+    (`/root/reference/src/utility_methods.cpp:104-154`): seeded per-row
+    generator, distributed via spark.range + mapInPandas.
+  * mean pairwise similarity of a candidate list — `GetNNWiseDistance`
+    (`/root/reference/src/multivector_reranker.cpp:842-861`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, FloatType, LongType, StructField,
+                               StructType)
+
+from ..functions import vector as V
+
+
+def deterministic_sample(df: DataFrame, n: int, seed: int = 42,
+                         id_col: str = "set_id") -> DataFrame:
+    """n distinct ids chosen by md5(seed||id) order — a seeded shuffle
+    that any SQL engine reproduces exactly."""
+    return (df.select(id_col).distinct()
+            .orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))),
+                     F.col(id_col))
+            .limit(n))
+
+
+def split_by_sets(vecs: DataFrame, sampled_sets: DataFrame,
+                  set_col: str = "set_id") -> tuple[DataFrame, DataFrame]:
+    """(sampled, remaining) — whole sets stay together (semi/anti join)."""
+    s = F.broadcast(sampled_sets.select(set_col))
+    return (vecs.join(s, set_col, "semi"), vecs.join(s, set_col, "anti"))
+
+
+def validate_superset(superset: DataFrame, subset: DataFrame,
+                      keys: list[str]) -> DataFrame:
+    """Rows of ``subset`` missing from ``superset`` (must be empty)."""
+    return subset.join(superset, keys, "left_anti")
+
+
+def generate_random_vectors(spark: SparkSession, n: int, dim: int,
+                            seed: int = 42) -> DataFrame:
+    """n unit-norm Gaussian rows, deterministically seeded per row id.
+
+    Distributed: spark.range partitions the id space; each Arrow batch
+    seeds its own generator from (seed, first_id) so output is
+    independent of partitioning.
+    """
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("vec", ArrayType(FloatType(), False), False),
+    ])
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            out = []
+            for i in ids:
+                rng = np.random.default_rng([seed, int(i)])
+                v = rng.standard_normal(dim)
+                v /= np.linalg.norm(v)
+                out.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "vec": out})
+
+    return spark.range(n).mapInPandas(gen, schema=schema)
+
+
+def nn_wise_similarity(cands: DataFrame, vecs: DataFrame,
+                       query_col: str = "query_id",
+                       id_col: str = "base_id",
+                       vec_id: str = "vec_id",
+                       vec_col: str = "vec") -> DataFrame:
+    """Mean pairwise similarity among each query's candidate list — the
+    reference's candidate-diversity statistic. Self-join of candidates
+    joined to vectors; excludes the diagonal, counts each unordered pair
+    twice exactly like the C++ double loop."""
+    cv = cands.join(
+        vecs.select(F.col(vec_id).alias(id_col),
+                    F.col(vec_col).alias("_v")), id_col)
+    a = cv.select(F.col(query_col), F.col(id_col).alias("_ia"),
+                  F.col("_v").alias("_va"))
+    b = cv.select(F.col(query_col).alias("_q2"),
+                  F.col(id_col).alias("_ib"), F.col("_v").alias("_vb"))
+    pairs = a.join(b, (a[query_col] == b["_q2"])
+                   & (F.col("_ia") != F.col("_ib")))
+    sim = V.dot(V.to_double(F.col("_va")), V.to_double(F.col("_vb")))
+    return pairs.groupBy(query_col).agg(
+        F.round(F.avg(sim), 5).alias("mean_pairwise_sim"))

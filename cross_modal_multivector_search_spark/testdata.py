@@ -25,6 +25,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as a proper timestamp.
+
+    The driver writes TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; read nanos as long and truncate to microseconds
+    (Spark's native timestamp precision). Any oracle comparison must use
+    epoch microseconds on both engines (DuckDB: epoch_us) so truncation
+    agrees.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = load(spark, sf_dir, "events")
+    # integer DIV, not /: float division of int64 nanos loses precision
+    # (2^63-scale values exceed double's 53-bit mantissa) and rounds the
+    # microsecond up
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
 def embeddings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, set_id, vec) with L2-normalized double vectors.
 
