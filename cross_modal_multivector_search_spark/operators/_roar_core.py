@@ -131,6 +131,19 @@ def occlusion_prune(cand_ids: np.ndarray, cand_dists: np.ndarray,
     return result
 
 
+def _expand(q: BeamQueue, visited: np.ndarray, nbrs: np.ndarray,
+            vecs: np.ndarray, query: np.ndarray) -> None:
+    """Visit a node's unvisited neighbors: one batched GEMV per hop
+    (the vectorized analog of the reference's per-neighbor SIMD compare)."""
+    fresh = nbrs[~visited[nbrs]]
+    if len(fresh) == 0:
+        return
+    visited[fresh] = True
+    dists = -(vecs[fresh] @ query)
+    for nid, d in zip(fresh, dists):
+        q.insert(int(nid), float(d))
+
+
 def beam_search(adj: list, vecs: np.ndarray, query: np.ndarray,
                 ep: int, beam_width: int, k: int | None = None):
     """Single-vector best-first beam search (`SearchRoarGraph`).
@@ -144,11 +157,7 @@ def beam_search(adj: list, vecs: np.ndarray, query: np.ndarray,
     visited[ep] = True
     while q.has_unexpanded():
         cur_id, _ = q.closest_unexpanded()
-        nbrs = adj[cur_id]
-        for nbr in nbrs:
-            if not visited[nbr]:
-                visited[nbr] = True
-                q.insert(int(nbr), float(-(vecs[nbr] @ query)))
+        _expand(q, visited, adj[cur_id], vecs, query)
     lim = q.size if k is None else min(k, q.size)
     return q.ids[:lim].copy(), q.dists[:lim].copy()
 
@@ -165,15 +174,12 @@ def supply_search_collect(adj: list, vecs: np.ndarray, query: np.ndarray,
     visited = np.zeros(len(vecs), dtype=bool)
     visited[ep] = True
     ret_ids, ret_dists = [], []
+    visited[tgt] = True  # target skipped exactly like `nbr == tgt` check
     while q.has_unexpanded():
         cur_id, cur_dist = q.closest_unexpanded()
         ret_ids.append(cur_id)
         ret_dists.append(cur_dist)
-        for nbr in adj[cur_id]:
-            if visited[nbr] or nbr == tgt:
-                continue
-            visited[nbr] = True
-            q.insert(int(nbr), float(-(vecs[nbr] @ query)))
+        _expand(q, visited, adj[cur_id], vecs, query)
     return np.array(ret_ids, dtype=np.int64), np.array(ret_dists)
 
 
@@ -205,10 +211,7 @@ def multivector_search(adj: list, vecs: np.ndarray, queries: np.ndarray,
         q, vis, qv = queues[i], visited[i], queries[i]
         while q.has_unexpanded(cur_size[i]):
             cur_id, _ = q.closest_unexpanded()
-            for nbr in adj[cur_id]:
-                if not vis[nbr]:
-                    vis[nbr] = True
-                    q.insert(int(nbr), float(-(vecs[nbr] @ qv)))
+            _expand(q, vis, adj[cur_id], vecs, qv)
 
     for i in range(m):
         run(i)

@@ -186,9 +186,8 @@ def embedding_near_dup_pairs(vecs: DataFrame, threshold: float = 0.95,
     broadcast bounds this at executor memory; for the billion-row regime
     pre-bucket with simsearch.lsh_buckets and run per bucket.
     """
-    norm = vecs.select(F.col(id_col),
-                       V.l2_normalize(V.to_double(F.col(vec_col)))
-                       .alias("_v"))
+    norm = V.with_l2_normalized(vecs, vec_col, "_v") \
+        .select(F.col(id_col), "_v")
     if impl == "sql":
         a = norm.select(F.col(id_col).alias("a"), F.col("_v").alias("_va"))
         b = norm.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"))

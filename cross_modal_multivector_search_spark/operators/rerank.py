@@ -53,9 +53,20 @@ def candidates_to_sets(candidates: DataFrame, m: int | None = None,
 def rerank(candidates: DataFrame, query_vecs: DataFrame,
            data_vecs: DataFrame, k: int,
            metric: str = "smooth_chamfer", m: int | None = None,
-           mapping: DataFrame | None = None) -> DataFrame:
-    """candidates(query_set_id, base_vec_id) -> top-k reranked sets."""
+           mapping: DataFrame | None = None,
+           impl: str = "gemm") -> DataFrame:
+    """candidates(query_set_id, base_vec_id) -> top-k reranked sets.
+
+    impl="sql": scoring via the declarative LSE aggregation (restricted
+    to candidate pairs) — the Catalyst-visible / oracle-twin plan.
+    impl="gemm": one shuffle — candidates grouped by data set with their
+    proposing query sets, one NumPy kernel call per (data set, query set)
+    against broadcast query matrices, then window top-k. Identical
+    scores; ~3 stages instead of ~10.
+    """
     cand_sets = candidates_to_sets(candidates, m=m, mapping=mapping)
+    if impl == "gemm":
+        return _rerank_gemm(cand_sets, query_vecs, data_vecs, k, metric)
     # Restrict the data side to candidate sets before scoring: a semi-join
     # prunes the expensive GEMM/LSE to the candidate universe.
     cand_data_ids = cand_sets.select(
@@ -74,3 +85,64 @@ def rerank(candidates: DataFrame, query_vecs: DataFrame,
         scoped, ["q_set"], [F.col("score").desc(), F.col("d_set").asc()], k
     ).select(F.col("q_set").alias("query_set_id"), "rank",
              F.col("d_set").alias("data_set_id"), "score")
+
+
+def _rerank_gemm(cand_sets: DataFrame, query_vecs: DataFrame,
+                 data_vecs: DataFrame, k: int, metric: str) -> DataFrame:
+    """Candidate-pruned NumPy scoring (`MultiVectorReranker::Rerank`'s
+    gather+GEMM, distributed over data sets)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from ..functions import metrics as M
+
+    spark = query_vecs.sparkSession
+    q_rows = (query_vecs.groupBy("set_id")
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  F.col("vec_id").alias("o"), F.col("vec").alias("v"))))
+                  .alias("rows"))
+              .select("set_id", F.col("rows.v").alias("mat")).collect())
+    q_mats = {int(r["set_id"]): np.array(r["mat"], dtype=np.float64)
+              for r in q_rows}
+    bc = spark.sparkContext.broadcast((q_mats, metric))
+
+    # one shuffle: each candidate data set carries its proposing queries
+    per_data = (cand_sets.groupBy("data_set_id")
+                .agg(F.collect_set("query_set_id").alias("qsids")))
+    data_grouped = (data_vecs.groupBy(F.col("set_id").alias("data_set_id"))
+                    .agg(F.sort_array(F.collect_list(F.struct(
+                        F.col("vec_id").alias("o"),
+                        F.col("vec").alias("v")))).alias("rows"))
+                    .select("data_set_id", F.col("rows.v").alias("mat")))
+    work = per_data.join(data_grouped, "data_set_id")
+
+    schema = StructType([
+        StructField("query_set_id", LongType()),
+        StructField("data_set_id", LongType()),
+        StructField("score", DoubleType()),
+    ])
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_mats_l, met = bc.value
+        fn = M.SET_METRICS[met]
+        for pdf in it:
+            out_q, out_d, out_s = [], [], []
+            for dsid, qsids, mat in zip(pdf["data_set_id"], pdf["qsids"],
+                                        pdf["mat"]):
+                d = np.stack([np.asarray(r, dtype=np.float64) for r in mat])
+                for qsid in qsids:
+                    out_q.append(int(qsid))
+                    out_d.append(int(dsid))
+                    out_s.append(fn(q_mats_l[int(qsid)], d))
+            yield pd.DataFrame({"query_set_id": out_q,
+                                "data_set_id": out_d, "score": out_s})
+
+    scored = work.mapInPandas(score, schema=schema)
+    return grouped_topk(
+        scored, ["query_set_id"],
+        [F.col("score").desc(), F.col("data_set_id").asc()], k
+    ).select("query_set_id", "rank", "data_set_id", "score")

@@ -63,8 +63,8 @@ def cosine_histogram(queries: DataFrame, base: DataFrame, bins: int = 200,
 
     The reference clamps the last bin (cos == 1.0 -> bins-1).
     """
-    q = queries.select(V.l2_normalize(V.to_double(F.col(vec_col))).alias("_q"))
-    b = base.select(V.l2_normalize(V.to_double(F.col(vec_col))).alias("_b"))
+    q = V.with_l2_normalized(queries, vec_col, "_q").select("_q")
+    b = V.with_l2_normalized(base, vec_col, "_b").select("_b")
     cos = V.dot(F.col("_q"), F.col("_b"))
     bucket = F.least(
         F.floor((cos + 1.0) / 2.0 * bins).cast("long"), F.lit(bins - 1))

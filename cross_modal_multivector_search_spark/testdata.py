@@ -49,10 +49,10 @@ def embeddings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     load time (`/root/reference/src/index_bipartite.cpp:73-79`).
     """
     e = load(spark, sf_dir, "embeddings")
-    return e.select(
+    return V.with_l2_normalized(e, "embedding", "vec").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         (F.col("vec_id") / M_FIXED).cast("long").alias("set_id"),
-        V.l2_normalize(V.to_double(F.col("embedding"))).alias("vec"),
+        "vec",
     )
 
 
