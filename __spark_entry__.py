@@ -23,7 +23,7 @@ from cross_modal_multivector_search_spark import testdata as TD
 from cross_modal_multivector_search_spark.functions import vector as V
 from cross_modal_multivector_search_spark.operators import (
     brute_force, dedup, graph_build, graph_search, mapping, recall,
-    rerank, sampling, set_search, simsearch, stats, text, topk,
+    rerank, sampling, set_search, sharded, simsearch, stats, text, topk,
 )
 from cross_modal_multivector_search_spark.streaming import events as stream_events
 
@@ -471,6 +471,46 @@ ORDER BY t.rank
 """
 
 
+N_VAR_SETS = 150
+
+
+def q_chamfer_varcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smooth-Chamfer top-k over VARIABLE-cardinality sets: the
+    cardinality-file path (`multivector_reranker.cpp:767-809`) —
+    prefix-sum mapping + range-join gather + per-query-set m."""
+    v = TD.embeddings_norm(spark, sf_dir).drop("set_id")
+    cards = spark.range(N_VAR_SETS).select(
+        F.col("id").alias("set_id"),
+        (F.col("id") % 5 + 1).cast("long").alias("cardinality"))
+    m_map = mapping.cardinality_mapping(cards)
+    varv = mapping.vid_to_vsid_variable(v, m_map)
+    q = varv.filter(F.col("set_id") < TD.N_QUERY_SETS)
+    out = set_search.set_topk_sql(q, varv, K, metric="smooth_chamfer")
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_CHAMFER_VARCARD = f"""
+WITH nv AS ({TD.SQL_NORM_VECS}),
+cards AS (SELECT i AS set_id, (i % 5 + 1)::BIGINT AS cardinality
+          FROM range({N_VAR_SETS}) t(i)),
+mp AS (SELECT set_id, cardinality,
+              COALESCE(SUM(cardinality) OVER (ORDER BY set_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS first_vid
+       FROM cards),
+v AS (SELECT mp.set_id, nv.vec_id, nv.vec
+      FROM nv JOIN mp ON nv.vec_id >= mp.first_vid
+                     AND nv.vec_id < mp.first_vid + mp.cardinality),
+{_SQL_CHAMFER_SCORES},
+ranked AS (
+  SELECT q_set AS query_set_id, d_set AS data_set_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_set ORDER BY score DESC, d_set) AS rank
+  FROM scores)
+SELECT query_set_id, rank, data_set_id, ROUND(score, 5) AS score
+FROM ranked WHERE rank <= {K}
+"""
+
+
 # --------------------------------------------------------------------------
 # ANN path: RoarGraph build + adaptive multi-vector beam search + rerank
 # (SURVEY §2.7, §2.8 — not SQL-expressible; driver records rows-only checks,
@@ -510,6 +550,28 @@ def q_ann_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = graph_search.search_and_rerank(
         index, q, v, K,
         graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M)
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
+_SHARD_CACHE: dict[str, DataFrame] = {}
+N_SHARDS = 4
+
+
+def q_ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB execution shape: per-shard sub-indexes (applyInPandas
+    build), fan-out search, global merge, rerank (SURVEY §7 Phase 5)."""
+    v = TD.embeddings_norm(spark, sf_dir)
+    if sf_dir not in _SHARD_CACHE:
+        g = sharded.build_sharded(v.select("vec_id", "vec"), N_SHARDS,
+                                  _ROAR_PARAMS).cache()
+        g.count()
+        _SHARD_CACHE[sf_dir] = g
+    q = v.filter(F.col("set_id") < TD.N_QUERY_SETS)
+    cands = sharded.search_sharded(
+        _SHARD_CACHE[sf_dir], v.select("vec_id", "vec"), q,
+        min_pq=5, max_pq=100, budget=100)
+    out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
+                        q, v, K, m=M)
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -1035,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ip_topk_gemm": q_knn_gemm,
         "chamfer_topk": q_chamfer_topk,
         "chamfer_topk_gemm": q_chamfer_gemm,
+        "chamfer_varcard": q_chamfer_varcard,
         "maxsim_topk": q_maxsim_topk,
         "rerank_two_phase": q_rerank_two_phase,
         "recall_maxsim_vs_chamfer": q_recall_maxsim_vs_chamfer,
@@ -1046,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_significance": q_knn_significance,
         "pricing_summary": q_pricing_summary,
         "ann_multivector_search": q_ann_multivector_search,
+        "ann_sharded_search": q_ann_sharded_search,
         "ann_recall_report": q_ann_recall_report,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1074,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ip_topk_gemm": SQL_KNN_IP,       # same semantics, GEMM path
         "chamfer_topk": SQL_CHAMFER_TOPK,
         "chamfer_topk_gemm": SQL_CHAMFER_TOPK,
+        "chamfer_varcard": SQL_CHAMFER_VARCARD,
         "maxsim_topk": SQL_MAXSIM_TOPK,
         "rerank_two_phase": SQL_RERANK_TWO_PHASE,
         "recall_maxsim_vs_chamfer": SQL_RECALL_MAXSIM_VS_CHAMFER,

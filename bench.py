@@ -28,7 +28,8 @@ HEADLINE = [
     "chamfer_topk_gemm",
     "maxsim_topk",
     "rerank_two_phase",
-    "ann_multivector_search",   # includes one-time index build
+    "ann_multivector_search",   # broadcast single index (cached build)
+    "ann_sharded_search",       # sharded build + fan-out search
     "ivf_topk",
     "minhash_lsh_pairs",
     "simhash_fingerprints",

@@ -240,3 +240,59 @@ def multivector_search(adj: list, vecs: np.ndarray, queries: np.ndarray,
         out.append((queues[i].ids[:lim].copy(),
                     queues[i].dists[:lim].copy()))
     return out
+
+
+def multivector_search_shared_visited(adj: list, vecs: np.ndarray,
+                                      queries: np.ndarray, ep: int,
+                                      min_pq: int, max_pq: int,
+                                      budget: int):
+    """Shared-visited-list variant
+    (`SearchMultivectorOnRoarGraphWithSharedVisitedList`,
+    `/root/reference/src/index_bipartite.cpp:2668-2764`).
+
+    One shared visited set and one shared checked set across the m
+    member searches: each round-robins expansion of its own queue, a
+    node's neighborhood is expanded at most once globally (checked set),
+    and every newly visited node is scored against ALL m members — each
+    distance batch is one small GEMM here. Beam sizes are the equal
+    split budget/m (the reference hard-disables adaptive expansion in
+    this variant — the `if` is commented out at `:2699-2702`).
+    """
+    m = queries.shape[0]
+    queues = [BeamQueue(max_pq) for _ in range(m)]
+    d0 = -(vecs[ep] @ queries.T)                 # score ep vs all members
+    for i in range(m):
+        queues[i].insert(ep, float(d0[i]))
+    cur_size = [max(1, budget // m)] * m
+    visited = np.zeros(len(vecs), dtype=bool)
+    checked = np.zeros(len(vecs), dtype=bool)
+    visited[ep] = True
+
+    while True:
+        idle = True
+        for i in range(m):
+            q = queues[i]
+            if not q.has_unexpanded(cur_size[i]):
+                continue
+            idle = False
+            cur_id, _ = q.closest_unexpanded()
+            if checked[cur_id]:
+                continue
+            checked[cur_id] = True
+            fresh = adj[cur_id][~visited[adj[cur_id]]]
+            if len(fresh) == 0:
+                continue
+            visited[fresh] = True
+            dists = -(vecs[fresh] @ queries.T)   # (|fresh|, m) one GEMM
+            for row, nid in enumerate(fresh):
+                for j in range(m):
+                    queues[j].insert(int(nid), float(dists[row, j]))
+        if idle:
+            break
+
+    out = []
+    for i in range(m):
+        lim = min(cur_size[i], queues[i].size)
+        out.append((queues[i].ids[:lim].copy(),
+                    queues[i].dists[:lim].copy()))
+    return out

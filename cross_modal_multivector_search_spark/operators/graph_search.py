@@ -40,6 +40,7 @@ class SearchParams:
     max_pq: int = 200
     budget: int = 200          # max_pq_size_budget (total beam size)
     adaptive: bool = True      # enable_adaptive_expansion
+    shared_visited: bool = False  # shared visited/checked-list variant
 
 
 _CAND_SCHEMA = StructType([
@@ -64,7 +65,8 @@ def multivector_search(index: RoarGraphIndex, query_vecs: DataFrame,
     spark = query_vecs.sparkSession
     bc = spark.sparkContext.broadcast(
         (index.adj, index.vecs, index.ids, index.entry_point,
-         params.min_pq, params.max_pq, params.budget, params.adaptive))
+         params.min_pq, params.max_pq, params.budget, params.adaptive,
+         params.shared_visited))
 
     grouped = (
         query_vecs.groupBy(F.col(set_id).alias("query_set_id"))
@@ -75,14 +77,19 @@ def multivector_search(index: RoarGraphIndex, query_vecs: DataFrame,
     )
 
     def search_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        adj, vecs, ids, ep, min_pq, max_pq, budget, adaptive = bc.value
+        (adj, vecs, ids, ep, min_pq, max_pq, budget, adaptive,
+         shared) = bc.value
         for pdf in it:
             frames = []
             for qsid, mats in zip(pdf["query_set_id"], pdf["mats"]):
                 q = np.stack([np.asarray(r, dtype=np.float64)
                               for r in mats])
-                results = core.multivector_search(
-                    adj, vecs, q, ep, min_pq, max_pq, budget, adaptive)
+                if shared:
+                    results = core.multivector_search_shared_visited(
+                        adj, vecs, q, ep, min_pq, max_pq, budget)
+                else:
+                    results = core.multivector_search(
+                        adj, vecs, q, ep, min_pq, max_pq, budget, adaptive)
                 for pos, (cids, cdists) in enumerate(results):
                     frames.append(pd.DataFrame({
                         "query_set_id": np.full(len(cids), int(qsid),

@@ -1,0 +1,249 @@
+"""Sharded ANN: the 100 TB execution shape (SURVEY §7 Phase 5).
+
+A single RoarGraph broadcast caps out at executor memory (a few GB ≈
+tens of millions of vectors). Above that:
+
+  build:   hash-shard the base table; ONE Spark task builds ONE shard's
+           sub-index (applyInPandas over groupBy(shard)) — the build
+           fans out S-way with no cross-shard traffic at all, and each
+           sub-index is persisted as its shard's adjacency rows.
+  search:  queries broadcast to every shard partition; each shard task
+           runs the multi-vector beam search against its local sub-index
+           and emits only its top candidates; a global per-query top-k
+           merge (the classic partial+final aggregation) finishes.
+
+Recall composition: each member vector's true NN lives in exactly one
+shard, and every shard is searched, so sharded recall >= single-index
+recall at equal per-shard beam budget (it only misses what every shard's
+local search misses).
+
+The in-JVM data path stays columnar: adjacency rows are
+(shard, src, nbrs) Parquet — partition-pruned by shard at load — and the
+per-shard vector slices come out of the same shuffle that grouped them.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StructField, StructType)
+
+from . import _roar_core as core
+from .graph_build import RoarGraphParams
+from .topk import grouped_topk
+
+_SHARD_GRAPH_SCHEMA = StructType([
+    StructField("shard", IntegerType()),
+    StructField("src", LongType()),
+    StructField("nbrs", ArrayType(LongType())),
+    StructField("is_entry", IntegerType()),
+])
+
+
+def _build_one_shard(ids: np.ndarray, vecs: np.ndarray,
+                     params: RoarGraphParams) -> tuple[list, int]:
+    """Single-shard RoarGraph build, NumPy end-to-end (runs inside one
+    Spark task). Same pass structure as graph_build.build_roargraph —
+    pass 1 projection from a local exact kNN table, reverse merge +
+    re-prune, entry point, one connectivity-enhancement sweep."""
+    n = len(ids)
+    m_deg = params.m_pjbp
+    if n <= 1:
+        # degenerate shard: a single vector is its own (empty) graph
+        return [np.empty(0, dtype=np.int64)] * n, 0
+    # local exact kNN of every vector (self-training, like the toy path)
+    sims = vecs @ vecs.T
+    np.fill_diagonal(sims, -np.inf)
+    k = min(params.m_sq, n - 1)
+    knn = np.argsort(-sims, axis=1)[:, :k]
+
+    # pass 1: target = nearest neighbor; pool = rest of the kNN list
+    pools: dict[int, set] = {}
+    for q in range(n):
+        tgt = int(knn[q, 0])
+        pools.setdefault(tgt, set()).update(int(x) for x in knn[q, 1:])
+    adj = [np.empty(0, dtype=np.int64)] * n
+    edges: dict[int, set] = {i: set() for i in range(n)}
+    for tgt, pool in pools.items():
+        cand = np.fromiter((p for p in pool if p != tgt), dtype=np.int64)
+        if len(cand) == 0:
+            continue
+        dists = -(vecs[cand] @ vecs[tgt])
+        pruned = core.occlusion_prune(cand, dists, vecs, m_deg, exclude=tgt)
+        edges[tgt].update(pruned)
+        for p in pruned:           # reverse edges
+            edges[p].add(tgt)
+    for node, nbrs in edges.items():
+        cand = np.fromiter((x for x in nbrs if x != node), dtype=np.int64)
+        if len(cand) > m_deg:
+            dists = -(vecs[cand] @ vecs[node])
+            cand = np.array(core.occlusion_prune(
+                cand, dists, vecs, m_deg, exclude=node), dtype=np.int64)
+        adj[node] = cand
+
+    centroid = vecs.mean(axis=0)
+    ep = int(np.argmin(((vecs - centroid) ** 2).sum(axis=1)))
+
+    # one connectivity-enhancement sweep over the snapshot
+    snapshot = [a.copy() for a in adj]
+    for node in range(n):
+        ret_ids, ret_dists = core.supply_search_collect(
+            snapshot, vecs, vecs[node], node, ep, params.l_pjpq)
+        keep = ret_ids != node
+        ret_ids, ret_dists = ret_ids[keep], ret_dists[keep]
+        if len(ret_ids) == 0:
+            continue
+        pruned = core.occlusion_prune(
+            ret_ids, ret_dists, vecs, m_deg, exclude=node, backfill=False,
+            seed_skip=set(int(x) for x in snapshot[node]))
+        have = set(int(x) for x in adj[node])
+        novel = [p for p in pruned if p not in have][:2 * m_deg]
+        if novel:
+            adj[node] = np.concatenate(
+                [adj[node], np.array(novel, dtype=np.int64)])
+    return adj, ep
+
+
+def build_sharded(base: DataFrame, n_shards: int,
+                  params: RoarGraphParams = RoarGraphParams(),
+                  id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
+    """(shard, src, nbrs, is_entry) adjacency for every shard.
+
+    Sharding is hash(id) % n_shards: uniform by construction, no skew.
+    One task per shard; S-way parallel, zero cross-shard traffic.
+    """
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # applyInPandas-free: rows arrive grouped+sorted by shard via
+        # repartition+sortWithinPartitions; accumulate one shard at a time
+        cur_shard, ids_acc, vec_acc = None, [], []
+
+        def emit(shard, ids_l, vecs_l):
+            ids = np.array(ids_l, dtype=np.int64)
+            vecs = np.vstack(vecs_l).astype(np.float64)
+            adj, ep = _build_one_shard(ids, vecs, params)
+            return pd.DataFrame({
+                "shard": np.full(len(ids), shard, dtype=np.int32),
+                "src": ids,
+                "nbrs": [[int(ids[j]) for j in adj[i]]
+                         for i in range(len(ids))],
+                "is_entry": [1 if i == ep else 0 for i in range(len(ids))],
+            })
+
+        for pdf in it:
+            for shard, vid, vec in zip(pdf["shard"], pdf[id_col],
+                                       pdf[vec_col]):
+                if cur_shard is not None and shard != cur_shard:
+                    yield emit(cur_shard, ids_acc, vec_acc)
+                    ids_acc, vec_acc = [], []
+                cur_shard = shard
+                ids_acc.append(int(vid))
+                vec_acc.append(np.asarray(vec, dtype=np.float64))
+        if ids_acc:
+            yield emit(cur_shard, ids_acc, vec_acc)
+
+    sharded = base.withColumn(
+        "shard", F.pmod(F.hash(F.col(id_col)), F.lit(n_shards))
+        .cast("int"))
+    return (sharded.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", id_col)
+            .mapInPandas(build, schema=_SHARD_GRAPH_SCHEMA))
+
+
+_CAND_SCHEMA = StructType([
+    StructField("query_set_id", LongType()),
+    StructField("member_pos", IntegerType()),
+    StructField("base_vec_id", LongType()),
+    StructField("dist", DoubleType()),
+])
+
+
+def search_sharded(shard_graph: DataFrame, base: DataFrame,
+                   query_vecs: DataFrame,
+                   min_pq: int, max_pq: int, budget: int,
+                   adaptive: bool = True,
+                   set_id: str = "set_id", vec_id: str = "vec_id",
+                   vec_col: str = "vec") -> DataFrame:
+    """Fan-out multi-vector search: every shard searches every query set
+    with the full per-shard budget; global merge keeps each member's
+    best candidates across shards (partial+final top-k)."""
+    spark = base.sparkSession
+    q_rows = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  F.col(vec_id).alias("o"), F.col(vec_col).alias("v"))))
+                  .alias("rows"))
+              .select("qsid", F.col("rows.v").alias("mats")).collect())
+    q_sets = [(int(r["qsid"]), np.array(r["mats"], dtype=np.float64))
+              for r in q_rows]
+    bc_q = spark.sparkContext.broadcast(
+        (q_sets, min_pq, max_pq, budget, adaptive))
+
+    n_shards = shard_graph.select(F.max("shard")).first()[0] + 1
+    vecs_sharded = base.withColumn(
+        "shard", F.pmod(F.hash(F.col(vec_id)), F.lit(n_shards)).cast("int"))
+    work = (shard_graph
+            .join(vecs_sharded.select(
+                "shard", F.col(vec_id).alias("src"),
+                F.col(vec_col).alias("v")), ["shard", "src"])
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "src"))
+
+    def search(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_sets_l, min_pq_l, max_pq_l, budget_l, adaptive_l = bc_q.value
+        cur, ids_acc, nbrs_acc, vecs_acc, ep_acc = None, [], [], [], [0]
+
+        def run_shard():
+            ids = np.array(ids_acc, dtype=np.int64)
+            ix = {int(v): i for i, v in enumerate(ids)}
+            vecs = np.vstack(vecs_acc).astype(np.float64)
+            adj = [np.array([ix[int(x)] for x in nb], dtype=np.int64)
+                   for nb in nbrs_acc]
+            ep = ep_acc[0]
+            frames = []
+            for qsid, qmat in q_sets_l:
+                res = core.multivector_search(
+                    adj, vecs, qmat, ep, min_pq_l, max_pq_l, budget_l,
+                    adaptive_l)
+                for pos, (cids, cdists) in enumerate(res):
+                    frames.append(pd.DataFrame({
+                        "query_set_id": np.full(len(cids), qsid,
+                                                dtype=np.int64),
+                        "member_pos": np.full(len(cids), pos,
+                                              dtype=np.int32),
+                        "base_vec_id": ids[cids],
+                        "dist": cdists,
+                    }))
+            return pd.concat(frames) if frames else None
+
+        for pdf in it:
+            for shard, src, nbrs, is_ep, v in zip(
+                    pdf["shard"], pdf["src"], pdf["nbrs"],
+                    pdf["is_entry"], pdf["v"]):
+                if cur is not None and shard != cur:
+                    out = run_shard()
+                    if out is not None:
+                        yield out
+                    ids_acc, nbrs_acc, vecs_acc, ep_acc = [], [], [], [0]
+                cur = shard
+                if is_ep:
+                    ep_acc[0] = len(ids_acc)
+                ids_acc.append(int(src))
+                nbrs_acc.append(nbrs)
+                vecs_acc.append(np.asarray(v, dtype=np.float64))
+        if ids_acc:
+            out = run_shard()
+            if out is not None:
+                yield out
+
+    partials = work.mapInPandas(search, schema=_CAND_SCHEMA)
+    # global partial+final top-k: keep each member's best budget/|shards|
+    # …actually keep per-member best `max_pq` overall — the rerank stage
+    # dedups anyway, so this merge only bounds shuffle volume.
+    return grouped_topk(
+        partials, ["query_set_id", "member_pos"],
+        [F.col("dist").asc(), F.col("base_vec_id").asc()], max_pq
+    ).drop("rank")

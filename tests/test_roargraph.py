@@ -111,6 +111,24 @@ def test_adaptive_beats_or_matches_equal_split(index_and_vecs):
     assert all(len(ids) == 20 for ids, _ in res_eq)
 
 
+def test_shared_visited_variant_recall(spark, index_and_vecs):
+    """The shared-visited-list variant must reach comparable recall at
+    equal budget (it dedups neighborhood expansions across members)."""
+    index, vecs = index_and_vecs
+    queries = vecs.filter(F.col("set_id") < 10)
+    gt = set_search.set_topk_sql(queries, vecs, 10).select(
+        "query_set_id", "data_set_id")
+    out = graph_search.search_and_rerank(
+        index, queries, vecs, 10,
+        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400,
+                                  shared_visited=True),
+        m=TD.M_FIXED)
+    mr = recall.mean_recall(
+        out.select("query_set_id", "data_set_id"), gt, 10
+    ).collect()[0]["mean_recall"]
+    assert mr >= 0.9, f"shared-visited recall {mr}"
+
+
 def test_graph_save_load_roundtrip(spark, index_and_vecs, tmp_path):
     index, vecs = index_and_vecs
     path = str(tmp_path / "roar")
