@@ -1090,8 +1090,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_chamfer_topk(spark, "/root/testdata/sf0.001")
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]
+             ) -> Callable[[SparkSession, str], DataFrame]:
+    """Ship the package zip to Python workers before the first UDF runs —
+    the driving process may not have this repo on the workers' path."""
+    from functools import wraps
+
+    from cross_modal_multivector_search_spark.util import (
+        ensure_workers_can_import,
+    )
+
+    @wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = {
         "knn_ip_topk": q_knn_ip,
         "knn_l2_topk": q_knn_l2,
         "knn_ip_topk_gemm": q_knn_gemm,
@@ -1129,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
     }
+    return {name: _shipped(fn) for name, fn in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:

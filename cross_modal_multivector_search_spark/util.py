@@ -1,0 +1,51 @@
+"""Worker-import insurance.
+
+Arrow UDF closures reference this package by module name; Spark's Python
+workers import it on their side. When the driving process runs from a
+different cwd without PYTHONPATH pointing here, that import fails with
+ModuleNotFoundError. ``ensure_workers_can_import`` ships a zip of the
+package via ``sc.addPyFile`` (idempotent per SparkContext) so workers
+can always resolve it.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+_ZIP_PATH: str | None = None
+
+
+def _package_zip() -> str:
+    global _ZIP_PATH
+    if _ZIP_PATH and os.path.exists(_ZIP_PATH):
+        return _ZIP_PATH
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, path = tempfile.mkstemp(suffix=".zip", prefix="cmms_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                z.write(full, rel)
+    _ZIP_PATH = path
+    return path
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    sc.addPyFile(_package_zip())
+    _SHIPPED.add(key)
