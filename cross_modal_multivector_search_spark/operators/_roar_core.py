@@ -185,7 +185,8 @@ def supply_search_collect(adj: list, vecs: np.ndarray, query: np.ndarray,
 
 def multivector_search(adj: list, vecs: np.ndarray, queries: np.ndarray,
                        ep: int, min_pq: int, max_pq: int, budget: int,
-                       adaptive: bool = True):
+                       adaptive: bool = True,
+                       visited_out: list | None = None):
     """m member beam searches under a shared beam-size budget.
 
     Phase 1: each member searches with beam ``min_pq`` (or budget/m when
@@ -197,6 +198,8 @@ def multivector_search(adj: list, vecs: np.ndarray, queries: np.ndarray,
     m = queries.shape[0]
     queues = [BeamQueue(max_pq) for _ in range(m)]
     visited = [np.zeros(len(vecs), dtype=bool) for _ in range(m)]
+    if visited_out is not None:
+        visited_out.extend(visited)
     for i in range(m):
         queues[i].insert(ep, float(-(vecs[ep] @ queries[i])))
         visited[i][ep] = True
@@ -240,6 +243,35 @@ def multivector_search(adj: list, vecs: np.ndarray, queries: np.ndarray,
         out.append((queues[i].ids[:lim].copy(),
                     queues[i].dists[:lim].copy()))
     return out
+
+
+def multivector_search_instrumented(adj: list, vecs: np.ndarray,
+                                    queries: np.ndarray, ep: int,
+                                    min_pq: int, max_pq: int, budget: int,
+                                    adaptive: bool = True):
+    """Search + visited-overlap diagnostics
+    (`TestOverlap_SearchMultivectorOnRoarGraph`,
+    `/root/reference/src/index_bipartite.cpp:2546-2666`): how much do the
+    m members' visited sets overlap? unique/total -> 1 means disjoint
+    searches; -> 1/m means the members retread the same region (the
+    motivation for the shared-visited variant).
+
+    Returns (results, stats) where stats = {unique_visited,
+    total_visited, unique_ratio}.
+    """
+    visited_sets: list = []
+    results = multivector_search(adj, vecs, queries, ep, min_pq, max_pq,
+                                 budget, adaptive, visited_sets)
+    total = sum(int(v.sum()) for v in visited_sets)
+    union = np.zeros(len(vecs), dtype=bool)
+    for v in visited_sets:
+        union |= v
+    unique = int(union.sum())
+    return results, {
+        "unique_visited": unique,
+        "total_visited": total,
+        "unique_ratio": unique / max(total, 1),
+    }
 
 
 def multivector_search_shared_visited(adj: list, vecs: np.ndarray,

@@ -80,6 +80,32 @@ def write_fbin(df: DataFrame, path: str, vec_id: str = "vec_id",
         f.write(mat.tobytes())
 
 
+def read_npy_dir(spark: SparkSession, paths: list[str],
+                 chunk_rows: int = 100_000) -> DataFrame:
+    """.npy shard files -> DataFrame(vec_id, vec), ids contiguous across
+    shards in the given order (the reference's npy->fbin exporter,
+    `/root/reference/export_fbin_from_npy.py:1-43`, with the DataFrame
+    as the target instead of a packed file)."""
+    if not paths:
+        raise ValueError("read_npy_dir: no .npy shard paths given")
+    dfs, offset = [], 0
+    for p in paths:
+        arr = np.load(p, mmap_mode="r")
+        if arr.ndim != 2:
+            raise ValueError(f"{p}: expected 2-D embedding array")
+        for start in range(0, arr.shape[0], chunk_rows):
+            block = np.asarray(arr[start:start + chunk_rows],
+                               dtype=np.float32)
+            rows = [(offset + start + i, block[i].tolist())
+                    for i in range(len(block))]
+            dfs.append(spark.createDataFrame(rows, schema=_VEC_SCHEMA))
+        offset += arr.shape[0]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def read_set_gt_ibin(spark: SparkSession, path: str) -> DataFrame:
     """set-GT ibin -> DataFrame(query_id, rank, neighbor_id)."""
     with open(path, "rb") as f:

@@ -1,0 +1,61 @@
+"""TSV sinks, npy ingest, instrumented-search diagnostics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cross_modal_multivector_search_spark import testdata as TD
+from cross_modal_multivector_search_spark.operators import _roar_core as core
+from cross_modal_multivector_search_spark.sources import fbin, sinks
+
+from conftest import SF_SMOKE
+
+
+def test_write_tsv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [10, 11], 0.5), (2, [12], 1.0)],
+        "query_set_id long, reranked_ids array<long>, recall double")
+    p = str(tmp_path / "out_tsv")
+    sinks.write_tsv(df, p)
+    back = spark.read.option("sep", "\t").option("header", "true").csv(p)
+    rows = {r["query_set_id"]: r for r in back.collect()}
+    assert rows["1"]["reranked_ids"] == "10,11"
+    assert float(rows["2"]["recall"]) == 1.0
+
+
+def test_aggregated_tuple(spark):
+    recalls = spark.createDataFrame(
+        [(0, 1.0), (1, 0.5)], "query_set_id long, recall double")
+    t = sinks.aggregated_tuple(recalls, n_queries=2, search_sec=1.5,
+                               rerank_sec=0.5, budget=100)
+    assert t == {"budget": 100, "recall": 0.75, "qps": 1.0,
+                 "rerank_fraction": 0.25}
+
+
+def test_read_npy_dir(spark, tmp_path):
+    a = np.random.default_rng(0).normal(size=(7, 4)).astype(np.float32)
+    b = np.random.default_rng(1).normal(size=(5, 4)).astype(np.float32)
+    pa, pb = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+    np.save(pa, a)
+    np.save(pb, b)
+    df = fbin.read_npy_dir(spark, [pa, pb])
+    rows = {r["vec_id"]: r["vec"] for r in df.collect()}
+    assert len(rows) == 12
+    assert np.allclose(rows[0], a[0], atol=1e-6)
+    assert np.allclose(rows[7], b[0], atol=1e-6)   # shard offset continues
+
+
+def test_instrumented_search_overlap(spark):
+    vecs_df = TD.embeddings_norm(spark, SF_SMOKE)
+    rows = vecs_df.orderBy("vec_id").collect()
+    vecs = np.array([r["vec"] for r in rows])
+    # trivial ring graph so the search has something to walk
+    n = len(vecs)
+    adj = [np.array([(i + 1) % n, (i - 1) % n, (i + 7) % n])
+           for i in range(n)]
+    q = vecs[:5]
+    res, stats = core.multivector_search_instrumented(
+        adj, vecs, q, ep=0, min_pq=5, max_pq=50, budget=50)
+    assert len(res) == 5
+    assert stats["total_visited"] >= stats["unique_visited"] > 0
+    assert 1.0 / 5 <= stats["unique_ratio"] <= 1.0
