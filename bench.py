@@ -46,6 +46,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
 
+    # warmup: spin up the JVM scan paths and one Python worker so the
+    # first timed query doesn't absorb one-time process startup
+    qs["token_stats"](spark, sf_dir).count()
+    qs["knn_ip_topk_gemm"](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     # index build timed separately: the reference builds offline and
     # benchmarks search alone (SURVEY §3.2 vs §3.1)

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the NumPy core.
+
+The reference has no property testing (SURVEY §5); these pin the
+invariants the distributed operators rely on.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cross_modal_multivector_search_spark.functions import metrics as M
+from cross_modal_multivector_search_spark.operators import _roar_core as core
+
+
+@st.composite
+def inserts(draw):
+    n = draw(st.integers(1, 60))
+    ids = draw(st.lists(st.integers(0, 30), min_size=n, max_size=n))
+    dists = draw(st.lists(
+        st.floats(-10, 10, allow_nan=False), min_size=n, max_size=n))
+    cap = draw(st.integers(1, 20))
+    return ids, dists, cap
+
+
+@given(inserts())
+@settings(max_examples=200, deadline=None)
+def test_beam_queue_is_bounded_sorted_dedup(case):
+    """Model check: BeamQueue == (sort by dist, drop dup ids keeping the
+    earlier-or-closer one, truncate to capacity) for first-wins inserts."""
+    ids, dists, cap = case
+    q = core.BeamQueue(cap)
+    model: dict[int, float] = {}
+    for i, d in zip(ids, dists):
+        # model mirrors the queue's contract: an id enters once; a later
+        # insert with the same id is rejected IF the id is still in the
+        # (bounded) set; evicted ids may re-enter
+        in_set = set(q.ids[:q.size])
+        q.insert(i, d)
+        if i not in in_set:
+            model[i] = d
+    got = list(zip(q.ids[:q.size], q.dists[:q.size]))
+    assert all(got[j][1] <= got[j + 1][1] for j in range(len(got) - 1))
+    assert len({g[0] for g in got}) == len(got)      # unique ids
+    assert len(got) <= cap
+
+
+@given(st.integers(2, 8), st.integers(1, 10), st.integers(4, 16),
+       st.integers(0, 2 ** 31))
+@settings(max_examples=50, deadline=None)
+def test_chamfer_batch_equals_singles(m, n_sets, dim, seed):
+    rng = np.random.default_rng(seed)
+    q = M.normalize_rows(rng.normal(size=(m, dim)))
+    cards = rng.integers(1, 6, size=n_sets)
+    data = M.normalize_rows(rng.normal(size=(int(cards.sum()), dim)))
+    batch = M.smooth_chamfer_batch(q, data, cards)
+    off = 0
+    for i, c in enumerate(cards):
+        assert abs(batch[i] - M.smooth_chamfer(q, data[off:off + c])) < 1e-9
+        off += c
+
+
+@given(st.integers(5, 40), st.integers(2, 10), st.integers(0, 2 ** 31))
+@settings(max_examples=50, deadline=None)
+def test_occlusion_prune_invariants(n_cand, m_deg, seed):
+    rng = np.random.default_rng(seed)
+    vecs = M.normalize_rows(rng.normal(size=(n_cand + 1, 8)))
+    cand = np.arange(1, n_cand + 1, dtype=np.int64)
+    dists = -(vecs[cand] @ vecs[0])
+    out = core.occlusion_prune(cand, dists, vecs, m_deg, exclude=0)
+    assert len(out) <= max(m_deg, 1)
+    assert len(set(out)) == len(out)                 # no dups
+    assert 0 not in out                              # excluded target
+    assert out[0] == cand[np.argmin(dists)]          # nearest survives
+    # backfill guarantees the degree is reached when enough candidates
+    assert len(out) == min(m_deg, n_cand)
+
+
+@given(st.integers(1, 5), st.integers(0, 2 ** 31))
+@settings(max_examples=20, deadline=None)
+def test_multivector_search_budget_respected(m, seed):
+    rng = np.random.default_rng(seed)
+    n, dim = 60, 8
+    vecs = M.normalize_rows(rng.normal(size=(n, dim)))
+    adj = [np.array([(i + 1) % n, (i + 7) % n, (i - 1) % n])
+           for i in range(n)]
+    q = M.normalize_rows(rng.normal(size=(m, dim)))
+    budget = 30
+    res = core.multivector_search(adj, vecs, q, 0, min_pq=5,
+                                  max_pq=budget, budget=budget)
+    assert len(res) == m
+    assert sum(len(ids) for ids, _ in res) <= budget + 5 * m
+    for ids, dists in res:
+        assert all(dists[j] <= dists[j + 1] for j in range(len(dists) - 1))
+        assert len(set(ids.tolist())) == len(ids)
