@@ -1,0 +1,97 @@
+"""Reproduce the reference's ANN measurement protocol on this engine.
+
+The reference reports `(beam_budget, recall@10, QPS, rerank_fraction)`
+per multivector size m (`tests/test_search_multivector_rerank.cpp:341-347`,
+sweep config `expr_configs/dive_train.yaml`). This script runs that sweep
+at the given sf and writes ANN_PROTOCOL.md.
+
+Usage: python tools/ann_protocol_report.py [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from cross_modal_multivector_search_spark import testdata as TD
+from cross_modal_multivector_search_spark.operators import (
+    graph_search, recall, rerank, set_search,
+)
+from cross_modal_multivector_search_spark.session import get_spark
+
+BUDGETS = (20, 40, 80, 120, 200, 400)
+MS = (1, 2, 3, 5)
+K = 10
+N_QUERY_SETS = 10
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else "ANN_PROTOCOL.md"
+    spark = get_spark("ann-protocol")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    index = E._roar_index(spark, sf_dir)
+
+    lines = [
+        "# ANN_PROTOCOL — (budget, recall@10, QPS, rerank_fraction) sweep",
+        "",
+        f"Engine sweep mirroring the reference protocol at `{sf_dir}`",
+        "(single RoarGraph index, adaptive budget allocation, min_pq=5,",
+        "smooth-Chamfer rerank, k=10; QPS is end-to-end Spark wall time",
+        f"over {N_QUERY_SETS} query sets — dominated by fixed per-job",
+        "overhead at this toy scale, so treat QPS as a lower bound).",
+        "",
+        "| m | budget | recall@10 | QPS | rerank_fraction |",
+        "|---|---|---|---|---|",
+    ]
+
+    base = TD.load(spark, sf_dir, "embeddings")
+    from cross_modal_multivector_search_spark.functions import vector as V
+    for m in MS:
+        v = V.with_l2_normalized(base, "embedding", "vec").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            (F.col("vec_id") / m).cast("long").alias("set_id"), "vec")
+        v = v.cache()
+        q = v.filter(F.col("set_id") < N_QUERY_SETS)
+        gt = set_search.set_topk_sql(q, v, K).select(
+            "query_set_id", "data_set_id")
+        gt = gt.cache()
+        gt.count()
+        for budget in BUDGETS:
+            t0 = time.time()
+            cands = graph_search.multivector_search(
+                index, q, graph_search.SearchParams(
+                    min_pq=5, max_pq=budget, budget=budget))
+            cands = cands.cache()
+            cands.count()
+            t_search = time.time() - t0
+            t0 = time.time()
+            res = rerank.rerank(
+                cands.select("query_set_id", "base_vec_id"), q, v, K, m=m)
+            mr = recall.mean_recall(
+                res.select("query_set_id", "data_set_id"), gt, K
+            ).collect()[0]["mean_recall"]
+            t_rerank = time.time() - t0
+            total = t_search + t_rerank
+            lines.append(
+                f"| {m} | {budget} | {mr:.4f} "
+                f"| {N_QUERY_SETS / total:.2f} "
+                f"| {t_rerank / total:.3f} |")
+            cands.unpersist()
+        gt.unpersist()
+        v.unpersist()
+
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out_md} ({len(lines)} lines)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
