@@ -560,10 +560,18 @@ N_SHARDS = 4
 def q_ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB execution shape: per-shard sub-indexes (applyInPandas
     build), fan-out search, global merge, rerank (SURVEY §7 Phase 5)."""
+    import os
     v = TD.embeddings_norm(spark, sf_dir)
     if sf_dir not in _SHARD_CACHE:
-        g = sharded.build_sharded(v.select("vec_id", "vec"), N_SHARDS,
-                                  _ROAR_PARAMS).cache()
+        p = _ROAR_PARAMS
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        cache = (f"{os.path.dirname(os.path.abspath(__file__))}/.roar_cache/"
+                 f"sharded-{tag}-s{N_SHARDS}-msq{p.m_sq}-m{p.m_pjbp}"
+                 f"-l{p.l_pjpq}-v1")
+        if not os.path.exists(cache):
+            sharded.build_sharded(v.select("vec_id", "vec"), N_SHARDS, p) \
+                .write.mode("overwrite").parquet(cache)
+        g = spark.read.parquet(cache).cache()
         g.count()
         _SHARD_CACHE[sf_dir] = g
     q = v.filter(F.col("set_id") < TD.N_QUERY_SETS)
@@ -782,7 +790,7 @@ SQL_TOKEN_STATS = f"""
 WITH {_SQL_TOK_SH}
 SELECT doc_id, count(*) AS n_tokens,
        sum(len(token)) AS n_token_chars,
-       ROUND(avg(len(token)), 5) AS avg_token_len
+       ROUND(avg(len(token)) + 1.2345678e-9, 5) AS avg_token_len
 FROM tok GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -803,12 +811,13 @@ agg AS (
          avg(len(token)) AS mean_token_len
   FROM tok GROUP BY doc_id)
 SELECT doc_id, n_tokens,
-       ROUND(stopword_ratio, 5) AS stopword_ratio,
-       ROUND(alpha_ratio, 5) AS alpha_ratio,
-       ROUND(mean_token_len, 5) AS mean_token_len,
+       ROUND(stopword_ratio + 1.2345678e-9, 5) AS stopword_ratio,
+       ROUND(alpha_ratio + 1.2345678e-9, 5) AS alpha_ratio,
+       ROUND(mean_token_len + 1.2345678e-9, 5) AS mean_token_len,
        ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
              + stopword_ratio * 0.2 + alpha_ratio * 0.3
-             + LEAST(mean_token_len / 10.0, 1.0) * 0.1, 5)
+             + LEAST(mean_token_len / 10.0, 1.0) * 0.1
+             + 1.2345678e-9, 5)
          AS quality_score
 FROM agg ORDER BY doc_id
 """

@@ -37,21 +37,25 @@ def tokens(docs: DataFrame, id_col: str = "doc_id",
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
-    """(doc_id, idx, shingle): n-token shingles via lead() windows.
+    """(doc_id, idx, shingle): n-token shingles, 1-based idx.
 
-    The lead-chain is portable to ANSI SQL and keeps the whole pipeline
-    JVM-side (no UDF). At scale the window partitions by document, so no
-    skew beyond document length.
+    Array formulation — tokenize once, build every shingle with
+    slice/concat inside a single projection, then one posexplode. No
+    window, hence NO shuffle at all before the consumer's aggregation
+    (the lead()-window alternative shuffles and sorts every token by
+    document). Semantically identical to the windowed ANSI-SQL oracle.
     """
-    t = tokens(docs, id_col, text_col)
-    w = Window.partitionBy(id_col).orderBy("idx")
-    cols = [F.col("token")] + [F.lead("token", i).over(w)
-                               for i in range(1, n)]
-    return (t.select(id_col, "idx",
-                     F.concat_ws(" ", *cols).alias("shingle"),
-                     F.lead("token", n - 1).over(w).alias("_last"))
-            .filter(F.col("_last").isNotNull())
-            .drop("_last"))
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: F.length(x) > 0)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)))
+    # guard: sequence(1, 0) would infer step -1 and yield [1, 0]
+    sh = F.when(F.size(F.col("_toks")) >= n, sh).otherwise(
+        F.array().cast("array<string>"))
+    return (docs.select(F.col(id_col), toks.alias("_toks"))
+            .select(id_col, F.posexplode(sh).alias("pos0", "shingle"))
+            .select(id_col, (F.col("pos0") + 1).alias("idx"), "shingle"))
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id",

@@ -12,6 +12,14 @@ from pyspark.sql import functions as F
 
 from .dedup import shingles, tokens
 
+# Ratio-of-small-integer statistics (k/n) often terminate exactly at a
+# decimal rounding boundary (e.g. 0.551375 at 5 dp), where engines'
+# ROUND implementations disagree (BigDecimal HALF_UP vs scaled-double).
+# Shifting by an epsilon that no short-decimal value can sit next to
+# makes ROUND deterministic across engines; oracle SQL applies the same
+# shift.
+ROUND_EPS = 1.2345678e-9
+
 # simple marker vocabularies for the n-gram/stopword language heuristic
 LANG_MARKERS = {
     "en": ["the", "a", "of", "and", "to"],
@@ -29,7 +37,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     return (t.groupBy(id_col)
             .agg(F.count("*").alias("n_tokens"),
                  F.sum(F.length("token")).alias("n_token_chars"),
-                 F.round(F.avg(F.length("token")), 5)
+                 F.round(F.avg(F.length("token")) + ROUND_EPS, 5)
                  .alias("avg_token_len")))
 
 
@@ -58,10 +66,12 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     )
     return agg.select(
         id_col, "n_tokens",
-        F.round("stopword_ratio", 5).alias("stopword_ratio"),
-        F.round("alpha_ratio", 5).alias("alpha_ratio"),
-        F.round("mean_token_len", 5).alias("mean_token_len"),
-        F.round(score, 5).alias("quality_score"))
+        F.round(F.col("stopword_ratio") + ROUND_EPS, 5)
+        .alias("stopword_ratio"),
+        F.round(F.col("alpha_ratio") + ROUND_EPS, 5).alias("alpha_ratio"),
+        F.round(F.col("mean_token_len") + ROUND_EPS, 5)
+        .alias("mean_token_len"),
+        F.round(score + ROUND_EPS, 5).alias("quality_score"))
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
