@@ -622,6 +622,35 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join relational demo: revenue per nation (orders x customer
+    x nation x region, dims broadcast)."""
+    o = TD.load(spark, sf_dir, "orders")
+    c = TD.load(spark, sf_dir, "customer")
+    n = TD.load(spark, sf_dir, "nation")
+    r = TD.load(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy("r_name", "n_name"))
+
+
+SQL_NATION_REVENUE = """
+SELECT r_name, n_name,
+       ROUND(sum(o_totalprice), 4) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        ROUND(sum(l_quantity), 4) AS sum_qty,
@@ -1134,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_mapping": q_cardinality_mapping,
         "knn_significance": q_knn_significance,
         "pricing_summary": q_pricing_summary,
+        "nation_revenue": q_nation_revenue,
         "ann_multivector_search": q_ann_multivector_search,
         "ann_sharded_search": q_ann_sharded_search,
         "ann_recall_report": q_ann_recall_report,
@@ -1176,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "cardinality_mapping": SQL_CARDINALITY_MAPPING,
         "knn_significance": SQL_KNN_SIGNIFICANCE,
         "pricing_summary": SQL_PRICING_SUMMARY,
+        "nation_revenue": SQL_NATION_REVENUE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -96,7 +96,6 @@ def build_roargraph(base: DataFrame, train_queries: DataFrame,
     """
     spark = base.sparkSession
     ids, vecs = _collect_matrix(base, id_col, vec_col)
-    id_to_ix = {int(v): i for i, v in enumerate(ids)}
     n = len(ids)
     m_deg = params.m_pjbp
 

@@ -128,7 +128,8 @@ def set_topk_gemm(query_vecs: DataFrame, data_vecs: DataFrame, k: int,
     (`ComputeSmoothChamferDistanceBatch` shape), LSE'd block-wise, and only
     the per-batch top-k per query survives to the final merge.
     """
-    batch_fn = M.SET_METRICS_BATCH[metric]
+    if metric not in M.SET_METRICS_BATCH:
+        raise ValueError(f"unknown metric {metric!r}")
     q_rows = _grouped_sets(query_vecs, set_id, pos, vec_col).collect()
     q_sets = [(r["set_id"], np.array(r["mat"], dtype=np.float64))
               for r in q_rows]

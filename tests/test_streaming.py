@@ -41,6 +41,34 @@ def test_stream_windowed_counts_equals_batch(spark):
         check_dtype=False, atol=1e-9)
 
 
+def test_stateful_running_totals_match_batch(spark):
+    """applyInPandasWithState running totals == batch groupBy at stream
+    end (availableNow drains the whole source; last update per user is
+    the final total)."""
+    ev = TD.load_events(spark, SF_SMOKE)
+    batch = {r["user_id"]: (r["n"], round(r["s"], 6))
+             for r in ev.groupBy("user_id")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+             .collect()}
+
+    from cross_modal_multivector_search_spark.streaming import stateful
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/events"
+        ev.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stateful.running_user_totals(stream)
+        q = (out.writeStream.format("memory").queryName("user_totals")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got_df = spark.sql("SELECT * FROM user_totals").toPandas()
+    # keep each user's LAST emitted update (cumulative => max n_events)
+    got_df = got_df.sort_values("n_events").groupby("user_id").tail(1)
+    got = {int(r.user_id): (int(r.n_events), round(float(r.sum_value), 6))
+           for r in got_df.itertuples()}
+    assert got == batch
+
+
 def test_sessionize_gap_semantics(spark):
     rows = [
         (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
