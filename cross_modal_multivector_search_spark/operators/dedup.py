@@ -106,13 +106,25 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
     bucket, so the shuffle is O(docs x bands), not O(n^2).
     """
     rows_per_band = num_hashes // bands
-    mh = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
-    sigs = (mh.withColumn("band", (F.col("seed") / rows_per_band)
-                          .cast("long"))
-            .groupBy(id_col, "band")
-            .agg(F.concat_ws("|", F.sort_array(F.collect_list(
-                F.concat_ws("@", F.col("seed"), F.col("minhash")))))
-                .alias("sig")))
+    # wide form: all num_hashes minhashes in ONE groupBy(doc) (each seed
+    # is its own min-aggregate over the same shingle set), then band
+    # signatures as plain column concats — one shuffle total before the
+    # bucket join, vs three for the (doc, seed)-exploded layout.
+    sh = shingles(docs, shingle_n, id_col, text_col) \
+        .select(id_col, "shingle").distinct()
+    mins = [F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle"))))
+            .alias(f"mh{s}") for s in range(num_hashes)]
+    wide = sh.groupBy(id_col).agg(*mins)
+    band_rows = []
+    for band in range(bands):
+        seeds = range(band * rows_per_band, (band + 1) * rows_per_band)
+        sig = F.concat_ws("|", *[
+            F.concat_ws("@", F.lit(s), F.col(f"mh{s}")) for s in seeds])
+        band_rows.append(wide.select(
+            F.col(id_col), F.lit(band).alias("band"), sig.alias("sig")))
+    sigs = band_rows[0]
+    for b_df in band_rows[1:]:
+        sigs = sigs.unionByName(b_df)
     a = sigs.select(F.col(id_col).alias("a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("b"), "band", "sig")
     return (a.join(b, ["band", "sig"])
