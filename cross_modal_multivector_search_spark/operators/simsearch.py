@@ -16,7 +16,7 @@ here are the bucketed scale paths:
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -65,6 +65,44 @@ def ivf_search(queries: DataFrame, vecs: DataFrame,
     return grouped_topk(
         pairs, [query_id], [F.col("score").desc(), F.col(base_id).asc()],
         k).select(query_id, "rank", base_id, "score")
+
+
+def kmeans(vecs: DataFrame, k: int, iters: int = 3,
+           id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
+    """Deterministic Lloyd's k-means, pure DataFrame ops.
+
+    Init = the k lowest-id vectors (deterministic, no RNG); each
+    iteration is one broadcast nested-loop assign (argmin via min_by
+    over the k centroids) + one posexplode mean. Returns the final
+    assignment (id, cell). The per-iteration shuffle is the centroid
+    recompute — O(rows x dim) exploded, map-side combined — so the loop
+    scales like any aggregation; k centroids always broadcast.
+    """
+    cents = (vecs.orderBy(id_col).limit(k)
+             .select(F.col(id_col), V.to_double(F.col(vec_col))
+                     .alias("centroid"))
+             .withColumn("cell", F.row_number().over(
+                 Window.orderBy(id_col)) - 1)
+             .select("cell", "centroid"))
+    assign = None
+    for _ in range(iters):
+        dist = V.l2_sq(V.to_double(F.col(vec_col)), F.col("centroid"))
+        assign = (vecs.crossJoin(F.broadcast(cents))
+                  .groupBy(id_col)
+                  .agg(F.min(F.struct(dist.alias("d"),
+                                      F.col("cell"))).alias("s"))
+                  .select(id_col, F.col("s.cell").alias("cell")))
+        cents = (assign.join(vecs, id_col)
+                 .select("cell", F.posexplode(V.to_double(F.col(vec_col)))
+                         .alias("pos", "x"))
+                 .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("s"))
+                 .select("cell", F.col("s.m").alias("centroid")))
+        cents = cents.cache()
+        cents.count()   # materialize per iteration (truncates lineage)
+    return assign
 
 
 def lsh_buckets(vecs: DataFrame, n_planes: int = 8, seed: int = 42,

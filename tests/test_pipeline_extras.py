@@ -104,6 +104,26 @@ def test_ivf_recall_vs_exact(spark):
     assert a == x
 
 
+def test_kmeans_converges_and_is_deterministic(spark):
+    v = TD.embeddings_norm(spark, SF_SMOKE).select("vec_id", "vec")
+    a1 = simsearch.kmeans(v, k=8, iters=3)
+    a2 = simsearch.kmeans(v, k=8, iters=3)
+    r1 = sorted(map(tuple, a1.collect()))
+    r2 = sorted(map(tuple, a2.collect()))
+    assert r1 == r2                          # deterministic
+    cells = {c for _, c in r1}
+    assert len(cells) > 1                    # actually partitions
+    # kmeans cells usable as IVF quantizer end-to-end
+    av = a1.join(v, "vec_id")
+    cents = simsearch.ivf_centroids(av, cell_col="cell")
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "vec")
+    b = av.select(F.col("vec_id").alias("base_id"), "cell", "vec")
+    out = simsearch.ivf_search(q, b, cents, nprobe=3, k=5,
+                               cell_col="cell")
+    assert out.count() == 25
+
+
 def test_lsh_buckets_deterministic(spark):
     v = TD.embeddings_norm(spark, SF_SMOKE).select("vec_id", "vec")
     b1 = simsearch.lsh_buckets(v, 8, seed=1).collect()

@@ -45,6 +45,29 @@ def test_read_npy_dir(spark, tmp_path):
     assert np.allclose(rows[7], b[0], atol=1e-6)   # shard offset continues
 
 
+def test_set_gt_generation_end_to_end(spark, tmp_path):
+    """RerankAllAndGenerateSetGroundTruth semantics: exact full-scan
+    set ranking -> set-GT ibin sink -> reload -> self-recall is 1."""
+    from cross_modal_multivector_search_spark.operators import (
+        recall, set_search)
+    from pyspark.sql import functions as F
+    v = TD.embeddings_norm(spark, SF_SMOKE)
+    q = v.filter(F.col("set_id") < 5)
+    gt = set_search.set_topk_sql(q, v, 10).select(
+        F.col("query_set_id").alias("query_id"), "rank",
+        F.col("data_set_id").alias("neighbor_id"))
+    p = str(tmp_path / "set_gt.ibin")
+    fbin.write_set_gt_ibin(gt.withColumn("rank", gt["rank"] - 1), p)
+    back = fbin.read_set_gt_ibin(spark, p).select(
+        F.col("query_id").alias("query_set_id"),
+        F.col("neighbor_id").alias("data_set_id"))
+    mr = recall.mean_recall(
+        gt.select(F.col("query_id").alias("query_set_id"),
+                  F.col("neighbor_id").alias("data_set_id")),
+        back, 10).collect()[0]["mean_recall"]
+    assert mr == 1.0
+
+
 def test_instrumented_search_overlap(spark):
     vecs_df = TD.embeddings_norm(spark, SF_SMOKE)
     rows = vecs_df.orderBy("vec_id").collect()
