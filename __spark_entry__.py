@@ -577,7 +577,7 @@ def q_ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("set_id") < TD.N_QUERY_SETS)
     cands = sharded.search_sharded(
         _SHARD_CACHE[sf_dir], v.select("vec_id", "vec"), q,
-        min_pq=5, max_pq=100, budget=100)
+        min_pq=5, max_pq=100, budget=100, n_shards=N_SHARDS)
     out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
                         q, v, K, m=M)
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))

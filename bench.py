@@ -35,6 +35,11 @@ HEADLINE = [
     "simhash_fingerprints",
     "embedding_near_dup",
     "token_stats",
+    "chamfer_varcard",
+    "quality_scores",
+    "sessionize_events",
+    "windowed_event_counts",
+    "nation_revenue",
 ]
 
 

@@ -165,7 +165,7 @@ _CAND_SCHEMA = StructType([
 def search_sharded(shard_graph: DataFrame, base: DataFrame,
                    query_vecs: DataFrame,
                    min_pq: int, max_pq: int, budget: int,
-                   adaptive: bool = True,
+                   adaptive: bool = True, n_shards: int | None = None,
                    set_id: str = "set_id", vec_id: str = "vec_id",
                    vec_col: str = "vec") -> DataFrame:
     """Fan-out multi-vector search: every shard searches every query set
@@ -182,7 +182,10 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
     bc_q = spark.sparkContext.broadcast(
         (q_sets, min_pq, max_pq, budget, adaptive))
 
-    n_shards = shard_graph.select(F.max("shard")).first()[0] + 1
+    if n_shards is None:
+        # fallback inference — WRONG if the top hash shard is empty, so
+        # callers that know the build-time shard count must pass it
+        n_shards = shard_graph.select(F.max("shard")).first()[0] + 1
     vecs_sharded = base.withColumn(
         "shard", F.pmod(F.hash(F.col(vec_id)), F.lit(n_shards)).cast("int"))
     work = (shard_graph

@@ -36,8 +36,11 @@ def centroid(vecs: DataFrame, vec_col: str = "vec") -> DataFrame:
 def entry_point(vecs: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "vec") -> DataFrame:
     """Graph entry point: id of the vector closest (L2) to the centroid."""
-    c = centroid(vecs, vec_col).orderBy("pos") \
-        .agg(F.collect_list("mean").alias("c"))
+    # sort_array(collect_list(struct)) — collect_list order after a sort
+    # is an implementation detail, not a contract
+    c = centroid(vecs, vec_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("s")
+    ).select(F.col("s.mean").alias("c"))
     with_dist = vecs.crossJoin(F.broadcast(c)).select(
         F.col(id_col),
         V.l2_sq(V.to_double(F.col(vec_col)), F.col("c")).alias("dist"))

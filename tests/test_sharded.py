@@ -61,7 +61,7 @@ def test_sharded_search_recall(spark, shard_graph):
         "query_set_id", "data_set_id")
     cands = sharded.search_sharded(
         shard_graph, vecs.select("vec_id", "vec"), queries,
-        min_pq=5, max_pq=100, budget=100)
+        min_pq=5, max_pq=100, budget=100, n_shards=N_SHARDS)
     out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
                         queries, vecs, 10, m=TD.M_FIXED)
     mr = recall.mean_recall(
