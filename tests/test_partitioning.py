@@ -1,0 +1,51 @@
+"""Bucketed co-located joins and salted aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cross_modal_multivector_search_spark import testdata as TD
+from cross_modal_multivector_search_spark.operators import partitioning
+from cross_modal_multivector_search_spark.plans import plan_text
+
+from conftest import SF_SMOKE
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    v = TD.embeddings_norm(spark, SF_SMOKE)
+    left = v.select("set_id", "vec_id")
+    right = v.groupBy("set_id").agg(F.count("*").alias("card"))
+    partitioning.write_bucketed(left, "t_left", ["set_id"], 8,
+                                sort_cols=["set_id"])
+    partitioning.write_bucketed(right, "t_right", ["set_id"], 8,
+                                sort_cols=["set_id"])
+    j = partitioning.bucketed_join(spark, "t_left", "t_right", ["set_id"])
+    text = plan_text(j, "simple")
+    assert "Exchange" not in text, f"bucketed join reshuffled:\n{text}"
+    assert j.count() == 500
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = TD.load_events(spark, SF_SMOKE)
+    plain = {r["user_id"]: r["s"]
+             for r in ev.groupBy("user_id")
+             .agg(F.sum("value").alias("s")).collect()}
+    salted = {r["user_id"]: r["sum_value"]
+              for r in partitioning.salted_agg(
+                  ev, ["user_id"], {"value": "sum"}, n_salts=8).collect()}
+    assert set(plain) == set(salted)
+    for k, s in plain.items():
+        assert salted[k] == pytest.approx(s, rel=1e-12)
+
+
+def test_salted_agg_count_min_max(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 5.0), (2, 7.0)], "k long, x double")
+    out = partitioning.salted_agg(
+        df, ["k"], {"x": "count"}, n_salts=4).collect()
+    got = {r["k"]: r["count_x"] for r in out}
+    assert got == {1: 3, 2: 1}
+    out2 = {r["k"]: (r["min_x"], r["max_x"]) for r in partitioning.salted_agg(
+        df, ["k"], {"x": "min"}, n_salts=4)
+        .join(partitioning.salted_agg(df, ["k"], {"x": "max"}, n_salts=4),
+              "k").collect()}
+    assert out2[1] == (5.0, 20.0)
