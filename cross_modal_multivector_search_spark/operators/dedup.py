@@ -227,12 +227,20 @@ def embedding_near_dup_pairs(vecs: DataFrame, threshold: float = 0.95,
 
     def scan(it):
         ids, mat, thr = bc.value
+        # cap the GEMM block so sims stays ~100 MB per worker: a full
+        # 10k-row Arrow batch against n rows is batch*n*8 bytes — 4 GB
+        # at n=50k, which thrashes 32 concurrent workers
+        blk = max(1, int(200_000_000 / (8 * max(len(ids), 1))))
         for pdf in it:
-            b_ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
-            b_mat = np.vstack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
-            sims = b_mat @ mat.T                       # (batch, n)
-            ri, ci = np.nonzero((sims >= thr) & (b_ids[:, None] < ids))
-            yield pd.DataFrame({"a": b_ids[ri], "b": ids[ci],
-                                "cos": sims[ri, ci]})
+            b_ids_all = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            b_mat_all = np.vstack(pdf.iloc[:, 1].to_numpy()) \
+                .astype(np.float64)
+            for s in range(0, len(b_ids_all), blk):
+                b_ids = b_ids_all[s:s + blk]
+                sims = b_mat_all[s:s + blk] @ mat.T    # (<=blk, n)
+                ri, ci = np.nonzero((sims >= thr)
+                                    & (b_ids[:, None] < ids))
+                yield pd.DataFrame({"a": b_ids[ri], "b": ids[ci],
+                                    "cos": sims[ri, ci]})
 
     return norm.mapInPandas(scan, schema=schema)

@@ -1,0 +1,118 @@
+"""Scale probe: the engine's throughput beyond the driver's sf0.1.
+
+Generates N seeded unit-norm vectors (the reference's synthetic-data
+path), then measures the scale-relevant operators:
+
+  * exact kNN (blocked GEMM, per-batch partial top-k)
+  * exact set-level smooth-Chamfer top-k (batched GEMM)
+  * sharded RoarGraph build + fan-out multi-vector search
+  * embedding near-dup at threshold
+
+Writes SCALE_PROBE.md. Usage:
+  python tools/scale_probe.py [n_vectors] [dim] [n_shards]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from cross_modal_multivector_search_spark.functions import vector as V
+from cross_modal_multivector_search_spark.operators import (
+    brute_force, dedup, graph_build, recall, rerank, set_search, sharded,
+    set_search as ss,
+)
+from cross_modal_multivector_search_spark.operators.sampling import (
+    generate_random_vectors,
+)
+from cross_modal_multivector_search_spark.session import get_spark
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    v = generate_random_vectors(spark, n, dim).withColumn(
+        "set_id", (F.col("vec_id") / 5).cast("long"))
+    v = v.repartition(32).cache()
+    v.count()
+    t_gen = time.time() - t0
+
+    lines = [
+        "# SCALE_PROBE — synthetic throughput beyond the driver SFs",
+        "",
+        f"n={n:,} unit-norm vectors, dim={dim}, local[32]; generated in "
+        f"{t_gen:.1f}s (seeded, partition-independent).",
+        "",
+        "| operator | config | wall | throughput |",
+        "|---|---|---|---|",
+    ]
+
+    q20 = v.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "vec")
+    b = v.select(F.col("vec_id").alias("base_id"), "vec")
+    t0 = time.time()
+    brute_force.knn_exact_gemm(q20, b, 10, metric="ip").count()
+    dt = time.time() - t0
+    lines.append(f"| exact kNN (GEMM) | 20 queries x {n:,} base, k=10 "
+                 f"| {dt:.1f}s | {20 * n / dt / 1e6:.1f}M dist/s |")
+
+    qsets = v.filter(F.col("set_id") < 10)
+    t0 = time.time()
+    set_search.set_topk_gemm(qsets, v, 10).count()
+    dt = time.time() - t0
+    lines.append(f"| exact smooth-Chamfer top-k (GEMM) | 10 query sets x "
+                 f"{n // 5:,} data sets | {dt:.1f}s "
+                 f"| {10 * (n // 5) / dt / 1e3:.0f}k set-pairs/s |")
+
+    t0 = time.time()
+    g = sharded.build_sharded(
+        v.select("vec_id", "vec"), n_shards,
+        graph_build.RoarGraphParams(m_sq=20, m_pjbp=12, l_pjpq=40)).cache()
+    g.count()
+    t_build = time.time() - t0
+    lines.append(f"| sharded RoarGraph build | {n_shards} shards x "
+                 f"~{n // n_shards:,} nodes | {t_build:.1f}s "
+                 f"| {n / t_build / 1e3:.1f}k nodes/s |")
+
+    t0 = time.time()
+    cands = sharded.search_sharded(
+        g, v.select("vec_id", "vec"), qsets, min_pq=5, max_pq=100,
+        budget=100, n_shards=n_shards)
+    res = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
+                        qsets, v, 10, m=5)
+    res = res.cache()
+    res.count()
+    dt = time.time() - t0
+    gt = set_search.set_topk_gemm(qsets, v, 10).select(
+        "query_set_id", "data_set_id")
+    mr = recall.mean_recall(
+        res.select("query_set_id", "data_set_id"), gt, 10
+    ).collect()[0]["mean_recall"]
+    lines.append(f"| sharded search + rerank | 10 query sets, budget 100 "
+                 f"per shard | {dt:.1f}s | recall@10 {mr:.2f} |")
+
+    t0 = time.time()
+    n_pairs = dedup.embedding_near_dup_pairs(
+        v.select("vec_id", "vec"), 0.5).count()
+    dt = time.time() - t0
+    lines.append(f"| embedding near-dup (GEMM) | {n:,}^2 pairs @ cos>=0.5 "
+                 f"| {dt:.1f}s | {n * n / dt / 1e9:.2f}B pairs/s "
+                 f"({n_pairs} hits) |")
+
+    with open("SCALE_PROBE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[5:]))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
