@@ -147,6 +147,30 @@ def write_set_gt_ibin(df: DataFrame, path: str,
         f.write(ids.tobytes())
 
 
+def write_vector_gt_ibin(df: DataFrame, path: str,
+                         query_col: str = "query_id",
+                         rank_col: str = "rank",
+                         id_col: str = "neighbor_id",
+                         dist_col: str = "dist") -> None:
+    """DataFrame -> vector-GT ibin (DiskANN layout: ids block then
+    float32 dists block), the reference's GT-generation sink
+    (`/root/reference/tests/gen_vector_groundtruth.cpp:126-133`)."""
+    rows = df.select(query_col, rank_col, id_col, dist_col) \
+        .orderBy(query_col, rank_col).collect()
+    qs = sorted({r[0] for r in rows})
+    k = max(r[1] for r in rows) + 1 if rows else 0
+    ids = np.zeros((len(qs), k), dtype=np.uint32)
+    dists = np.zeros((len(qs), k), dtype=np.float32)
+    qix = {q: i for i, q in enumerate(qs)}
+    for q, r, nid, d in rows:
+        ids[qix[q], r] = nid
+        dists[qix[q], r] = d
+    with open(path, "wb") as f:
+        f.write(struct.pack("<II", len(qs), k))
+        f.write(ids.tobytes())
+        f.write(dists.tobytes())
+
+
 def read_cardinality_file(spark: SparkSession, path: str) -> DataFrame:
     """cardinality file -> (set_id, cardinality, first_vid) with the
     prefix-sum already applied (the reference's running offset)."""

@@ -66,6 +66,20 @@ def sessionize(events: DataFrame,
                  F.round(F.sum("value"), 5).alias("sum_value")))
 
 
+def stream_dedup(stream: DataFrame, key_cols: list[str],
+                 watermark_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins.
+
+    dropDuplicates under a watermark bounds state to the watermark
+    horizon — the streaming twin of dedup.dedup_exact for continuous
+    ingestion (late duplicates beyond the watermark pass through; exact
+    global dedup is the batch operator's job).
+    """
+    return (stream.withWatermark(watermark_col, watermark)
+            .dropDuplicates(key_cols))
+
+
 def stream_windowed_counts(spark, parquet_dir: str, schema,
                            window: str = "1 hour",
                            watermark: str = "2 hours") -> DataFrame:

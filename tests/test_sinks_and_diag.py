@@ -45,6 +45,20 @@ def test_read_npy_dir(spark, tmp_path):
     assert np.allclose(rows[7], b[0], atol=1e-6)   # shard offset continues
 
 
+def test_vector_gt_ibin_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(q, r, q * 10 + r, 0.5 * r) for q in range(3) for r in range(4)],
+        "query_id long, rank int, neighbor_id long, dist float")
+    p = str(tmp_path / "vgt.ibin")
+    fbin.write_vector_gt_ibin(df, p)
+    back = fbin.read_vector_gt_ibin(spark, p)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    for x, y in zip(a, b):
+        assert x[:3] == y[:3]
+        assert abs(x[3] - y[3]) < 1e-6
+
+
 def test_set_gt_generation_end_to_end(spark, tmp_path):
     """RerankAllAndGenerateSetGroundTruth semantics: exact full-scan
     set ranking -> set-GT ibin sink -> reload -> self-recall is 1."""

@@ -41,6 +41,25 @@ def test_stream_windowed_counts_equals_batch(spark):
         check_dtype=False, atol=1e-9)
 
 
+def test_stream_dedup_first_wins(spark):
+    rows = [(1, "2024-01-01 10:00:00", "a"),
+            (1, "2024-01-01 10:05:00", "b"),   # dup key 1 -> dropped
+            (2, "2024-01-01 10:01:00", "c")]
+    df = spark.createDataFrame(rows, "k long, ts_s string, payload string") \
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "payload")
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        df.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = SE.stream_dedup(stream, ["k"])
+        q = (out.writeStream.format("memory").queryName("dedup_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got = spark.sql("SELECT k FROM dedup_out").toPandas()
+    assert sorted(got["k"].tolist()) == [1, 2]
+
+
 def test_stateful_running_totals_match_batch(spark):
     """applyInPandasWithState running totals == batch groupBy at stream
     end (availableNow drains the whole source; last update per user is
