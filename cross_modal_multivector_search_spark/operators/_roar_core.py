@@ -86,6 +86,11 @@ def occlusion_prune(cand_ids: np.ndarray, cand_dists: np.ndarray,
     with slack 1.0 — kept for parity), then optional nearest-first
     backfill to reach m_degree. ``seed_skip``: ids the first seed pick
     must skip (pass-3 skips existing neighbors for the seed only).
+
+    NOTE both scan passes start at index 1 (`++start` in the reference,
+    `:1640/:1662`), so a seed-skipped ids[0] is never re-examined as a
+    non-seed pick — this mirrors the reference exactly; graph quality is
+    judged by search recall, not by re-including it.
     """
     order = np.argsort(cand_dists, kind="stable")
     ids = np.asarray(cand_ids)[order]

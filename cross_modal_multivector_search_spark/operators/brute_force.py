@@ -107,10 +107,14 @@ def knn_exact_gemm(queries: DataFrame, base: DataFrame, k: int,
                 sims = -(qm @ bmat.T)  # negated IP: ascending = closest
                 sign = 1.0
             kk_eff = min(kk, sims.shape[1])
-            # per-batch partial top-k per query (argpartition = partial_sort)
-            idx = np.argpartition(sims, kk_eff - 1, axis=1)[:, :kk_eff]
+            # per-batch partial top-k with the SAME deterministic
+            # tiebreak as the global merge (dist asc, id asc) — a bare
+            # argpartition drops an arbitrary member of a tie straddling
+            # the k-th boundary, which the merge can never recover
+            order = np.lexsort((np.broadcast_to(bids, sims.shape),
+                                sims), axis=1)[:, :kk_eff]
             rows = np.repeat(np.arange(sims.shape[0]), kk_eff)
-            cols = idx.ravel()
+            cols = order.ravel()
             out_scores = sims[rows, cols] * sign
             if met != "l2":
                 out_scores = -out_scores  # report raw similarity

@@ -27,11 +27,16 @@ from ..functions import vector as V
 
 def tokens(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text") -> DataFrame:
-    """(doc_id, idx, token): whitespace tokens, 1-based index."""
-    t = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), r"\s+"))
-        .alias("pos0", "token"))
-    return (t.filter(F.length("token") > 0)
+    """(doc_id, idx, token): whitespace tokens, contiguous 1-based index.
+
+    Empty tokens are filtered BEFORE numbering (filter-then-number, like
+    the ANSI oracle) — numbering first would leave idx gaps on leading/
+    repeated whitespace.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: F.length(x) > 0)
+    return (docs.select(F.col(id_col),
+                        F.posexplode(toks).alias("pos0", "token"))
             .select(id_col, (F.col("pos0") + 1).alias("idx"), "token"))
 
 
@@ -105,6 +110,10 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
     bucket — the scale-defining property: candidates never leave their
     bucket, so the shuffle is O(docs x bands), not O(n^2).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); trailing hashes would be silently unused")
     rows_per_band = num_hashes // bands
     # wide form: all num_hashes minhashes in ONE groupBy(doc) (each seed
     # is its own min-aggregate over the same shingle set), then band

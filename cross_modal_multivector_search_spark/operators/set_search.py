@@ -155,7 +155,9 @@ def set_topk_gemm(query_vecs: DataFrame, data_vecs: DataFrame, k: int,
             for qid, qmat in q_sets_l:
                 scores = fn(qmat, concat, cards)
                 kk_eff = min(kk, len(scores))
-                top = np.argpartition(-scores, kk_eff - 1)[:kk_eff]
+                # deterministic tiebreak (score desc, id asc) — see
+                # brute_force.py: argpartition drops ties arbitrarily
+                top = np.lexsort((d_ids, -scores))[:kk_eff]
                 frames.append(pd.DataFrame({
                     "query_set_id": np.full(kk_eff, qid, dtype=np.int64),
                     "data_set_id": d_ids[top],

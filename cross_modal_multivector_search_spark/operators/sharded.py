@@ -185,7 +185,10 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
     if n_shards is None:
         # fallback inference — WRONG if the top hash shard is empty, so
         # callers that know the build-time shard count must pass it
-        n_shards = shard_graph.select(F.max("shard")).first()[0] + 1
+        top = shard_graph.select(F.max("shard")).first()[0]
+        if top is None:
+            raise ValueError("search_sharded: empty shard graph")
+        n_shards = top + 1
     vecs_sharded = base.withColumn(
         "shard", F.pmod(F.hash(F.col(vec_id)), F.lit(n_shards)).cast("int"))
     work = (shard_graph
@@ -203,8 +206,14 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
             ids = np.array(ids_acc, dtype=np.int64)
             ix = {int(v): i for i, v in enumerate(ids)}
             vecs = np.vstack(vecs_acc).astype(np.float64)
-            adj = [np.array([ix[int(x)] for x in nb], dtype=np.int64)
-                   for nb in nbrs_acc]
+            try:
+                adj = [np.array([ix[int(x)] for x in nb], dtype=np.int64)
+                       for nb in nbrs_acc]
+            except KeyError as e:
+                raise ValueError(
+                    f"shard graph references vec_id {e} missing from the "
+                    "vector join — was search_sharded called with the "
+                    "same n_shards the graph was built with?") from e
             ep = ep_acc[0]
             frames = []
             for qsid, qmat in q_sets_l:

@@ -113,7 +113,10 @@ def lsh_buckets(vecs: DataFrame, n_planes: int = 8, seed: int = 42,
     n_planes x dim) and folded into a JVM-side expression — no UDF. Used
     to pre-bucket cosine near-dup joins.
     """
-    dim = len(vecs.select(vec_col).first()[0])
+    first = vecs.select(vec_col).first()
+    if first is None:
+        raise ValueError("lsh_buckets: empty input DataFrame")
+    dim = len(first[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
     sig = None

@@ -56,6 +56,8 @@ def read_fbin(spark: SparkSession, path: str,
               chunk_rows: int = 100_000) -> DataFrame:
     """fbin -> DataFrame(vec_id, vec: array<float>)."""
     npts, dim = read_meta(path)
+    if npts == 0:
+        return spark.createDataFrame([], schema=_VEC_SCHEMA)
     mm = np.memmap(path, dtype=np.float32, mode="r", offset=8,
                    shape=(npts, dim))
     dfs = []
@@ -89,6 +91,7 @@ def read_npy_dir(spark: SparkSession, paths: list[str],
     if not paths:
         raise ValueError("read_npy_dir: no .npy shard paths given")
     dfs, offset = [], 0
+    dfs.append(spark.createDataFrame([], schema=_VEC_SCHEMA))
     for p in paths:
         arr = np.load(p, mmap_mode="r")
         if arr.ndim != 2:
@@ -131,17 +134,39 @@ def read_vector_gt_ibin(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=schema)
 
 
+def _rank_grid(rows, n_cols_extra: int = 0):
+    """Validate + normalize (query, rank, ...) rows into a dense grid.
+
+    Accepts 0- or 1-based ranks (the engine's grouped_topk emits
+    1-based); every query must have exactly the same contiguous rank
+    set — a zero-filled hole would silently masquerade as neighbor id 0
+    in the packed file.
+    """
+    qs = sorted({r[0] for r in rows})
+    rmin = min(r[1] for r in rows)
+    k = max(r[1] for r in rows) - rmin + 1
+    seen: dict = {q: 0 for q in qs}
+    for r in rows:
+        seen[r[0]] += 1
+    bad = {q: c for q, c in seen.items() if c != k}
+    if bad:
+        raise ValueError(
+            f"ragged GT: expected {k} ranks per query, got {bad}")
+    return qs, rmin, k
+
+
 def write_set_gt_ibin(df: DataFrame, path: str,
                       query_col: str = "query_id", rank_col: str = "rank",
                       id_col: str = "neighbor_id") -> None:
     rows = df.select(query_col, rank_col, id_col) \
         .orderBy(query_col, rank_col).collect()
-    qs = sorted({r[0] for r in rows})
-    k = max(r[1] for r in rows) + 1 if rows else 0
+    if not rows:
+        raise ValueError("empty GT DataFrame")
+    qs, rmin, k = _rank_grid(rows)
     ids = np.zeros((len(qs), k), dtype=np.uint32)
     qix = {q: i for i, q in enumerate(qs)}
     for q, r, nid in rows:
-        ids[qix[q], r] = nid
+        ids[qix[q], r - rmin] = nid
     with open(path, "wb") as f:
         f.write(struct.pack("<II", len(qs), k))
         f.write(ids.tobytes())
@@ -157,14 +182,15 @@ def write_vector_gt_ibin(df: DataFrame, path: str,
     (`/root/reference/tests/gen_vector_groundtruth.cpp:126-133`)."""
     rows = df.select(query_col, rank_col, id_col, dist_col) \
         .orderBy(query_col, rank_col).collect()
-    qs = sorted({r[0] for r in rows})
-    k = max(r[1] for r in rows) + 1 if rows else 0
+    if not rows:
+        raise ValueError("empty GT DataFrame")
+    qs, rmin, k = _rank_grid(rows)
     ids = np.zeros((len(qs), k), dtype=np.uint32)
     dists = np.zeros((len(qs), k), dtype=np.float32)
     qix = {q: i for i, q in enumerate(qs)}
     for q, r, nid, d in rows:
-        ids[qix[q], r] = nid
-        dists[qix[q], r] = d
+        ids[qix[q], r - rmin] = nid
+        dists[qix[q], r - rmin] = d
     with open(path, "wb") as f:
         f.write(struct.pack("<II", len(qs), k))
         f.write(ids.tobytes())

@@ -31,9 +31,10 @@ def per_query_report(results: DataFrame, recalls: DataFrame,
                      query_col: str = "query_set_id") -> DataFrame:
     """One row per query: reranked top-k ids + recall (the reference's
     per-query TSV row, minus wall-times which belong to bench)."""
-    ranked = (results.orderBy(query_col, "rank")
-              .groupBy(query_col)
-              .agg(F.collect_list("data_set_id").alias("reranked_ids")))
+    ranked = (results.groupBy(query_col)
+              .agg(F.array_sort(F.collect_list(F.struct(
+                  "rank", F.col("data_set_id").alias("id")))).alias("s"))
+              .select(query_col, F.col("s.id").alias("reranked_ids")))
     return ranked.join(recalls, query_col, "left")
 
 

@@ -6,6 +6,14 @@ tables as temp views, so every exact-path query the engine answers can
 be written in plain ``spark.sql`` — the same dialect family as the
 DuckDB oracles. Mirrors the reference's "expression library"
 (`/root/reference/include/efanna2e/distance.h`) as a SQL vocabulary.
+
+PERF NOTE: ``vec_normalize``/``vec_cos`` inline the norm aggregate into
+per-element lambdas / both CASE branches — the O(dim^2) pitfall
+``vector.with_l2_normalized`` stages away (SQL function bodies are
+single expressions, so they cannot stage columns). For bulk
+normalization in pure SQL, compute the norm once as its own projection:
+
+    SELECT vec_scale(v, 1.0 / n) FROM (SELECT v, vec_norm(v) AS n ...)
 """
 
 from __future__ import annotations
@@ -33,6 +41,10 @@ _FUNCTIONS = {
             a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE>
         RETURN transform(a, x -> x / CASE WHEN vec_norm(a) > 0D
                                      THEN vec_norm(a) ELSE 1D END)""",
+    "vec_scale": """
+        CREATE OR REPLACE TEMPORARY FUNCTION vec_scale(
+            a ARRAY<DOUBLE>, s DOUBLE) RETURNS ARRAY<DOUBLE>
+        RETURN transform(a, x -> x * s)""",
     "vec_cos": """
         CREATE OR REPLACE TEMPORARY FUNCTION vec_cos(
             a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE

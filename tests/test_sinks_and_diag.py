@@ -71,7 +71,7 @@ def test_set_gt_generation_end_to_end(spark, tmp_path):
         F.col("query_set_id").alias("query_id"), "rank",
         F.col("data_set_id").alias("neighbor_id"))
     p = str(tmp_path / "set_gt.ibin")
-    fbin.write_set_gt_ibin(gt.withColumn("rank", gt["rank"] - 1), p)
+    fbin.write_set_gt_ibin(gt, p)   # writer normalizes 1-based ranks
     back = fbin.read_set_gt_ibin(spark, p).select(
         F.col("query_id").alias("query_set_id"),
         F.col("neighbor_id").alias("data_set_id"))
