@@ -743,6 +743,51 @@ ORDER BY a, b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs -> connected components -> cluster table.
+
+    The post-pair stage of the dedup pipeline (A~B + B~C collapse into
+    one cluster; pairwise keep-min would over-keep). Component id = min
+    reachable doc id — deterministic, matched by the recursive-CTE
+    oracle."""
+    docs = TD.load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                    shingle_n=3)
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_TOK_SH},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shf),
+seeds AS (SELECT unnest(range(0, 8)) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM dsh CROSS JOIN seeds GROUP BY doc_id, seed),
+sigs AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(seed || '@' || minhash, '|'
+                    ORDER BY seed || '@' || minhash) AS sig
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id),
+edges AS (SELECT a AS x, b AS y FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(x, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT e.x, r.label FROM edges e JOIN reach r ON r.x = e.y),
+comp AS (SELECT x, min(label) AS component FROM reach GROUP BY x),
+sizes AS (SELECT component, count(*) AS cluster_size
+          FROM comp GROUP BY component)
+SELECT c.x AS doc_id, c.component AS cluster_id, s.cluster_size,
+       c.x = c.component AS is_canonical
+FROM comp c JOIN sizes s USING (component)
+ORDER BY doc_id
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TD.load(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
@@ -1170,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_fingerprints": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1210,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "simhash_fingerprints": SQL_SIMHASH,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

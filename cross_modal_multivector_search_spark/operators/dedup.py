@@ -197,6 +197,71 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32,
             .agg(F.sum("bitval").alias("simhash")))
 
 
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b",
+                         max_iter: int = 50) -> DataFrame:
+    """(node, component) over the undirected pair graph; component = min
+    node id reachable — deterministic, so oracle-checkable (recursive CTE
+    in ANSI SQL computes the same min-reachable label).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own and its neighbors' labels; converges in O(graph diameter)
+    rounds. Near-dup candidate graphs are unions of near-cliques
+    (diameter 1-2), so 2-3 rounds in practice. Per round: one shuffle
+    join edges x labels + one groupBy — both on the node id, so AQE
+    coalesces them; `localCheckpoint` truncates lineage every round
+    (without it, round N recomputes rounds 1..N-1 and the plan grows
+    exponentially — the classic iterative-Spark trap). For adversarial
+    long-chain graphs at the billion-edge scale, swap the propagation
+    body for alternating large-star/small-star (Kiveris et al., MR'14) —
+    same interface, O(log n) rounds.
+    """
+    edges = pairs.select(F.col(a_col).cast("long").alias("x"),
+                         F.col(b_col).cast("long").alias("y"))
+    sym = edges.unionByName(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))) \
+        .distinct().localCheckpoint()
+    labels = sym.select("x").distinct().withColumn("label", F.col("x"))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.withColumnRenamed("x", "y"), "y")
+               .groupBy("x").agg(F.min("label").alias("nbr_min")))
+        merged = (labels.select("x", F.col("label").alias("old"))
+                  .join(nbr, "x", "left")
+                  .select("x", "old",
+                          F.least(F.col("old"),
+                                  F.coalesce("nbr_min", F.col("old")))
+                          .alias("label"))
+                  .localCheckpoint())
+        labels = merged.select("x", "label")
+        if merged.filter(F.col("label") < F.col("old")) \
+                .limit(1).count() == 0:
+            break
+    return labels.select(F.col("x").alias("node"),
+                         F.col("label").alias("component"))
+
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "a",
+                   b_col: str = "b") -> DataFrame:
+    """Resolve candidate near-dup pairs into clusters: (doc_id,
+    cluster_id, cluster_size, is_canonical).
+
+    The stage every dedup pipeline needs after pair generation: A~B and
+    B~C must collapse into ONE cluster (pairwise keep-min would keep
+    both A and B). cluster_id = min doc id in the connected component;
+    canonical = that min doc. Docs with no candidate pair are implicitly
+    their own singleton cluster and are not emitted.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    sizes = comp.groupBy("component") \
+        .agg(F.count("*").alias("cluster_size"))
+    return (comp.join(sizes, "component")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("node") == F.col("component"))
+                    .alias("is_canonical")))
+
+
 def embedding_near_dup_pairs(vecs: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "vec",

@@ -32,6 +32,23 @@ def test_shingles_lead_chain(spark):
     assert [r["shingle"] for r in sh] == ["a b c", "b c d"]
 
 
+def test_connected_components_topology(spark):
+    """Chain 1-2-3, isolated pair 10-11, triangle 20-21-22 with a
+    redundant edge: min-label propagation must collapse each into the
+    min-id component — the transitive step pairwise keep-min misses."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long")
+    comp = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+    clusters = dedup.dedup_clusters(pairs).collect()
+    canon = {r["doc_id"] for r in clusters if r["is_canonical"]}
+    assert canon == {1, 10, 20}
+    assert {r["doc_id"]: r["cluster_size"] for r in clusters}[3] == 3
+
+
 def test_minhash_lsh_superset_of_high_jaccard(docs):
     """LSH candidates must include every very-high-jaccard pair
     (probabilistic, but deterministic given the md5 hash family)."""
