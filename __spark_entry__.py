@@ -22,8 +22,9 @@ from pyspark.sql import functions as F
 from cross_modal_multivector_search_spark import testdata as TD
 from cross_modal_multivector_search_spark.functions import vector as V
 from cross_modal_multivector_search_spark.operators import (
-    brute_force, dedup, graph_build, graph_search, mapping, recall,
-    rerank, sampling, set_search, sharded, simsearch, stats, text, topk,
+    brute_force, curation, dedup, graph_build, graph_search, mapping,
+    recall, rerank, sampling, set_search, sharded, simsearch, stats,
+    text, topk,
 )
 from cross_modal_multivector_search_spark.streaming import events as stream_events
 
@@ -788,6 +789,84 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: exact dedup -> near-dup clusters ->
+    language + quality filters. The end-to-end query a pretraining data
+    run executes; every stage is also its own oracle-checked query."""
+    docs = TD.load(spark, sf_dir, "documents")
+    return curation.curate_corpus(
+        docs, quality_threshold=0.5, langs=("en",),
+        num_hashes=8, bands=4, shingle_n=3).orderBy("doc_id")
+
+
+SQL_CORPUS_CURATE = f"""
+WITH RECURSIVE {_SQL_TOK_SH},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shf),
+seeds AS (SELECT unnest(range(0, 8)) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM dsh CROSS JOIN seeds GROUP BY doc_id, seed),
+sigs AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(seed || '@' || minhash, '|'
+                    ORDER BY seed || '@' || minhash) AS sig
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id),
+edges AS (SELECT a AS x, b AS y FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(x, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT e.x, r.label FROM edges e JOIN reach r ON r.x = e.y),
+comp AS (SELECT x, min(label) AS component FROM reach GROUP BY x),
+keep_exact AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+qual AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         ROUND(LEAST(count(*) / 100.0, 1.0) * 0.4
+               + avg(CASE WHEN token IN ('the','a','of','and','to')
+                     THEN 1 ELSE 0 END) * 0.2
+               + sum(len(regexp_replace(token, '[^a-zA-Z]', '', 'g')))
+                 / CAST(sum(len(token)) AS DOUBLE) * 0.3
+               + LEAST(avg(len(token)) / 10.0, 1.0) * 0.1
+               + 1.2345678e-9, 5) AS quality_score
+  FROM tok GROUP BY doc_id),
+lagg AS (
+  SELECT doc_id,
+    sum(CASE WHEN token IN ('der','die','und','das','ist')
+        THEN 1 ELSE 0 END) AS hits_de,
+    sum(CASE WHEN token IN ('the','a','of','and','to')
+        THEN 1 ELSE 0 END) AS hits_en,
+    sum(CASE WHEN token IN ('el','la','de','los','que')
+        THEN 1 ELSE 0 END) AS hits_es,
+    sum(CASE WHEN token IN ('le','la','les','et','des')
+        THEN 1 ELSE 0 END) AS hits_fr
+  FROM tok GROUP BY doc_id),
+lang AS (
+  SELECT doc_id,
+    CASE WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr)
+         THEN 'de'
+         WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr)
+         THEN 'en'
+         WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr)
+         THEN 'es'
+         ELSE 'fr' END AS pred_lang
+  FROM lagg)
+SELECT d.doc_id, l.pred_lang, q.quality_score, q.n_tokens
+FROM documents d
+JOIN lang l ON l.doc_id = d.doc_id
+JOIN qual q ON q.doc_id = d.doc_id
+WHERE d.doc_id IN (SELECT doc_id FROM keep_exact)
+  AND d.doc_id NOT IN (SELECT x FROM comp WHERE x <> component)
+  AND l.pred_lang IN ('en')
+  AND q.quality_score >= 0.5
+ORDER BY d.doc_id
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TD.load(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
@@ -1216,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_curate": q_corpus_curate,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_fingerprints": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1257,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "corpus_curate": SQL_CORPUS_CURATE,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "simhash_fingerprints": SQL_SIMHASH,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -1,0 +1,49 @@
+"""End-to-end corpus curation: the composed pipeline a training-data
+run executes over the raw document table (north star per BASELINE.json;
+each stage is its own oracle-checked operator — this module only wires
+them together, which is exactly how it should scale: every stage keeps
+its one-shuffle shape, and Catalyst pipelines the semi/anti joins).
+
+Stages (the usual pretraining recipe order, cheapest-first so later
+stages see fewer rows at 100 TB):
+  1. exact dedup      keep min doc_id per md5 digest        (semi join)
+  2. near-dup dedup   MinHash-LSH pairs -> connected components ->
+                      drop non-canonical cluster members    (anti join)
+  3. language filter  keep allowed predicted languages
+  4. quality filter   keep quality_score >= threshold
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, text
+
+
+def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
+                  langs: tuple[str, ...] = ("en",),
+                  num_hashes: int = 8, bands: int = 4,
+                  shingle_n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Surviving documents with their curation features:
+    (doc_id, pred_lang, quality_score, n_tokens)."""
+    keep_exact = dedup.dedup_exact(docs, id_col, text_col,
+                                   only_dups=False) \
+        .select(F.col("keep_id").alias(id_col))
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes, bands, shingle_n,
+                                    id_col, text_col)
+    drop_near = dedup.dedup_clusters(pairs) \
+        .filter(~F.col("is_canonical")).select(id_col)
+    quality = text.quality_scores(docs, id_col, text_col) \
+        .select(id_col, "n_tokens", "quality_score")
+    lang = text.lang_id(docs, id_col, text_col) \
+        .select(id_col, "pred_lang")
+    return (docs.select(id_col)
+            .join(keep_exact, id_col, "semi")
+            .join(drop_near, id_col, "anti")
+            .join(lang, id_col)
+            .join(quality, id_col)
+            .filter(F.col("pred_lang").isin(*langs)
+                    & (F.col("quality_score") >= quality_threshold))
+            .select(id_col, "pred_lang", "quality_score", "n_tokens"))

@@ -49,6 +49,23 @@ def test_connected_components_topology(spark):
     assert {r["doc_id"]: r["cluster_size"] for r in clusters}[3] == 3
 
 
+def test_curate_corpus_planted(spark):
+    """Exact dup -> keep min id; German and junk docs filtered; clean
+    English doc survives with its features."""
+    from cross_modal_multivector_search_spark.operators import curation
+    en = ("the quick brown fox and the lazy dog ran to the old park "
+          "of hidden wonders and a river of calm water")
+    d = spark.createDataFrame(
+        [(1, en), (2, en),
+         (3, "der hund und die katze ist und das haus und der baum"),
+         (4, "@@@ ### 12345 &&& !!! 999 ***")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.curate_corpus(d, quality_threshold=0.3).collect()}
+    assert set(out) == {1}
+    assert out[1]["pred_lang"] == "en" and out[1]["n_tokens"] == 22
+
+
 def test_minhash_lsh_superset_of_high_jaccard(docs):
     """LSH candidates must include every very-high-jaccard pair
     (probabilistic, but deterministic given the md5 hash family)."""
