@@ -32,6 +32,8 @@ HEADLINE = [
     "ann_sharded_search",       # sharded build + fan-out search
     "ivf_topk",
     "minhash_lsh_pairs",
+    "dedup_clusters",           # LSH pairs -> connected components
+    "corpus_curate",            # full curation pipeline composition
     "simhash_fingerprints",
     "embedding_near_dup",
     "token_stats",

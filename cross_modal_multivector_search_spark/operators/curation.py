@@ -33,8 +33,11 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
         .select(F.col("keep_id").alias(id_col))
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes, bands, shingle_n,
                                     id_col, text_col)
-    drop_near = dedup.dedup_clusters(pairs) \
-        .filter(~F.col("is_canonical")).select(id_col)
+    # non-canonical members only: cluster sizes aren't needed here, so
+    # go straight to components (skips dedup_clusters' size groupBy+join)
+    drop_near = dedup.connected_components(pairs) \
+        .filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
     quality = text.quality_scores(docs, id_col, text_col) \
         .select(id_col, "n_tokens", "quality_score")
     lang = text.lang_id(docs, id_col, text_col) \

@@ -204,17 +204,17 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     node id reachable — deterministic, so oracle-checkable (recursive CTE
     in ANSI SQL computes the same min-reachable label).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own and its neighbors' labels; converges in O(graph diameter)
-    rounds. Near-dup candidate graphs are unions of near-cliques
-    (diameter 1-2), so 2-3 rounds in practice. Per round: one shuffle
-    join edges x labels + one groupBy — both on the node id, so AQE
-    coalesces them; `localCheckpoint` truncates lineage every round
-    (without it, round N recomputes rounds 1..N-1 and the plan grows
-    exponentially — the classic iterative-Spark trap). For adversarial
-    long-chain graphs at the billion-edge scale, swap the propagation
-    body for alternating large-star/small-star (Kiveris et al., MR'14) —
-    same interface, O(log n) rounds.
+    Iterative min-label propagation with pointer jumping: each round (a)
+    every node takes the min of its own and its neighbors' labels, then
+    (b) replaces its label with its label's label (path halving). Step
+    (a) alone needs O(diameter) rounds — a planted 1000-node chain would
+    NOT converge under max_iter; (b) doubles the propagation distance
+    per round, giving O(log n) rounds on any topology (near-dup
+    candidate graphs are near-cliques and finish in 2-3 regardless).
+    Per round: two shuffle joins + one groupBy, all keyed on node id;
+    `localCheckpoint` truncates lineage every round (without it, round N
+    recomputes rounds 1..N-1 and the plan grows exponentially — the
+    classic iterative-Spark trap).
     """
     edges = pairs.select(F.col(a_col).cast("long").alias("x"),
                          F.col(b_col).cast("long").alias("y"))
@@ -225,11 +225,21 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("x", "y"), "y")
                .groupBy("x").agg(F.min("label").alias("nbr_min")))
-        merged = (labels.select("x", F.col("label").alias("old"))
-                  .join(nbr, "x", "left")
+        stepped = (labels.select("x", F.col("label").alias("old"))
+                   .join(nbr, "x", "left")
+                   .select("x", "old",
+                           F.least(F.col("old"),
+                                   F.coalesce("nbr_min", F.col("old")))
+                           .alias("mid")))
+        # pointer jump: label <- label(label). labels is keyed by every
+        # node, and mid is always some node in x's component, so the
+        # lookup is total; min() guards the (x==mid) self case.
+        jump = labels.select(F.col("x").alias("mid"),
+                             F.col("label").alias("jumped"))
+        merged = (stepped.join(jump, "mid", "left")
                   .select("x", "old",
-                          F.least(F.col("old"),
-                                  F.coalesce("nbr_min", F.col("old")))
+                          F.least(F.col("mid"),
+                                  F.coalesce("jumped", F.col("mid")))
                           .alias("label"))
                   .localCheckpoint())
         labels = merged.select("x", "label")

@@ -49,6 +49,16 @@ def test_connected_components_topology(spark):
     assert {r["doc_id"]: r["cluster_size"] for r in clusters}[3] == 3
 
 
+def test_connected_components_long_chain(spark):
+    """A 200-node chain has diameter 199: plain min-propagation would
+    need 199 rounds; pointer jumping must converge within max_iter=20."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a long, b long")
+    comp = dedup.connected_components(pairs, max_iter=20).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 201
+
+
 def test_curate_corpus_planted(spark):
     """Exact dup -> keep min id; German and junk docs filtered; clean
     English doc survives with its features."""
