@@ -124,16 +124,25 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
     mins = [F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle"))))
             .alias(f"mh{s}") for s in range(num_hashes)]
     wide = sh.groupBy(id_col).agg(*mins)
-    band_rows = []
+    # all band signatures in one pass over `wide` (explode of an inline
+    # struct array), then materialize: the self-join below would
+    # otherwise re-run the whole shingle->md5->groupBy pipeline once per
+    # band per join side (8 full document scans for 4 bands — measured;
+    # Catalyst does not reuse the exchange across the union branches).
+    # The signature table is O(docs x bands) rows of 3 short columns —
+    # per-executor-disk materialization is the scale play too: at 100 TB
+    # the corpus is huge but signatures stay ~1e-4 of its bytes.
+    band_structs = []
     for band in range(bands):
         seeds = range(band * rows_per_band, (band + 1) * rows_per_band)
         sig = F.concat_ws("|", *[
             F.concat_ws("@", F.lit(s), F.col(f"mh{s}")) for s in seeds])
-        band_rows.append(wide.select(
-            F.col(id_col), F.lit(band).alias("band"), sig.alias("sig")))
-    sigs = band_rows[0]
-    for b_df in band_rows[1:]:
-        sigs = sigs.unionByName(b_df)
+        band_structs.append(F.struct(F.lit(band).alias("band"),
+                                     sig.alias("sig")))
+    sigs = (wide.select(F.col(id_col),
+                        F.explode(F.array(*band_structs)).alias("bs"))
+            .select(id_col, "bs.band", "bs.sig")
+            .localCheckpoint())
     a = sigs.select(F.col(id_col).alias("a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("b"), "band", "sig")
     return (a.join(b, ["band", "sig"])
@@ -197,9 +206,36 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32,
             .agg(F.sum("bitval").alias("simhash")))
 
 
+def _local_components(sym: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected edge list; same contract
+    as the distributed loop: component = min reachable node id."""
+    parent: dict = {}
+
+    def find(v):
+        root = v
+        while parent[root] != root:
+            root = parent[root]
+        while parent[v] != root:          # path compression
+            parent[v], v = root, parent[v]
+        return root
+
+    for row in sym.toLocalIterator():
+        x, y = row[0], row[1]
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)  # min-id root => min label
+    rows = [(v, find(v)) for v in parent]
+    return sym.sparkSession.createDataFrame(
+        rows, "node long, component long") if rows else \
+        sym.sparkSession.createDataFrame([], "node long, component long")
+
+
 def connected_components(pairs: DataFrame, a_col: str = "a",
                          b_col: str = "b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         local_threshold: int = 5_000_000) -> DataFrame:
     """(node, component) over the undirected pair graph; component = min
     node id reachable — deterministic, so oracle-checkable (recursive CTE
     in ANSI SQL computes the same min-reachable label).
@@ -215,12 +251,23 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     `localCheckpoint` truncates lineage every round (without it, round N
     recomputes rounds 1..N-1 and the plan grows exponentially — the
     classic iterative-Spark trap).
+
+    Size gate: an edge set under ``local_threshold`` (after symmetrize +
+    dedup) is solved by driver-side union-find instead — the distributed
+    loop costs ~4 Spark jobs per round, pure overhead when the candidate
+    graph fits in driver memory. Near-dup graphs are tiny relative to
+    the corpus (pairs, not documents), so even a 100 TB corpus usually
+    lands under a few-hundred-M edges; raise/lower the threshold to
+    taste, set it to 0 to force the distributed path (what SCALE_PROBE
+    exercises at 2.5M nodes / 3.5M edges).
     """
     edges = pairs.select(F.col(a_col).cast("long").alias("x"),
                          F.col(b_col).cast("long").alias("y"))
     sym = edges.unionByName(
         edges.select(F.col("y").alias("x"), F.col("x").alias("y"))) \
         .distinct().localCheckpoint()
+    if local_threshold and sym.count() <= local_threshold:
+        return _local_components(sym)
     labels = sym.select("x").distinct().withColumn("label", F.col("x"))
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("x", "y"), "y")

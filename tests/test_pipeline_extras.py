@@ -54,9 +54,23 @@ def test_connected_components_long_chain(spark):
     need 199 rounds; pointer jumping must converge within max_iter=20."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "a long, b long")
-    comp = dedup.connected_components(pairs, max_iter=20).collect()
+    comp = dedup.connected_components(
+        pairs, max_iter=20, local_threshold=0).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == 201
+
+
+def test_connected_components_local_gate_equivalence(spark):
+    """The driver-side union-find (small-graph gate) must produce the
+    exact same (node, component) labels as the distributed loop."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (5, 3)], "a long, b long")
+    dist = {(r["node"], r["component"]) for r in
+            dedup.connected_components(pairs, local_threshold=0).collect()}
+    loc = {(r["node"], r["component"]) for r in
+           dedup.connected_components(pairs).collect()}
+    assert loc == dist
+    assert (5, 1) in loc and (11, 10) in loc and (20, 20) in loc
 
 
 def test_curate_corpus_planted(spark):
