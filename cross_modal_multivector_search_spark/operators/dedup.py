@@ -86,9 +86,13 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
 
     The string-min of salted md5 digests is a valid minwise hash family
     and — unlike murmur/xxhash — bit-identical across engines.
+
+    No shingle-dedup stage: min over the shingle multiset equals min
+    over the set, so skipping ``.distinct()`` drops a whole shuffle and
+    lets the groupBy run map-side partial min-aggregation.
     """
     sh = shingles(docs, shingle_n, id_col, text_col) \
-        .select(id_col, "shingle").distinct()
+        .select(id_col, "shingle")
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
     salted = sh.select(id_col, "shingle", seeds.alias("seed"))
     return (salted
@@ -118,9 +122,11 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
     # wide form: all num_hashes minhashes in ONE groupBy(doc) (each seed
     # is its own min-aggregate over the same shingle set), then band
     # signatures as plain column concats — one shuffle total before the
-    # bucket join, vs three for the (doc, seed)-exploded layout.
+    # bucket join, vs three for the (doc, seed)-exploded layout. No
+    # shingle distinct: min over the multiset == min over the set, and
+    # skipping it saves a shuffle + enables map-side partial aggs.
     sh = shingles(docs, shingle_n, id_col, text_col) \
-        .select(id_col, "shingle").distinct()
+        .select(id_col, "shingle")
     mins = [F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle"))))
             .alias(f"mh{s}") for s in range(num_hashes)]
     wide = sh.groupBy(id_col).agg(*mins)
