@@ -421,8 +421,8 @@ SQL_CARDINALITY_MAPPING = """
 WITH s AS (SELECT DISTINCT vec_id // 5 AS set_id FROM embeddings),
 c AS (SELECT set_id, (set_id % 5 + 1)::BIGINT AS cardinality FROM s)
 SELECT set_id, cardinality,
-       COALESCE(SUM(cardinality) OVER (ORDER BY set_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS first_vid
+       CAST(COALESCE(SUM(cardinality) OVER (ORDER BY set_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS first_vid
 FROM c ORDER BY set_id
 """
 
@@ -734,8 +734,7 @@ mh AS (
   FROM dsh CROSS JOIN seeds GROUP BY doc_id, seed),
 sigs AS (
   SELECT doc_id, seed // 2 AS band,
-         string_agg(seed || '@' || minhash, '|'
-                    ORDER BY seed || '@' || minhash) AS sig
+         string_agg(seed || '@' || minhash, '|' ORDER BY seed) AS sig
   FROM mh GROUP BY doc_id, band)
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
@@ -766,8 +765,7 @@ mh AS (
   FROM dsh CROSS JOIN seeds GROUP BY doc_id, seed),
 sigs AS (
   SELECT doc_id, seed // 2 AS band,
-         string_agg(seed || '@' || minhash, '|'
-                    ORDER BY seed || '@' || minhash) AS sig
+         string_agg(seed || '@' || minhash, '|' ORDER BY seed) AS sig
   FROM mh GROUP BY doc_id, band),
 pairs AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -808,8 +806,7 @@ mh AS (
   FROM dsh CROSS JOIN seeds GROUP BY doc_id, seed),
 sigs AS (
   SELECT doc_id, seed // 2 AS band,
-         string_agg(seed || '@' || minhash, '|'
-                    ORDER BY seed || '@' || minhash) AS sig
+         string_agg(seed || '@' || minhash, '|' ORDER BY seed) AS sig
   FROM mh GROUP BY doc_id, band),
 pairs AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -908,8 +905,8 @@ per_bit AS (
            AS s
   FROM h CROSS JOIN bits GROUP BY doc_id, b)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
-         AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -942,7 +939,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_STATS = f"""
 WITH {_SQL_TOK_SH}
 SELECT doc_id, count(*) AS n_tokens,
-       sum(len(token)) AS n_token_chars,
+       CAST(sum(len(token)) AS BIGINT) AS n_token_chars,
        ROUND(avg(len(token)) + 1.2345678e-9, 5) AS avg_token_len
 FROM tok GROUP BY doc_id ORDER BY doc_id
 """
@@ -995,7 +992,8 @@ SELECT doc_id,
             WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
             WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
             ELSE 'fr' END AS pred_lang,
-       GREATEST(hits_de, hits_en, hits_es, hits_fr) AS marker_hits
+       CAST(GREATEST(hits_de, hits_en, hits_es, hits_fr) AS BIGINT)
+         AS marker_hits
 FROM agg ORDER BY doc_id
 """
 
@@ -1212,9 +1210,9 @@ WITH flagged AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 sess AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_idx
+           AS BIGINT) AS session_idx
   FROM flagged)
 SELECT user_id, session_idx,
        epoch_us(min(ts)) AS session_start_us,

@@ -24,6 +24,14 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+def _dtype_class(col: pd.Series) -> str:
+    if pd.api.types.is_integer_dtype(col):
+        return "int"
+    if pd.api.types.is_float_dtype(col):
+        return "float"
+    return "other"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -68,8 +76,21 @@ def main() -> int:
             continue
         ok_rows = len(sdf) == len(odf)
         ok_cols = list(sdf.columns) == list(odf.columns)
+        # The driver's value hash is dtype-sensitive (int 1 != float 1.0):
+        # DuckDB SUM(BIGINT) -> HUGEINT materializes as float64 and silently
+        # hash-fails. Mirror that strictness here.
+        ok_dtypes = True
+        if ok_cols:
+            for c in sdf.columns:
+                s_cls = _dtype_class(sdf[c])
+                o_cls = _dtype_class(odf[c])
+                if s_cls != o_cls:
+                    ok_dtypes = False
+                    print(f"   dtype-class diff in {name}.{c}: "
+                          f"spark={sdf[c].dtype}({s_cls}) "
+                          f"oracle={odf[c].dtype}({o_cls})")
         ok_vals = False
-        if ok_rows and ok_cols:
+        if ok_rows and ok_cols and ok_dtypes:
             try:
                 pd.testing.assert_frame_equal(
                     sdf, odf, check_dtype=False, check_exact=False,
@@ -78,11 +99,13 @@ def main() -> int:
             except AssertionError as e:
                 msg = str(e).splitlines()[0]
                 print(f"   value diff: {msg}")
-        status = "PASS" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        status = ("PASS" if (ok_rows and ok_cols and ok_dtypes and ok_vals)
+                  else "FAIL")
         if status == "FAIL":
             n_fail += 1
             print(f"{status} {name}: rows {len(sdf)}/{len(odf)} "
-                  f"cols_ok={ok_cols} vals_ok={ok_vals}")
+                  f"cols_ok={ok_cols} dtypes_ok={ok_dtypes} "
+                  f"vals_ok={ok_vals}")
             if not ok_cols:
                 print(f"   spark cols:  {list(sdf.columns)}")
                 print(f"   oracle cols: {list(odf.columns)}")
