@@ -26,7 +26,7 @@ from cross_modal_multivector_search_spark.session import get_spark
 HEADLINE = [
     "knn_ip_topk_gemm",
     "chamfer_topk_gemm",
-    "maxsim_topk",
+    "maxsim_topk_gemm",
     "rerank_two_phase",
     "ann_multivector_search",   # broadcast single index (cached build)
     "ann_sharded_search",       # sharded build + fan-out search
@@ -37,7 +37,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "embedding_near_dup",
     "token_stats",
-    "chamfer_varcard",
+    "chamfer_varcard_gemm",
     "quality_scores",
     "sessionize_events",
     "windowed_event_counts",
@@ -64,6 +64,9 @@ def main() -> None:
     t0 = time.time()
     E._roar_index(spark, sf_dir)
     timings["ann_index_build_or_load"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    E._sharded_work(spark, sf_dir)
+    timings["sharded_index_build_or_load"] = round(time.time() - t0, 3)
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).count()

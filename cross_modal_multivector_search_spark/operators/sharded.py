@@ -162,12 +162,30 @@ _CAND_SCHEMA = StructType([
 ])
 
 
+def prepare_search_work(shard_graph: DataFrame, base: DataFrame,
+                        n_shards: int, vec_id: str = "vec_id",
+                        vec_col: str = "vec") -> DataFrame:
+    """Join the shard adjacency to its vectors, grouped+sorted by shard —
+    the search-ready layout. Build-once / search-many callers should
+    cache() this and pass it to search_sharded(work=...) so repeated
+    searches skip the join+shuffle (the index is static between builds)."""
+    vecs_sharded = base.withColumn(
+        "shard", F.pmod(F.hash(F.col(vec_id)), F.lit(n_shards)).cast("int"))
+    return (shard_graph
+            .join(vecs_sharded.select(
+                "shard", F.col(vec_id).alias("src"),
+                F.col(vec_col).alias("v")), ["shard", "src"])
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "src"))
+
+
 def search_sharded(shard_graph: DataFrame, base: DataFrame,
                    query_vecs: DataFrame,
                    min_pq: int, max_pq: int, budget: int,
                    adaptive: bool = True, n_shards: int | None = None,
                    set_id: str = "set_id", vec_id: str = "vec_id",
-                   vec_col: str = "vec") -> DataFrame:
+                   vec_col: str = "vec",
+                   work: DataFrame | None = None) -> DataFrame:
     """Fan-out multi-vector search: every shard searches every query set
     with the full per-shard budget; global merge keeps each member's
     best candidates across shards (partial+final top-k)."""
@@ -182,21 +200,16 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
     bc_q = spark.sparkContext.broadcast(
         (q_sets, min_pq, max_pq, budget, adaptive))
 
-    if n_shards is None:
-        # fallback inference — WRONG if the top hash shard is empty, so
-        # callers that know the build-time shard count must pass it
-        top = shard_graph.select(F.max("shard")).first()[0]
-        if top is None:
-            raise ValueError("search_sharded: empty shard graph")
-        n_shards = top + 1
-    vecs_sharded = base.withColumn(
-        "shard", F.pmod(F.hash(F.col(vec_id)), F.lit(n_shards)).cast("int"))
-    work = (shard_graph
-            .join(vecs_sharded.select(
-                "shard", F.col(vec_id).alias("src"),
-                F.col(vec_col).alias("v")), ["shard", "src"])
-            .repartition(n_shards, "shard")
-            .sortWithinPartitions("shard", "src"))
+    if work is None:
+        if n_shards is None:
+            # fallback inference — WRONG if the top hash shard is empty, so
+            # callers that know the build-time shard count must pass it
+            top = shard_graph.select(F.max("shard")).first()[0]
+            if top is None:
+                raise ValueError("search_sharded: empty shard graph")
+            n_shards = top + 1
+        work = prepare_search_work(shard_graph, base, n_shards,
+                                   vec_id=vec_id, vec_col=vec_col)
 
     def search(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_sets_l, min_pq_l, max_pq_l, budget_l, adaptive_l = bc_q.value

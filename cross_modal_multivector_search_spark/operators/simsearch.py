@@ -24,20 +24,24 @@ from .topk import grouped_topk
 
 
 def ivf_centroids(vecs: DataFrame, cell_col: str = "label",
-                  vec_col: str = "vec") -> DataFrame:
-    """Per-cell mean vector (posexplode + groupBy — map-side partial agg).
+                  vec_col: str = "vec", dim: int | None = None) -> DataFrame:
+    """Per-cell mean vector in ONE shuffle: dim scalar `avg` aggregates
+    (one per component) with map-side partial aggregation, reassembled
+    into an array. Scale-safe: aggregation state is dim doubles per cell,
+    never a collected vector list.
 
     Cells can come from any coarse quantizer; the driver tables ship a
     `label` column which we treat as the trained cell assignment.
     """
-    return (vecs.select(F.col(cell_col).alias("cell"),
-                        F.posexplode(V.to_double(F.col(vec_col)))
-                        .alias("pos", "x"))
-            .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                 .alias("s"))
-            .select("cell", F.col("s.m").alias("centroid")))
+    if dim is None:
+        dim = len(vecs.select(vec_col).head()[0])
+    # cast the extracted element, NOT element_at(to_double(vec), i): the
+    # latter re-evaluates the full-array transform per component (O(dim^2))
+    return (vecs.groupBy(F.col(cell_col).alias("cell"))
+            .agg(*[F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
+                   .alias(f"_m{i}") for i in range(dim)])
+            .select("cell", F.array(*[F.col(f"_m{i}")
+                                      for i in range(dim)]).alias("centroid")))
 
 
 def ivf_search(queries: DataFrame, vecs: DataFrame,
