@@ -38,15 +38,14 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
     drop_near = dedup.connected_components(pairs) \
         .filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
-    quality = text.quality_scores(docs, id_col, text_col) \
-        .select(id_col, "n_tokens", "quality_score")
-    lang = text.lang_id(docs, id_col, text_col) \
-        .select(id_col, "pred_lang")
+    # language + quality features in one token pass (text.lang_quality):
+    # two separate scans of the token table would double the dominant
+    # cost at corpus scale
+    feats = text.lang_quality(docs, id_col, text_col)
     return (docs.select(id_col)
             .join(keep_exact, id_col, "semi")
             .join(drop_near, id_col, "anti")
-            .join(lang, id_col)
-            .join(quality, id_col)
+            .join(feats, id_col)
             .filter(F.col("pred_lang").isin(*langs)
                     & (F.col("quality_score") >= quality_threshold))
             .select(id_col, "pred_lang", "quality_score", "n_tokens"))

@@ -96,6 +96,46 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
                       best.alias("marker_hits"))
 
 
+def lang_quality(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """lang_id + quality_scores fused into ONE token pass.
+
+    (doc_id, pred_lang, quality_score, n_tokens) from a single
+    groupBy(doc_id): the curation pipeline needs both feature sets, and
+    the token-table scan is its dominant cost at 100 TB — running the
+    language and quality aggregates in the same shuffle halves it.
+    Semantics identical to lang_id() + quality_scores() joined on id.
+    """
+    t = tokens(docs, id_col, text_col)
+    stop = F.col("token").isin(STOPWORDS).cast("long")
+    alpha_chars = F.length(F.regexp_replace("token", "[^a-zA-Z]", ""))
+    hit_cols = [
+        F.sum(F.col("token").isin(m).cast("long")).alias(f"hits_{lang}")
+        for lang, m in sorted(LANG_MARKERS.items())
+    ]
+    agg = (t.groupBy(id_col)
+           .agg(F.count("*").alias("n_tokens"),
+                F.avg(stop).alias("stopword_ratio"),
+                (F.sum(alpha_chars) / F.sum(F.length("token")))
+                .alias("alpha_ratio"),
+                F.avg(F.length("token")).alias("mean_token_len"),
+                *hit_cols))
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+          for lang in langs])
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+        + F.col("stopword_ratio") * 0.2
+        + F.col("alpha_ratio") * 0.3
+        + F.least(F.col("mean_token_len") / 10.0, F.lit(1.0)) * 0.1
+    )
+    return agg.select(
+        id_col, pred.alias("pred_lang"),
+        F.round(score + ROUND_EPS, 5).alias("quality_score"), "n_tokens")
+
+
 def winnow_fingerprints(docs: DataFrame, shingle_n: int = 3,
                         window: int = 4, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
