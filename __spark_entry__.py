@@ -647,6 +647,44 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "budget long, mean_recall double")
 
 
+def q_ann_varcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-cardinality ANN end-to-end: graph search over member
+    vectors -> rerank through the cardinality mapping (the reference's
+    `LoadVectorCardinalityMappingAndGetBothMappings` consumer,
+    `src/multivector_reranker.cpp:767-809`). The budget saturates sf0.01,
+    so the exact variable-cardinality set-top-k SQL is the oracle."""
+    index = _roar_index(spark, sf_dir)
+    v = TD.embeddings_norm(spark, sf_dir).drop("set_id")
+    cards = spark.range(N_VAR_SETS).select(
+        F.col("id").alias("set_id"),
+        (F.col("id") % 5 + 1).cast("long").alias("cardinality"))
+    m_map = mapping.cardinality_mapping(cards)
+    varv = mapping.vid_to_vsid_variable(v, m_map)
+    q = varv.filter(F.col("set_id") < TD.N_QUERY_SETS)
+    out = graph_search.search_and_rerank(
+        index, q, varv, K,
+        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400),
+        mapping=m_map)
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_graph_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index connectivity diagnostic (`CollectPoints`/dfs/findroot,
+    `src/index_bipartite.cpp:3010-3093`): the built RoarGraph must be one
+    component with every node reachable from the entry point — asserted
+    by a constant twin at sf0.01 (500 nodes, 1 component)."""
+    index = _roar_index(spark, sf_dir)
+    g = index.to_dataframe(spark)
+    ep = int(index.ids[index.entry_point])
+    return stats.graph_connectivity(g, entry_point=ep)
+
+
+SQL_GRAPH_CONNECTIVITY = """
+SELECT CAST(500 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS n_components,
+       CAST(500 AS BIGINT) AS reachable_from_ep
+"""
+
+
 SQL_ANN_RECALL_REPORT = """
 SELECT CAST(budget AS BIGINT) AS budget,
        CAST(mean_recall AS DOUBLE) AS mean_recall
@@ -976,6 +1014,38 @@ FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.vec, b.vec) >= 0.4
 ORDER BY a, b
 """
+
+
+def q_embedding_near_dup_bucketed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup: the no-broadcast scale path. The twin
+    recomputes the same seeded hyperplane signatures from literal plane
+    constants, so the bucketing itself is oracle-checked."""
+    v = TD.embeddings_norm(spark, sf_dir).select("vec_id", "vec")
+    out = dedup.embedding_near_dup_bucketed(v, threshold=0.4,
+                                            n_planes=4, seed=42)
+    return _r(out, "cos").orderBy("a", "b")
+
+
+def _near_dup_bucket_sql() -> str:
+    import numpy as np
+    planes = np.random.default_rng(42).normal(size=(4, 64))
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(vec, [{}]) > 0 THEN {} ELSE 0 END)"
+        .format(", ".join(repr(float(x)) for x in planes[i]), 2 ** i)
+        for i in range(4))
+    return f"""
+WITH v AS ({TD.SQL_NORM_VECS}),
+bk AS (SELECT vec_id, vec, CAST({bucket} AS BIGINT) AS bucket FROM v)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_dot_product(x.vec, y.vec), 5) AS cos
+FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_dot_product(x.vec, y.vec) >= 0.4
+ORDER BY a, b
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_BUCKETED = _near_dup_bucket_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1351,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multivector_search": q_ann_multivector_search,
         "ann_sharded_search": q_ann_sharded_search,
         "ann_recall_report": q_ann_recall_report,
+        "ann_varcard_search": q_ann_varcard_search,
+        "graph_connectivity": q_graph_connectivity,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1359,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_fingerprints": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1403,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "simhash_fingerprints": SQL_SIMHASH,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embedding_near_dup_bucketed": SQL_EMBEDDING_NEAR_DUP_BUCKETED,
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES,
         "lang_id": SQL_LANG_ID,
@@ -1418,6 +1492,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_multivector_search": SQL_CHAMFER_TOPK,
         "ann_sharded_search": SQL_CHAMFER_TOPK,
         "ann_recall_report": SQL_ANN_RECALL_REPORT,
+        "ann_varcard_search": SQL_CHAMFER_VARCARD,
+        "graph_connectivity": SQL_GRAPH_CONNECTIVITY,
         "random_vectors": SQL_RANDOM_VECTORS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,

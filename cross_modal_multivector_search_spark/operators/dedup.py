@@ -275,6 +275,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     if local_threshold and sym.count() <= local_threshold:
         return _local_components(sym)
     labels = sym.select("x").distinct().withColumn("label", F.col("x"))
+    converged = False
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("x", "y"), "y")
                .groupBy("x").agg(F.min("label").alias("nbr_min")))
@@ -298,7 +299,15 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         labels = merged.select("x", "label")
         if merged.filter(F.col("label") < F.col("old")) \
                 .limit(1).count() == 0:
+            converged = True
             break
+    if not converged:
+        # exhausting max_iter without the no-change break means labels
+        # are still moving: silently returning would emit SPLIT clusters
+        raise RuntimeError(
+            f"connected_components: no convergence after {max_iter} "
+            "pointer-jumping rounds — graph diameter is implausibly "
+            "large for 2^max_iter; raise max_iter or inspect the edges")
     return labels.select(F.col("x").alias("node"),
                          F.col("label").alias("component"))
 
@@ -381,3 +390,56 @@ def embedding_near_dup_pairs(vecs: DataFrame, threshold: float = 0.95,
                                     "cos": sims[ri, ci]})
 
     return norm.mapInPandas(scan, schema=schema)
+
+
+def embedding_near_dup_bucketed(vecs: DataFrame, threshold: float = 0.95,
+                                n_planes: int = 8, seed: int = 42,
+                                id_col: str = "vec_id",
+                                vec_col: str = "vec") -> DataFrame:
+    """(a, b, cos) near-duplicate pairs WITHIN random-hyperplane LSH
+    buckets — the no-broadcast composition of simsearch.lsh_buckets and
+    the per-bucket GEMM scan.
+
+    This is the billion-row path `embedding_near_dup_pairs(impl="gemm")`
+    documents: no collected matrix, no broadcast — vectors shuffle once
+    on their bucket id and every GEMM is bucket-local, so memory per task
+    is O(bucket^2) sims (blocked) instead of O(n * batch). By
+    construction output == the exact pair set restricted to same-bucket
+    pairs (each id lands in exactly one bucket, so no cross-bucket dedup
+    is needed); recall is the standard SimHash-LSH collision probability
+    (1 - theta/pi)^n_planes per pair.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from ..functions import vector as V
+    from .simsearch import lsh_buckets
+
+    norm = V.with_l2_normalized(vecs, vec_col, "_v") \
+        .select(F.col(id_col), "_v")
+    bkt = lsh_buckets(norm, n_planes, seed, id_col=id_col, vec_col="_v")
+    data = norm.join(bkt, id_col)
+    thr = float(threshold)
+    schema = StructType([StructField("a", LongType()),
+                         StructField("b", LongType()),
+                         StructField("cos", DoubleType())])
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        frames = []
+        # block rows so sims stays bounded even for a skewed mega-bucket
+        blk = max(1, int(200_000_000 / (8 * max(len(ids), 1))))
+        for s in range(0, len(ids), blk):
+            sims = mat[s:s + blk] @ mat.T
+            ri, ci = np.nonzero((sims >= thr)
+                                & (ids[s:s + blk, None] < ids[None, :]))
+            frames.append(pd.DataFrame({"a": ids[s:s + blk][ri],
+                                        "b": ids[ci],
+                                        "cos": sims[ri, ci]}))
+        return pd.concat(frames) if frames else pd.DataFrame(
+            {"a": [], "b": [], "cos": []})
+
+    return data.groupBy("bucket").applyInPandas(per_bucket, schema=schema)

@@ -51,6 +51,42 @@ def entry_point(vecs: DataFrame, id_col: str = "vec_id",
              F.round(F.col("s.dist"), 6).alias("dist"))
 
 
+def graph_connectivity(graph: DataFrame, entry_point: int | None = None,
+                       src_col: str = "src",
+                       nbrs_col: str = "nbrs") -> DataFrame:
+    """Connectivity diagnostic of an adjacency-list graph.
+
+    Re-expresses the reference's `CollectPoints`/`dfs`/`findroot` check
+    (`/root/reference/src/index_bipartite.cpp:3010-3093`) via the
+    existing connected_components operator: (n_nodes, n_components[,
+    reachable_from_ep] ). ``reachable_from_ep`` counts the entry point's
+    weakly-connected component — equal to the reference's dfs-reachable
+    set once the build's reverse-edge supply passes have run (RoarGraph
+    materializes reverse edges, so weak == strong connectivity there).
+    """
+    from .dedup import connected_components
+    edges = graph.select(F.col(src_col).alias("a"),
+                         F.explode(F.col(nbrs_col)).alias("b"))
+    comp = connected_components(edges)
+    # nodes with no edges at all never reach the edge list: they are
+    # their own singleton components
+    comp_full = (graph.select(F.col(src_col).alias("node"))
+                 .join(comp, "node", "left")
+                 .select("node", F.coalesce("component", F.col("node"))
+                         .alias("component")))
+    agg = comp_full.agg(
+        F.count("*").alias("n_nodes"),
+        F.countDistinct("component").alias("n_components"))
+    if entry_point is None:
+        return agg
+    ep_comp = comp_full.filter(F.col("node") == entry_point) \
+        .select(F.col("component").alias("_epc"))
+    reach = (comp_full.join(F.broadcast(ep_comp),
+                            comp_full.component == F.col("_epc"))
+             .agg(F.count("*").alias("reachable_from_ep")))
+    return agg.crossJoin(reach)
+
+
 def degree_stats(graph: DataFrame, nbrs_col: str = "nbrs") -> DataFrame:
     """avg/max/min out-degree of an adjacency-list graph."""
     return graph.agg(

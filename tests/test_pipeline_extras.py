@@ -122,6 +122,25 @@ def test_embedding_near_dup_gemm_vs_sql(spark):
     assert sql == gemm and len(gemm) > 0
 
 
+def test_embedding_near_dup_bucketed_equals_gemm_within_buckets(spark):
+    """The bucketed (no-broadcast) path must emit exactly the exact-pair
+    set restricted to same-bucket pairs — no dupes, no extras, scores
+    identical to the broadcast-GEMM impl."""
+    v = TD.embeddings_norm(spark, SF_SMOKE).select("vec_id", "vec")
+    exact = {(r["a"], r["b"]): r["cos"] for r in
+             dedup.embedding_near_dup_pairs(v, 0.4, impl="gemm").collect()}
+    bkt = {r["vec_id"]: r["bucket"] for r in
+           simsearch.lsh_buckets(v, n_planes=4).collect()}
+    expected = {p: c for p, c in exact.items() if bkt[p[0]] == bkt[p[1]]}
+    rows = dedup.embedding_near_dup_bucketed(
+        v, 0.4, n_planes=4).collect()
+    got = {(r["a"], r["b"]): r["cos"] for r in rows}
+    assert len(rows) == len(got), "duplicate pairs emitted"
+    assert set(got) == set(expected) and len(got) > 0
+    for p, c in expected.items():
+        assert abs(got[p] - c) < 1e-9
+
+
 def test_quality_and_lang(docs):
     q = text.quality_scores(docs)
     rows = q.collect()
