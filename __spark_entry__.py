@@ -597,9 +597,14 @@ def _sharded_work(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     cache = (f"{os.path.dirname(os.path.abspath(__file__))}/.roar_cache/"
              f"sharded-{tag}-s{N_SHARDS}-msq{p.m_sq}-m{p.m_pjbp}"
-             f"-l{p.l_pjpq}-v1")
+             f"-l{p.l_pjpq}-v2")
     if not os.path.exists(cache):
-        sharded.build_sharded(v.select("vec_id", "vec"), N_SHARDS, p) \
+        base = v.select("vec_id", "vec")
+        # kNN as a distributed build input (reference design: the kNN
+        # table is the build input) — the quadratic compute runs blocked
+        # across the cluster, not single-threaded inside each build task
+        knn = sharded.shard_self_knn(base, N_SHARDS, p.m_sq)
+        sharded.build_sharded(base, N_SHARDS, p, train_knn=knn) \
             .write.mode("overwrite").parquet(cache)
     work = sharded.prepare_search_work(
         spark.read.parquet(cache), v.select("vec_id", "vec"),

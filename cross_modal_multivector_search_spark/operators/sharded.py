@@ -46,27 +46,51 @@ _SHARD_GRAPH_SCHEMA = StructType([
 
 
 def _build_one_shard(ids: np.ndarray, vecs: np.ndarray,
-                     params: RoarGraphParams) -> tuple[list, int]:
+                     params: RoarGraphParams,
+                     nn_lists: list | None = None) -> tuple[list, int]:
     """Single-shard RoarGraph build, NumPy end-to-end (runs inside one
     Spark task). Same pass structure as graph_build.build_roargraph —
-    pass 1 projection from a local exact kNN table, reverse merge +
-    re-prune, entry point, one connectivity-enhancement sweep."""
+    pass 1 projection from an exact kNN table, reverse merge + re-prune,
+    entry point, one connectivity-enhancement sweep.
+
+    ``nn_lists`` (per-row arrays of global vec_ids, nearest first, self
+    excluded — the reference's kNN build input,
+    `/root/reference/src/index_bipartite.cpp:3111-3150`) skips the
+    in-task kNN entirely: at scale the kNN table comes from the blocked
+    distributed operator (shard_self_knn), so the build task does only
+    the pruning passes. The fallback computes the same kNN locally in
+    row blocks (bounded memory: never a full n^2 sims matrix).
+    """
     n = len(ids)
     m_deg = params.m_pjbp
     if n <= 1:
         # degenerate shard: a single vector is its own (empty) graph
         return [np.empty(0, dtype=np.int64)] * n, 0
-    # local exact kNN of every vector (self-training, like the toy path)
-    sims = vecs @ vecs.T
-    np.fill_diagonal(sims, -np.inf)
-    k = min(params.m_sq, n - 1)
-    knn = np.argsort(-sims, axis=1)[:, :k]
 
     # pass 1: target = nearest neighbor; pool = rest of the kNN list
     pools: dict[int, set] = {}
-    for q in range(n):
-        tgt = int(knn[q, 0])
-        pools.setdefault(tgt, set()).update(int(x) for x in knn[q, 1:])
+    if nn_lists is not None:
+        ix = {int(v): i for i, v in enumerate(ids)}
+        for lst in nn_lists:
+            if lst is None:
+                continue
+            arr = np.asarray(lst)
+            if arr.ndim == 0 or arr.size == 0:   # NULL join result / empty
+                continue
+            loc = [ix[int(x)] for x in arr]
+            pools.setdefault(loc[0], set()).update(loc[1:])
+    else:
+        k = min(params.m_sq, n - 1)
+        blk = max(1, int(200_000_000 // (8 * n)))  # ~200 MB sims blocks
+        for s in range(0, n, blk):
+            sims = vecs[s:s + blk] @ vecs.T
+            for i in range(sims.shape[0]):
+                sims[i, s + i] = -np.inf       # exclude self
+            knn = np.argsort(-sims, axis=1)[:, :k]
+            for q in range(knn.shape[0]):
+                tgt = int(knn[q, 0])
+                pools.setdefault(tgt, set()).update(int(x)
+                                                    for x in knn[q, 1:])
     adj = [np.empty(0, dtype=np.int64)] * n
     edges: dict[int, set] = {i: set() for i in range(n)}
     for tgt, pool in pools.items():
@@ -109,23 +133,64 @@ def _build_one_shard(ids: np.ndarray, vecs: np.ndarray,
     return adj, ep
 
 
+def _shard_expr(col: str, n_shards: int):
+    return F.pmod(F.hash(F.col(col)), F.lit(n_shards)).cast("int")
+
+
+def shard_self_knn(base: DataFrame, n_shards: int, k: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "vec") -> DataFrame:
+    """Within-shard exact kNN as a distributed table: (query_id, rank,
+    base_id, score), self excluded, both sides in the same hash shard.
+
+    This is the reference's build-input kNN file
+    (`/root/reference/src/index_bipartite.cpp:3111-3150`) re-expressed as
+    a first-class stage: each shard's queries run through the blocked
+    GEMM operator against that shard's bases, so the O(n_shard^2 * d)
+    kNN compute spreads over the whole cluster in bounded-memory batches
+    instead of running single-threaded inside each build task.
+    """
+    from functools import reduce
+
+    from .brute_force import knn_exact_gemm
+    parts = []
+    for s in range(n_shards):
+        sub = base.filter(_shard_expr(id_col, n_shards) == s)
+        parts.append(knn_exact_gemm(
+            sub.select(F.col(id_col).alias("query_id"), vec_col),
+            sub.select(F.col(id_col).alias("base_id"), vec_col),
+            k + 1, metric="ip"))     # +1: the self match is dropped below
+    out = reduce(DataFrame.unionByName, parts)
+    return out.filter(F.col("query_id") != F.col("base_id"))
+
+
 def build_sharded(base: DataFrame, n_shards: int,
                   params: RoarGraphParams = RoarGraphParams(),
-                  id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "vec",
+                  train_knn: DataFrame | None = None) -> DataFrame:
     """(shard, src, nbrs, is_entry) adjacency for every shard.
 
     Sharding is hash(id) % n_shards: uniform by construction, no skew.
     One task per shard; S-way parallel, zero cross-shard traffic.
+
+    ``train_knn`` (query_id, rank, base_id — e.g. shard_self_knn's
+    output) supplies the pass-1 kNN lists as build input; cross-shard
+    pairs are filtered out so each sub-index only ever references its
+    own shard. Without it each build task computes its shard's kNN
+    locally (blocked, but quadratic per task — fine for small shards,
+    the table path is the 100 TB shape).
     """
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # applyInPandas-free: rows arrive grouped+sorted by shard via
         # repartition+sortWithinPartitions; accumulate one shard at a time
-        cur_shard, ids_acc, vec_acc = None, [], []
+        cur_shard, ids_acc, vec_acc, nn_acc = None, [], [], []
+        with_nn = [False]
 
-        def emit(shard, ids_l, vecs_l):
+        def emit(shard, ids_l, vecs_l, nn_l):
             ids = np.array(ids_l, dtype=np.int64)
             vecs = np.vstack(vecs_l).astype(np.float64)
-            adj, ep = _build_one_shard(ids, vecs, params)
+            adj, ep = _build_one_shard(
+                ids, vecs, params, nn_lists=nn_l if with_nn[0] else None)
             return pd.DataFrame({
                 "shard": np.full(len(ids), shard, dtype=np.int32),
                 "src": ids,
@@ -135,20 +200,31 @@ def build_sharded(base: DataFrame, n_shards: int,
             })
 
         for pdf in it:
-            for shard, vid, vec in zip(pdf["shard"], pdf[id_col],
-                                       pdf[vec_col]):
+            with_nn[0] = "_nn" in pdf.columns
+            nns = pdf["_nn"] if with_nn[0] else [None] * len(pdf)
+            for shard, vid, vec, nn in zip(pdf["shard"], pdf[id_col],
+                                           pdf[vec_col], nns):
                 if cur_shard is not None and shard != cur_shard:
-                    yield emit(cur_shard, ids_acc, vec_acc)
-                    ids_acc, vec_acc = [], []
+                    yield emit(cur_shard, ids_acc, vec_acc, nn_acc)
+                    ids_acc, vec_acc, nn_acc = [], [], []
                 cur_shard = shard
                 ids_acc.append(int(vid))
                 vec_acc.append(np.asarray(vec, dtype=np.float64))
+                nn_acc.append(nn)
         if ids_acc:
-            yield emit(cur_shard, ids_acc, vec_acc)
+            yield emit(cur_shard, ids_acc, vec_acc, nn_acc)
 
-    sharded = base.withColumn(
-        "shard", F.pmod(F.hash(F.col(id_col)), F.lit(n_shards))
-        .cast("int"))
+    sharded = base.withColumn("shard", _shard_expr(id_col, n_shards))
+    if train_knn is not None:
+        lists = (train_knn
+                 .filter(F.col("query_id") != F.col("base_id"))
+                 .filter(_shard_expr("query_id", n_shards)
+                         == _shard_expr("base_id", n_shards))
+                 .groupBy(F.col("query_id").alias(id_col))
+                 .agg(F.sort_array(F.collect_list(
+                     F.struct("rank", "base_id"))).alias("l"))
+                 .select(id_col, F.col("l.base_id").alias("_nn")))
+        sharded = sharded.join(lists, id_col, "left")
     return (sharded.repartition(n_shards, "shard")
             .sortWithinPartitions("shard", id_col)
             .mapInPandas(build, schema=_SHARD_GRAPH_SCHEMA))

@@ -54,6 +54,22 @@ def test_shard_assignment_matches_spark(spark, shard_graph):
             assert assign[x] == r["shard"]
 
 
+def test_build_from_knn_table_equals_in_task_knn(spark, shard_graph):
+    """build_sharded(train_knn=shard_self_knn(...)) — the distributed
+    kNN-as-build-input path (reference: the kNN file IS the build input)
+    — must produce the same graph as the in-task blocked kNN fallback."""
+    vecs = TD.embeddings_norm(spark, SF_SMOKE)
+    base = vecs.select("vec_id", "vec")
+    p = graph_build.RoarGraphParams(m_sq=20, m_pjbp=12, l_pjpq=40)
+    knn = sharded.shard_self_knn(base, N_SHARDS, p.m_sq)
+    g2 = sharded.build_sharded(base, N_SHARDS, p, train_knn=knn)
+    ref = {r["src"]: (r["shard"], sorted(r["nbrs"]), r["is_entry"])
+           for r in shard_graph.collect()}
+    got = {r["src"]: (r["shard"], sorted(r["nbrs"]), r["is_entry"])
+           for r in g2.collect()}
+    assert got == ref
+
+
 def test_sharded_search_recall(spark, shard_graph):
     vecs = TD.embeddings_norm(spark, SF_SMOKE)
     queries = vecs.filter(F.col("set_id") < 10)
