@@ -415,12 +415,18 @@ def embedding_near_dup_bucketed(vecs: DataFrame, threshold: float = 0.95,
                                    StructType)
 
     from ..functions import vector as V
-    from .simsearch import lsh_buckets
+    from .simsearch import lsh_bucket_col
 
     norm = V.with_l2_normalized(vecs, vec_col, "_v") \
         .select(F.col(id_col), "_v")
-    bkt = lsh_buckets(norm, n_planes, seed, id_col=id_col, vec_col="_v")
-    data = norm.join(bkt, id_col)
+    first = norm.select("_v").first()
+    if first is None:
+        raise ValueError("embedding_near_dup_bucketed: empty input")
+    # bucket as an inline column expression — no self-join to attach it
+    data = norm.select(
+        F.col(id_col), "_v",
+        lsh_bucket_col(len(first[0]), n_planes, seed, "_v")
+        .alias("bucket"))
     thr = float(threshold)
     schema = StructType([StructField("a", LongType()),
                          StructField("b", LongType()),

@@ -109,18 +109,15 @@ def kmeans(vecs: DataFrame, k: int, iters: int = 3,
     return assign
 
 
-def lsh_buckets(vecs: DataFrame, n_planes: int = 8, seed: int = 42,
-                id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
-    """(id, bucket): sign-bit signature under seeded random hyperplanes.
+def lsh_bucket_col(dim: int, n_planes: int = 8, seed: int = 42,
+                   vec_col: str = "vec"):
+    """Sign-bit LSH signature as a plain Column expression.
 
     The projection matrix is generated on the driver (seeded, tiny:
-    n_planes x dim) and folded into a JVM-side expression — no UDF. Used
-    to pre-bucket cosine near-dup joins.
+    n_planes x dim) and folded into a JVM-side expression — no UDF, no
+    join: callers attach the bucket with a select, so bucketing adds
+    zero shuffles of its own.
     """
-    first = vecs.select(vec_col).first()
-    if first is None:
-        raise ValueError("lsh_buckets: empty input DataFrame")
-    dim = len(first[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
     sig = None
@@ -129,4 +126,17 @@ def lsh_buckets(vecs: DataFrame, n_planes: int = 8, seed: int = 42,
         bit = (V.dot(V.to_double(F.col(vec_col)), plane) > 0).cast("long")
         term = bit * (2 ** i)
         sig = term if sig is None else sig + term
-    return vecs.select(F.col(id_col), sig.alias("bucket"))
+    return sig
+
+
+def lsh_buckets(vecs: DataFrame, n_planes: int = 8, seed: int = 42,
+                id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
+    """(id, bucket): sign-bit signature under seeded random hyperplanes.
+    Used to pre-bucket cosine near-dup joins."""
+    first = vecs.select(vec_col).first()
+    if first is None:
+        raise ValueError("lsh_buckets: empty input DataFrame")
+    dim = len(first[0])
+    return vecs.select(
+        F.col(id_col),
+        lsh_bucket_col(dim, n_planes, seed, vec_col).alias("bucket"))

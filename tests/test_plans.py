@@ -52,3 +52,31 @@ def test_gemm_paths_scan_only_needed_columns(spark):
     scan_schema = text.split("ReadSchema:")[-1].split("\n")[0]
     assert "embedding" in scan_schema
     assert "label" not in scan_schema  # pruned: GEMM path reads id+vec only
+
+
+def test_bucketed_near_dup_shuffles_on_bucket_no_broadcast_matrix(spark):
+    """The no-broadcast near-dup path: one hash shuffle keyed on the LSH
+    bucket feeding the grouped Arrow kernel — and no broadcast anywhere
+    (the broadcast GEMM impl is exactly what this path exists to avoid)."""
+    df = E.queries()["embedding_near_dup_bucketed"](spark, SF_SMOKE)
+    text = plan_text(df)
+    assert "hashpartitioning(bucket" in text
+    assert "FlatMapGroupsInPandas" in text
+    assert "Broadcast" not in text
+
+
+def test_ivf_centroids_single_shuffle(spark):
+    """Centroid build must be ONE exchange (dim scalar partial aggs),
+    not posexplode + two groupBys."""
+    from cross_modal_multivector_search_spark import testdata as TD
+    from cross_modal_multivector_search_spark.functions import vector as V
+    from cross_modal_multivector_search_spark.operators import simsearch
+    e = TD.load(spark, SF_SMOKE, "embeddings")
+    v = V.with_l2_normalized(e, "embedding", "vec").select(
+        "vec_id", "label", "vec")
+    cents = simsearch.ivf_centroids(v, dim=64)
+    import re
+    text = plan_text(cents)
+    # formatted mode prints each node twice (tree + detail): count nodes
+    assert len(re.findall(r"\(\d+\) Exchange", text)) == 1
+    assert "partial" in text.lower()    # map-side partial aggregation
