@@ -1300,6 +1300,66 @@ GROUP BY a.query_id ORDER BY a.query_id
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end under the oracle gate: opaque
+    binary payloads -> Arrow-batched feature extraction (deterministic
+    fake kernel — decode codecs are a declared container limitation) +
+    the relational video frame-sampling plan. Every output column is
+    SQL-derivable: modality cycle, feature dim, unit norm, frame count
+    from the duration/step arithmetic."""
+    from cross_modal_multivector_search_spark.operators import multimodal
+    m = multimodal.synthetic_media(spark, 64)
+    feats = multimodal.extract_features(m, dim=16)
+    norms = feats.select(
+        "media_id",
+        F.size("feature").cast("long").alias("dim"),
+        F.round(F.sqrt(F.aggregate(
+            F.transform("feature",
+                        lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x)), 5).alias("norm"))
+    frames = (multimodal.frame_sample_plan(m, every_ms=1000)
+              .groupBy("media_id").agg(F.count("*").alias("n_frames")))
+    return (m.select("media_id", "modality")
+            .join(norms, "media_id")
+            .join(frames, "media_id", "left")
+            .fillna(0, subset=["n_frames"])
+            .orderBy("media_id"))
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(16 AS BIGINT) AS dim,
+       CAST(1.0 AS DOUBLE) AS norm,
+       CAST(CASE WHEN i % 3 = 2 THEN 5 ELSE 0 END AS BIGINT) AS n_frames
+FROM range(64) t(i) ORDER BY media_id
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup (dropDuplicates under a watermark) run on
+    the batch plan — batch and stream share the operator, so the batch
+    result IS the oracle-checkable twin. Emits per-user unique-key
+    counts (which surviving duplicate row wins is engine-internal; the
+    key set is deterministic). Key = (user, event hour): duplicate
+    deliveries within an hour collapse to one — the sf0.01 table has 433
+    such collisions, so the dedup is exercised, not vacuous."""
+    ev = TD.load_events(spark, sf_dir)
+    keyed = ev.withColumn("ts_hour", F.date_trunc("hour", F.col("ts")))
+    out = stream_events.stream_dedup(keyed, ["user_id", "ts_hour"])
+    return (out.groupBy("user_id")
+            .agg(F.count("*").alias("n_unique"))
+            .orderBy("user_id"))
+
+
+SQL_STREAM_DEDUP = """
+SELECT user_id,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_unique
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_random_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded unit-norm Gaussian synthesis. The NumPy PRNG stream has no
     SQL twin, but its invariants do: exactly n rows with ids 0..n-1, every
@@ -1446,6 +1506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "superset_validation": q_superset_validation,
         "nn_wise_similarity": q_nn_wise_similarity,
         "random_vectors": q_random_vectors,
+        "multimodal_features": q_multimodal_features,
+        "stream_dedup": q_stream_dedup,
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
     }
@@ -1500,6 +1562,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_varcard_search": SQL_CHAMFER_VARCARD,
         "graph_connectivity": SQL_GRAPH_CONNECTIVITY,
         "random_vectors": SQL_RANDOM_VECTORS,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "stream_dedup": SQL_STREAM_DEDUP,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
     }
