@@ -212,7 +212,7 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32,
             .agg(F.sum("bitval").alias("simhash")))
 
 
-def _local_components(sym: DataFrame) -> DataFrame:
+def _local_label_rows(sym: DataFrame) -> list:
     """Driver-side union-find over a collected edge list; same contract
     as the distributed loop: component = min reachable node id."""
     parent: dict = {}
@@ -225,17 +225,33 @@ def _local_components(sym: DataFrame) -> DataFrame:
             parent[v], v = root, parent[v]
         return root
 
-    for row in sym.toLocalIterator():
-        x, y = row[0], row[1]
+    # one Arrow fetch (toLocalIterator would run a sequential job per
+    # partition); at the 5M-edge gate this is ~160 MB of int64 columns
+    pdf = sym.toPandas()
+    for x, y in zip(pdf.iloc[:, 0].to_numpy(), pdf.iloc[:, 1].to_numpy()):
+        x, y = int(x), int(y)
         parent.setdefault(x, x)
         parent.setdefault(y, y)
         rx, ry = find(x), find(y)
         if rx != ry:
             parent[max(rx, ry)] = min(rx, ry)  # min-id root => min label
-    rows = [(v, find(v)) for v in parent]
+    return [(int(v), int(find(v))) for v in parent]
+
+
+def _local_components(sym: DataFrame) -> DataFrame:
+    rows = _local_label_rows(sym)
     return sym.sparkSession.createDataFrame(
         rows, "node long, component long") if rows else \
         sym.sparkSession.createDataFrame([], "node long, component long")
+
+
+def _symmetrized_edges(pairs: DataFrame, a_col: str,
+                       b_col: str) -> DataFrame:
+    edges = pairs.select(F.col(a_col).cast("long").alias("x"),
+                         F.col(b_col).cast("long").alias("y"))
+    return edges.unionByName(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))) \
+        .distinct().localCheckpoint()
 
 
 def connected_components(pairs: DataFrame, a_col: str = "a",
@@ -267,11 +283,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     taste, set it to 0 to force the distributed path (what SCALE_PROBE
     exercises at 2.5M nodes / 3.5M edges).
     """
-    edges = pairs.select(F.col(a_col).cast("long").alias("x"),
-                         F.col(b_col).cast("long").alias("y"))
-    sym = edges.unionByName(
-        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))) \
-        .distinct().localCheckpoint()
+    sym = _symmetrized_edges(pairs, a_col, b_col)
     if local_threshold and sym.count() <= local_threshold:
         return _local_components(sym)
     labels = sym.select("x").distinct().withColumn("label", F.col("x"))
@@ -313,7 +325,8 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
 
 
 def dedup_clusters(pairs: DataFrame, a_col: str = "a",
-                   b_col: str = "b") -> DataFrame:
+                   b_col: str = "b",
+                   local_threshold: int = 5_000_000) -> DataFrame:
     """Resolve candidate near-dup pairs into clusters: (doc_id,
     cluster_id, cluster_size, is_canonical).
 
@@ -322,8 +335,25 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a",
     both A and B). cluster_id = min doc id in the connected component;
     canonical = that min doc. Docs with no candidate pair are implicitly
     their own singleton cluster and are not emitted.
+
+    Below the size gate the whole table (labels + sizes + canonical
+    flags) is computed driver-side in one pass — the distributed
+    groupBy+join over a driver-resident map would be two Spark jobs of
+    pure overhead.
     """
-    comp = connected_components(pairs, a_col, b_col)
+    sym = _symmetrized_edges(pairs, a_col, b_col)
+    if local_threshold and sym.count() <= local_threshold:
+        labels = _local_label_rows(sym)
+        sizes: dict = {}
+        for _, comp in labels:
+            sizes[comp] = sizes.get(comp, 0) + 1
+        rows = [(node, comp, sizes[comp], node == comp)
+                for node, comp in labels]
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id long, cluster_id long, cluster_size long, "
+                  "is_canonical boolean")
+    comp = connected_components(pairs, a_col, b_col,
+                                local_threshold=0)
     sizes = comp.groupBy("component") \
         .agg(F.count("*").alias("cluster_size"))
     return (comp.join(sizes, "component")
