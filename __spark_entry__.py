@@ -1300,6 +1300,61 @@ GROUP BY a.query_id ORDER BY a.query_id
 """
 
 
+KMEANS_K, KMEANS_ITERS = 8, 2
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (init = k lowest-id vectors, argmin
+    tie-broken by cell id): the coarse quantizer that feeds IVF. The
+    DuckDB twin unrolls the two iterations as CTE stages — assignment
+    via a window argmin, centroid update via the unnest-zip mean."""
+    v = TD.embeddings_norm(spark, sf_dir).select("vec_id", "vec")
+    out = simsearch.kmeans(v, k=KMEANS_K, iters=KMEANS_ITERS)
+    return out.select("vec_id", F.col("cell").cast("long").alias("cell")) \
+        .orderBy("vec_id")
+
+
+def _kmeans_sql() -> str:
+    assign = """
+{out} AS (
+  SELECT vec_id, cell, vec FROM (
+    SELECT v.vec_id, c.cell, v.vec,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             list_dot_product(v.vec, v.vec)
+             - 2 * list_dot_product(v.vec, c.centroid)
+             + list_dot_product(c.centroid, c.centroid),
+             c.cell) AS rn
+    FROM v CROSS JOIN {cents} c)
+  WHERE rn = 1)"""
+    update = """
+{out} AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+    SELECT cell, pos, avg(x) AS m FROM (
+      SELECT a.cell, unnest(range(1, len(a.vec) + 1)) AS pos,
+             unnest(a.vec) AS x
+      FROM {assign} a)
+    GROUP BY cell, pos)
+  GROUP BY cell)"""
+    parts = [f"WITH v AS ({TD.SQL_NORM_VECS}),",
+             f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         vec AS centroid
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {KMEANS_K})),"""]
+    cents = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(assign.format(out=f"a{i}", cents=cents) + ",")
+        if i < KMEANS_ITERS:
+            parts.append(update.format(out=f"c{i}", assign=f"a{i}") + ",")
+            cents = f"c{i}"
+    last = f"a{KMEANS_ITERS}"
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vec_id, cell FROM {last} ORDER BY vec_id")
+    return "\n".join(parts)
+
+
+SQL_KMEANS_CELLS = _kmeans_sql()
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end under the oracle gate: opaque
     binary payloads -> Arrow-batched feature extraction (deterministic
@@ -1506,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "superset_validation": q_superset_validation,
         "nn_wise_similarity": q_nn_wise_similarity,
         "random_vectors": q_random_vectors,
+        "kmeans_cells": q_kmeans_cells,
         "multimodal_features": q_multimodal_features,
         "stream_dedup": q_stream_dedup,
         "sessionize_events": q_sessionize_events,
@@ -1562,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_varcard_search": SQL_CHAMFER_VARCARD,
         "graph_connectivity": SQL_GRAPH_CONNECTIVITY,
         "random_vectors": SQL_RANDOM_VECTORS,
+        "kmeans_cells": SQL_KMEANS_CELLS,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "stream_dedup": SQL_STREAM_DEDUP,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
