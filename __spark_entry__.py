@@ -1124,6 +1124,134 @@ FROM agg ORDER BY doc_id
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy pass: redact emails/phones/IPs (per-row JVM regexp, no
+    shuffle). The synthetic corpus has no PII, so the query plants
+    deterministic fixtures first — both engines build the identical
+    augmented column, then scrub; value check covers counts AND the
+    scrubbed text (md5)."""
+    docs = TD.load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact a"),
+                            (F.col("doc_id") % 5).cast("string"),
+                            F.lit("@mail.example.org now")))
+            .when(F.col("doc_id") % 11 == 3,
+                  F.concat(F.lit(" call +1-555-010-"),
+                           F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                  4, "0")))
+            .when(F.col("doc_id") % 13 == 5,
+                  F.concat(F.lit(" from 10.0."),
+                           (F.col("doc_id") % 256).cast("string"),
+                           F.lit(".7")))
+            .otherwise(F.lit(""))).alias("text"))
+    out = text.pii_scrub(planted)
+    return out.select("doc_id", "n_redactions",
+                      F.md5("text_scrubbed").alias("scrub_md5")) \
+        .orderBy("doc_id")
+
+
+SQL_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0 THEN ' contact a' || (doc_id % 5)::VARCHAR
+                || '@mail.example.org now'
+           WHEN doc_id % 11 = 3 THEN ' call +1-555-010-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           WHEN doc_id % 13 = 5 THEN ' from 10.0.'
+                || (doc_id % 256)::VARCHAR || '.7'
+           ELSE '' END AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t FROM planted),
+s2 AS (
+  SELECT doc_id, c1,
+         len(regexp_extract_all(t,
+             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS c2,
+         regexp_replace(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}',
+                        '<PHONE>', 'g') AS t FROM s1),
+s3 AS (
+  SELECT doc_id, c1, c2,
+         len(regexp_extract_all(t,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS c3,
+         regexp_replace(t,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+             '<IP>', 'g') AS t FROM s2)
+SELECT doc_id, CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions,
+       md5(t) AS scrub_md5
+FROM s3 ORDER BY doc_id
+"""
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 token frequencies (vocab/tokenizer stats)."""
+    docs = TD.load(spark, sf_dir, "documents")
+    return text.token_frequencies(docs, k=50)
+
+
+SQL_TOP_TOKENS = f"""
+WITH {_SQL_TOK_SH}
+SELECT token, count(*) AS freq
+FROM tok GROUP BY token ORDER BY freq DESC, token LIMIT 50
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: 20 benchmark docs chosen by seeded md5
+    order; training docs sharing any distinct 3-gram with a benchmark
+    doc are flagged with their overlap counts."""
+    docs = TD.load(spark, sf_dir, "documents")
+    bench_ids = sampling.deterministic_sample(docs, 20, seed=7,
+                                              id_col="doc_id")
+    bench = docs.join(F.broadcast(bench_ids), "doc_id", "semi")
+    train = docs.join(F.broadcast(bench_ids), "doc_id", "anti")
+    out = curation.decontaminate(train, bench, shingle_n=3)
+    return out.orderBy("doc_id", "bench_id")
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_SQL_TOK_SH},
+samp AS (SELECT doc_id FROM documents
+         ORDER BY md5('7:' || doc_id::VARCHAR), doc_id LIMIT 20),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shf),
+t_sh AS (SELECT * FROM dsh WHERE doc_id NOT IN (SELECT doc_id FROM samp)),
+b_sh AS (SELECT doc_id AS bench_id, shingle FROM dsh
+         WHERE doc_id IN (SELECT doc_id FROM samp))
+SELECT t.doc_id, b.bench_id, count(*) AS n_overlap
+FROM t_sh t JOIN b_sh b USING (shingle)
+GROUP BY t.doc_id, b.bench_id
+ORDER BY t.doc_id, b.bench_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced eval-subset construction: 5 docs per (lang, source)
+    stratum by seeded md5 order — one window, no RNG state."""
+    docs = TD.load(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(docs, ["lang", "source"], 5, seed=42)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5('42:' || doc_id::VARCHAR),
+                                     doc_id) AS rn
+  FROM documents)
+WHERE rn <= 5 ORDER BY doc_id
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TD.load(spark, sf_dir, "documents")
     return text.winnow_fingerprints(docs, shingle_n=3, window=4) \
@@ -1556,6 +1684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "pii_scrub": q_pii_scrub,
+        "top_tokens": q_top_tokens,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         "ivf_topk": q_ivf_topk,
         "sampled_set_split": q_sampled_set_split,
         "superset_validation": q_superset_validation,
@@ -1604,6 +1736,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": SQL_QUALITY_SCORES,
         "lang_id": SQL_LANG_ID,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+        "pii_scrub": SQL_PII_SCRUB,
+        "top_tokens": SQL_TOP_TOKENS,
+        "decontaminate": SQL_DECONTAMINATE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "ivf_topk": SQL_IVF_TOPK,
         "sampled_set_split": SQL_SAMPLED_SET_SPLIT,
         "superset_validation": SQL_SUPERSET_VALIDATION,

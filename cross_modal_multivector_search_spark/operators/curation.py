@@ -21,6 +21,29 @@ from pyspark.sql import functions as F
 from . import dedup, text
 
 
+def decontaminate(train_docs: DataFrame, benchmark_docs: DataFrame,
+                  shingle_n: int = 8, min_overlap: int = 1,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Test-set decontamination: training documents sharing >=
+    ``min_overlap`` distinct n-gram shingles with any benchmark document.
+
+    Returns (doc_id, bench_id, n_overlap) — the contaminated pairs a
+    pipeline anti-joins away before training. Scale shape: both sides
+    shingle + distinct, then an equi-join on the shingle — only
+    co-shingled pairs ever materialize (never |train| x |bench|), and
+    the benchmark side is tiny so its shingle table broadcasts.
+    """
+    t_sh = dedup.shingles(train_docs, shingle_n, id_col, text_col) \
+        .select(id_col, "shingle").distinct()
+    b_sh = dedup.shingles(benchmark_docs, shingle_n, id_col, text_col) \
+        .select(F.col(id_col).alias("bench_id"), "shingle").distinct()
+    return (t_sh.join(F.broadcast(b_sh), "shingle")
+            .groupBy(id_col, "bench_id")
+            .agg(F.count("*").alias("n_overlap"))
+            .filter(F.col("n_overlap") >= min_overlap))
+
+
 def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
                   langs: tuple[str, ...] = ("en",),
                   num_hashes: int = 8, bands: int = 4,

@@ -40,6 +40,23 @@ def deterministic_sample(df: DataFrame, n: int, seed: int = 42,
             .limit(n))
 
 
+def stratified_sample(df: DataFrame, strata_cols: list[str], n_per: int,
+                      seed: int = 42,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sample: n_per rows per stratum, chosen
+    by md5(seed||id) order within each stratum (seeded shuffle any SQL
+    engine reproduces — same trick as deterministic_sample).
+
+    One window over the strata partitioning; no collect, no RNG state —
+    the standard balanced-subset pass for eval-set construction.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))), F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_per).drop("_rn"))
+
+
 def split_by_sets(vecs: DataFrame, sampled_sets: DataFrame,
                   set_col: str = "set_id") -> tuple[DataFrame, DataFrame]:
     """(sampled, remaining) — whole sets stay together (semi/anti join)."""

@@ -96,6 +96,54 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
                       best.alias("marker_hits"))
 
 
+# PII patterns kept to RE2-compatible syntax (character classes +
+# quantifiers only) so the same pattern string runs in Spark's Java
+# regex AND the DuckDB oracle's RE2.
+PII_PATTERNS = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "IP": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, text_scrubbed, n_redactions): redact emails / E.164-style
+    phone numbers / IPv4 literals with <EMAIL>/<PHONE>/<IP> tokens.
+
+    The standard pretraining privacy pass, as pure JVM regexp column
+    expressions (per-row, embarrassingly parallel — no shuffle at all).
+    Order matters: emails first so user@host is not half-eaten by the
+    IP pattern; counts are taken per pattern before its replacement.
+    """
+    out = docs
+    count_expr = None
+    scrubbed = F.col(text_col)
+    for tag in ("EMAIL", "PHONE", "IP"):   # deterministic order
+        pat = PII_PATTERNS[tag]
+        c = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+        count_expr = c if count_expr is None else count_expr + c
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{tag}>")
+    return out.select(F.col(id_col),
+                      scrubbed.alias("text_scrubbed"),
+                      count_expr.cast("long").alias("n_redactions"))
+
+
+def token_frequencies(docs: DataFrame, k: int = 50,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k token frequencies (count desc, token asc).
+
+    One shuffle keyed on token with map-side partial counts; the global
+    top-k sorts only the VOCABULARY (≪ corpus) — the standard corpus
+    statistics pass for tokenizer/vocab work.
+    """
+    t = tokens(docs, id_col, text_col)
+    return (t.groupBy("token").agg(F.count("*").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("token"))
+            .limit(k))
+
+
 def lang_quality(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """lang_id + quality_scores fused into ONE token pass.

@@ -249,3 +249,47 @@ def test_set_gt_ibin_roundtrip(spark, tmp_path):
     back = fbin.read_set_gt_ibin(spark, p)
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, df.collect()))
+
+
+def test_pii_scrub_planted(spark):
+    d = spark.createDataFrame(
+        [(1, "mail me at bob@x.org or call +1-555-010-1234"),
+         (2, "server 10.0.0.7 is fine"),
+         (3, "nothing here")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.pii_scrub(d).collect()}
+    assert out[1]["n_redactions"] == 2
+    assert "<EMAIL>" in out[1]["text_scrubbed"]
+    assert "<PHONE>" in out[1]["text_scrubbed"]
+    assert out[2]["text_scrubbed"] == "server <IP> is fine"
+    assert out[3]["n_redactions"] == 0
+
+
+def test_token_frequencies_order(spark):
+    d = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b z")], "doc_id long, text string")
+    rows = text.token_frequencies(d, k=3).collect()
+    assert [(r["token"], r["freq"]) for r in rows] == \
+        [("a", 3), ("b", 3), ("c", 1)]   # tie a/b broken by token asc
+
+
+def test_decontaminate_flags_overlap(spark):
+    from cross_modal_multivector_search_spark.operators import curation
+    train = spark.createDataFrame(
+        [(1, "w x y z q"), (2, "totally different words here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "p w x y r")], "doc_id long, text string")
+    rows = curation.decontaminate(train, bench, shingle_n=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["bench_id"] == 100
+    assert rows[0]["n_overlap"] == 1    # shared 3-gram: "w x y"
+
+
+def test_stratified_sample_counts_and_determinism(docs):
+    from cross_modal_multivector_search_spark.operators import sampling
+    s1 = sampling.stratified_sample(docs, ["lang", "source"], 3)
+    s2 = sampling.stratified_sample(docs, ["lang", "source"], 3)
+    assert sorted(r["doc_id"] for r in s1.collect()) == \
+        sorted(r["doc_id"] for r in s2.collect())
+    per = s1.groupBy("lang", "source").count().collect()
+    assert all(r["count"] <= 3 for r in per)
