@@ -1252,6 +1252,54 @@ WHERE rn <= 5 ORDER BY doc_id
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass (lowercase / strip punctuation / collapse
+    whitespace) — value-checked via the normalized text's md5."""
+    docs = TD.load(spark, sf_dir, "documents")
+    out = text.normalize_text(docs)
+    return out.select("doc_id", F.md5("text_norm").alias("norm_md5"),
+                      F.length("text_norm").cast("long").alias("n_chars")) \
+        .orderBy("doc_id")
+
+
+SQL_NORMALIZE_TEXT = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm
+  FROM documents)
+SELECT doc_id, md5(text_norm) AS norm_md5,
+       CAST(len(text_norm) AS BIGINT) AS n_chars
+FROM n ORDER BY doc_id
+"""
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition statistics over 2-grams."""
+    docs = TD.load(spark, sf_dir, "documents")
+    return text.repetition_scores(docs, ngram=2).orderBy("doc_id")
+
+
+SQL_REPETITION_SCORES = f"""
+WITH {_SQL_TOK_SH},
+sh2 AS (
+  SELECT doc_id, concat_ws(' ', token, lead(token, 1) OVER w) AS shingle,
+         lead(token, 1) OVER w AS _l
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+g AS (SELECT doc_id, shingle, count(*) AS c FROM sh2
+      WHERE _l IS NOT NULL GROUP BY doc_id, shingle),
+a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+             count(*) AS d, max(c) AS t
+      FROM g GROUP BY doc_id)
+SELECT doc_id, n_ngrams,
+       ROUND(1.0 - d / CAST(n_ngrams AS DOUBLE) + 1.2345678e-9, 5)
+         AS dup_ngram_frac,
+       ROUND(t / CAST(n_ngrams AS DOUBLE) + 1.2345678e-9, 5)
+         AS top_ngram_frac
+FROM a ORDER BY doc_id
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TD.load(spark, sf_dir, "documents")
     return text.winnow_fingerprints(docs, shingle_n=3, window=4) \
@@ -1685,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "winnow_fingerprints": q_winnow_fingerprints,
         "pii_scrub": q_pii_scrub,
+        "normalize_text": q_normalize_text,
+        "repetition_scores": q_repetition_scores,
         "top_tokens": q_top_tokens,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -1737,6 +1787,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "pii_scrub": SQL_PII_SCRUB,
+        "normalize_text": SQL_NORMALIZE_TEXT,
+        "repetition_scores": SQL_REPETITION_SCORES,
         "top_tokens": SQL_TOP_TOKENS,
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -48,9 +48,14 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
                   langs: tuple[str, ...] = ("en",),
                   num_hashes: int = 8, bands: int = 4,
                   shingle_n: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  benchmark_docs: DataFrame | None = None) -> DataFrame:
     """Surviving documents with their curation features:
-    (doc_id, pred_lang, quality_score, n_tokens)."""
+    (doc_id, pred_lang, quality_score, n_tokens).
+
+    ``benchmark_docs`` adds a decontamination stage: training docs
+    sharing any ``shingle_n``-gram with a benchmark doc are dropped
+    (anti join on the flagged set)."""
     keep_exact = dedup.dedup_exact(docs, id_col, text_col,
                                    only_dups=False) \
         .select(F.col("keep_id").alias(id_col))
@@ -65,9 +70,15 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
     # two separate scans of the token table would double the dominant
     # cost at corpus scale
     feats = text.lang_quality(docs, id_col, text_col)
-    return (docs.select(id_col)
-            .join(keep_exact, id_col, "semi")
-            .join(drop_near, id_col, "anti")
+    out = (docs.select(id_col)
+           .join(keep_exact, id_col, "semi")
+           .join(drop_near, id_col, "anti"))
+    if benchmark_docs is not None:
+        contaminated = decontaminate(
+            docs, benchmark_docs, shingle_n, id_col=id_col,
+            text_col=text_col).select(id_col).distinct()
+        out = out.join(contaminated, id_col, "anti")
+    return (out
             .join(feats, id_col)
             .filter(F.col("pred_lang").isin(*langs)
                     & (F.col("quality_score") >= quality_threshold))

@@ -144,6 +144,44 @@ def token_frequencies(docs: DataFrame, k: int = 50,
             .limit(k))
 
 
+def normalize_text(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, text_norm): lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace runs, trim — the canonicalization pass run
+    before exact/near dedup so trivial variants collapse. Pure JVM
+    column expressions, shuffle-free.
+    """
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return docs.select(F.col(id_col), F.trim(t).alias("text_norm"))
+
+
+def repetition_scores(docs: DataFrame, ngram: int = 2,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, n_ngrams, dup_ngram_frac, top_ngram_frac): token-level
+    repetition statistics in the MassiveText/Gopher style — the share
+    of n-gram occurrences that are repeats, and the share taken by the
+    single most frequent n-gram. High values flag boilerplate/spam.
+
+    Two map-side-combinable aggregations (per (doc, ngram), then per
+    doc) — no joins, no windows.
+    """
+    sh = shingles(docs, ngram, id_col, text_col).select(id_col, "shingle")
+    per = sh.groupBy(id_col, "shingle").agg(F.count("*").alias("c"))
+    return (per.groupBy(id_col)
+            .agg(F.sum("c").alias("_total"),
+                 F.count("*").alias("_distinct"),
+                 F.max("c").alias("_top"))
+            .select(
+                F.col(id_col), F.col("_total").alias("n_ngrams"),
+                F.round(1.0 - F.col("_distinct") / F.col("_total")
+                        + ROUND_EPS, 5).alias("dup_ngram_frac"),
+                F.round(F.col("_top") / F.col("_total") + ROUND_EPS, 5)
+                .alias("top_ngram_frac")))
+
+
 def lang_quality(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """lang_id + quality_scores fused into ONE token pass.

@@ -293,3 +293,42 @@ def test_stratified_sample_counts_and_determinism(docs):
         sorted(r["doc_id"] for r in s2.collect())
     per = s1.groupBy("lang", "source").count().collect()
     assert all(r["count"] <= 3 for r in per)
+
+
+def test_normalize_text_canonicalizes(spark):
+    d = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! (x1) "), (2, "a b")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text_norm"]
+           for r in text.normalize_text(d).collect()}
+    assert out[1] == "hello world x1"
+    assert out[2] == "a b"
+
+
+def test_repetition_scores_flags_boilerplate(spark):
+    d = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),       # one 2-gram repeated 4x
+         (2, "all tokens here are unique now")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.repetition_scores(d, ngram=2).collect()}
+    assert out[1]["dup_ngram_frac"] > 0.7 and out[1]["top_ngram_frac"] == 1.0
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[2]["n_ngrams"] == 5   # 6 tokens -> 5 bigrams
+
+
+def test_curate_corpus_decontaminates(spark):
+    from cross_modal_multivector_search_spark.operators import curation
+    en = ("the quick brown fox and the lazy dog ran to the old park "
+          "of hidden wonders and a river of calm water")
+    en2 = ("a calm morning of soft light and the quiet sound of birds "
+          "over the wide green field near the old mill house there")
+    d = spark.createDataFrame(
+        [(1, en), (2, en2)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(900, "some prefix the quick brown fox suffix words")],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            curation.curate_corpus(d, quality_threshold=0.3,
+                                   benchmark_docs=bench).collect()}
+    assert kept == {2}   # doc 1 shares the 3-gram "the quick brown"
