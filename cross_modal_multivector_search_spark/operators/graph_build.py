@@ -75,9 +75,14 @@ class RoarGraphIndex:
 
 
 def _collect_matrix(base: DataFrame, id_col: str, vec_col: str):
-    rows = base.select(id_col, vec_col).orderBy(id_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    # Arrow fetch, not collect(): no per-row Row objects, ~5-10x faster
+    # materialization of the broadcast payload. (The single-index path
+    # is bounded by one machine's memory by design — the index must fit
+    # wherever it is searched; the sharded path is the beyond-memory
+    # shape.)
+    pdf = base.select(id_col, vec_col).orderBy(id_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     return ids, mat
 
 
