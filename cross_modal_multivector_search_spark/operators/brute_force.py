@@ -76,9 +76,12 @@ def knn_exact_gemm(queries: DataFrame, base: DataFrame, k: int,
     """
     if metric not in _SQL_METRICS:
         raise ValueError(f"unknown metric {metric!r}")
-    q_rows = queries.select(query_id, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # Arrow fetch: the query side can be a whole shard's worth of rows
+    # (shard_self_knn), where per-row Row objects are the slow path
+    q_pdf = queries.select(query_id, vec_col).toPandas()
+    q_ids = q_pdf[query_id].to_numpy(dtype=np.int64)
+    q_mat = (np.vstack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+             if len(q_pdf) else np.empty((0, 0)))
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, q_mat, metric, k))
 
