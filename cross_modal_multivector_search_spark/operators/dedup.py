@@ -286,6 +286,13 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     sym = _symmetrized_edges(pairs, a_col, b_col)
     if local_threshold and sym.count() <= local_threshold:
         return _local_components(sym)
+    return _components_distributed(sym, max_iter)
+
+
+def _components_distributed(sym: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Distributed pointer-jumping over ALREADY-symmetrized, checkpointed
+    edges — internal entry so dedup_clusters' large path doesn't pay a
+    second symmetrize+distinct over the full edge list."""
     labels = sym.select("x").distinct().withColumn("label", F.col("x"))
     converged = False
     for _ in range(max_iter):
@@ -352,8 +359,7 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a",
         return pairs.sparkSession.createDataFrame(
             rows, "doc_id long, cluster_id long, cluster_size long, "
                   "is_canonical boolean")
-    comp = connected_components(pairs, a_col, b_col,
-                                local_threshold=0)
+    comp = _components_distributed(sym)
     sizes = comp.groupBy("component") \
         .agg(F.count("*").alias("cluster_size"))
     return (comp.join(sizes, "component")
@@ -364,10 +370,20 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a",
                     .alias("is_canonical")))
 
 
+# above this row count the exact GEMM's collected matrix stops being a
+# "small broadcast side" (200k x 64 float64 = ~100 MB; broadcast cost and
+# driver memory both scale linearly past it) and the LSH-bucketed scan is
+# the only shape that survives — mirrors the dedup_clusters local gate
+NEAR_DUP_EXACT_GATE = 200_000
+
+
 def embedding_near_dup_pairs(vecs: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "vec",
-                             impl: str = "gemm") -> DataFrame:
+                             impl: str = "auto",
+                             exact_gate: int = NEAR_DUP_EXACT_GATE,
+                             n_planes: int = 8,
+                             seed: int = 42) -> DataFrame:
     """(a, b, cos) pairs of near-duplicate embeddings (cos >= threshold).
 
     impl="sql": declarative cross join with the threshold filter in the
@@ -375,9 +391,23 @@ def embedding_near_dup_pairs(vecs: DataFrame, threshold: float = 0.95,
     impl="gemm": one BLAS GEMM per Arrow batch against the broadcast
     matrix, emitting only above-threshold pairs with a < b — identical
     output, ~10x faster (the reference's Eigen-GEMM analog). The
-    broadcast bounds this at executor memory; for the billion-row regime
-    pre-bucket with simsearch.lsh_buckets and run per bucket.
+    broadcast bounds this at executor memory.
+    impl="auto" (default): exact GEMM up to ``exact_gate`` rows, then
+    the LSH-bucketed per-bucket GEMM (embedding_near_dup_bucketed) — the
+    no-broadcast billion-row shape. Above the gate the result is the
+    standard LSH approximation (same-bucket pairs only; per-pair recall
+    (1 - theta/pi)^n_planes), which is what every at-scale near-dup
+    pipeline runs; callers needing exact output above the gate must pass
+    impl="gemm" explicitly and accept the broadcast.
     """
+    if impl == "auto":
+        # limit(gate+1).count() short-circuits the scan at the gate —
+        # the decision needs "is n > gate", never the exact n
+        if vecs.limit(exact_gate + 1).count() > exact_gate:
+            return embedding_near_dup_bucketed(
+                vecs, threshold, n_planes=n_planes, seed=seed,
+                id_col=id_col, vec_col=vec_col)
+        impl = "gemm"
     norm = V.with_l2_normalized(vecs, vec_col, "_v") \
         .select(F.col(id_col), "_v")
     if impl == "sql":

@@ -122,6 +122,25 @@ def test_embedding_near_dup_gemm_vs_sql(spark):
     assert sql == gemm and len(gemm) > 0
 
 
+def test_embedding_near_dup_auto_gate(spark):
+    """impl="auto" must be exact (== gemm) under the gate and switch to
+    the bucketed no-broadcast plan above it."""
+    v = TD.embeddings_norm(spark, SF_SMOKE).select("vec_id", "vec")
+    gemm = {(r["a"], r["b"]) for r in
+            dedup.embedding_near_dup_pairs(v, 0.4, impl="gemm").collect()}
+    auto = {(r["a"], r["b"]) for r in
+            dedup.embedding_near_dup_pairs(v, 0.4).collect()}
+    assert auto == gemm and len(auto) > 0
+    # force the gate down: the plan must become the bucketed
+    # applyInPandas shape (FlatMapGroupsInPandas), not a broadcast scan
+    over = dedup.embedding_near_dup_pairs(v, 0.4, exact_gate=10)
+    assert "FlatMapGroupsInPandas" in over._jdf.queryExecution() \
+        .executedPlan().toString()
+    bucketed = {(r["a"], r["b"]) for r in
+                dedup.embedding_near_dup_bucketed(v, 0.4).collect()}
+    assert {(r["a"], r["b"]) for r in over.collect()} == bucketed
+
+
 def test_embedding_near_dup_bucketed_equals_gemm_within_buckets(spark):
     """The bucketed (no-broadcast) path must emit exactly the exact-pair
     set restricted to same-bucket pairs — no dupes, no extras, scores
