@@ -75,6 +75,116 @@ def neg_ip(vecs: np.ndarray, ids, query: np.ndarray) -> np.ndarray:
     return -(vecs[ids] @ query)
 
 
+def pad_adjacency(adj: list, n: int) -> np.ndarray:
+    """Dense (n, max_degree) int64 adjacency, padded with the sentinel
+    index ``n`` (callers append a zero row / extra visited column at n so
+    padded gathers never collide with a real node)."""
+    dmax = max((len(a) for a in adj), default=0)
+    out = np.full((n, max(dmax, 1)), n, dtype=np.int64)
+    for i, a in enumerate(adj):
+        if len(a):
+            out[i, :len(a)] = a
+    return out
+
+
+def batch_supply_search_collect(adj: list, vecs: np.ndarray,
+                                query_nodes: np.ndarray, ep: int,
+                                beam_width: int,
+                                batch_rows: int | None = None) -> list:
+    """Wave-vectorized twin of ``supply_search_collect`` over many target
+    nodes at once: per wave, every still-active query expands its closest
+    unexpanded candidate, all neighbor gathers / distance dots / beam
+    merges run as single NumPy ops across the batch.
+
+    Exact-equivalence argument (pinned by tests): queries are independent
+    (snapshot graph, private visited sets), so interleaving them by waves
+    cannot change any one query's trajectory; within a query, the beam
+    queue's insert-at-``searchsorted(left)`` tie rule means a later
+    insert precedes earlier equal-distance entries — reproduced here by
+    concatenating the wave's new candidates in reverse neighbor order
+    BEFORE the existing pool and using a stable sort on distance. The
+    visited bitmap makes duplicate-id rejection structural.
+
+    Returns [(ret_ids, ret_dists), ...] aligned with ``query_nodes`` —
+    every expanded node in expansion order, exactly like the sequential
+    function.
+    """
+    n = len(vecs)
+    nq = len(query_nodes)
+    L = beam_width
+    adj_pad = pad_adjacency(adj, n)
+    dmax = adj_pad.shape[1]
+    vecs_ext = np.vstack([vecs, np.zeros((1, vecs.shape[1]))])
+    if batch_rows is None:
+        # visited bitmap is the footprint: B*(n+1) bytes; cap ~256 MB
+        batch_rows = int(np.clip(256_000_000 // max(n + 1, 1), 32, 8192))
+    results: list = [None] * nq
+
+    for s in range(0, nq, batch_rows):
+        qn = np.asarray(query_nodes[s:s + batch_rows], dtype=np.int64)
+        B = len(qn)
+        qmat = vecs[qn]                                   # (B, d)
+        ids = np.full((B, L), n, dtype=np.int64)
+        dists = np.full((B, L), np.inf)
+        expanded = np.ones((B, L), dtype=bool)            # padding: True
+        visited = np.zeros((B, n + 1), dtype=bool)
+        ids[:, 0] = ep
+        dists[:, 0] = -(qmat @ vecs[ep])
+        expanded[:, 0] = False
+        visited[:, ep] = True
+        visited[np.arange(B), qn] = True                  # target skip
+        trace_b, trace_id, trace_d = [], [], []
+
+        while True:
+            un = ~expanded
+            act = un.any(axis=1)
+            if not act.any():
+                break
+            rows = np.nonzero(act)[0]
+            fidx = un[rows].argmax(axis=1)
+            cur = ids[rows, fidx]
+            trace_b.append(rows)
+            trace_id.append(cur)
+            trace_d.append(dists[rows, fidx])
+            expanded[rows, fidx] = True
+
+            nbr = adj_pad[cur]                            # (A, dmax)
+            fresh = ~visited[rows[:, None], nbr]
+            fresh &= nbr < n                              # drop padding
+            visited[rows[:, None],
+                    np.where(fresh, nbr, n)] = True
+            nd = -np.einsum("and,ad->an", vecs_ext[nbr], qmat[rows])
+            new_d = np.where(fresh, nd, np.inf)
+            new_i = np.where(fresh, nbr, n)
+            # reverse neighbor order + place before the pool: stable sort
+            # then reproduces the queue's equal-distance insert order
+            cat_i = np.concatenate([new_i[:, ::-1], ids[rows]], axis=1)
+            cat_d = np.concatenate([new_d[:, ::-1], dists[rows]], axis=1)
+            cat_e = np.concatenate([~fresh[:, ::-1], expanded[rows]],
+                                   axis=1)
+            order = np.argsort(cat_d, axis=1, kind="stable")[:, :L]
+            ids[rows] = np.take_along_axis(cat_i, order, 1)
+            dists[rows] = np.take_along_axis(cat_d, order, 1)
+            expanded[rows] = np.take_along_axis(cat_e, order, 1)
+
+        if trace_b:
+            tb = np.concatenate(trace_b)
+            ti = np.concatenate(trace_id)
+            td = np.concatenate(trace_d)
+            # stable sort by query keeps per-query wave (=expansion) order
+            o = np.argsort(tb, kind="stable")
+            tb, ti, td = tb[o], ti[o], td[o]
+            bounds = np.searchsorted(tb, np.arange(B + 1))
+            for b in range(B):
+                lo, hi = bounds[b], bounds[b + 1]
+                results[s + b] = (ti[lo:hi].copy(), td[lo:hi].copy())
+        else:
+            for b in range(B):
+                results[s + b] = (np.empty(0, dtype=np.int64),
+                                  np.empty(0))
+    return results
+
+
 def occlusion_prune(cand_ids: np.ndarray, cand_dists: np.ndarray,
                     vecs: np.ndarray, m_degree: int,
                     exclude: int = -1, backfill: bool = True,
@@ -99,13 +209,12 @@ def occlusion_prune(cand_ids: np.ndarray, cand_dists: np.ndarray,
     ids, dists = ids[keep], dists[keep]
     if len(ids) == 0:
         return []
-    # dedup keeping nearest occurrence
+    # dedup keeping nearest occurrence; masking a dist-sorted array
+    # leaves it dist-sorted, so no re-sort is needed
     _, first_idx = np.unique(ids, return_index=True)
     mask = np.zeros(len(ids), dtype=bool)
     mask[first_idx] = True
     ids, dists = ids[mask], dists[mask]
-    order = np.argsort(dists, kind="stable")
-    ids, dists = ids[order], dists[order]
 
     start = 0
     if seed_skip:
@@ -113,17 +222,26 @@ def occlusion_prune(cand_ids: np.ndarray, cand_dists: np.ndarray,
             start += 1
         if start == len(ids):
             return []
+    # Pairwise candidate distances in one GEMM up front, plus a running
+    # occlusion mask updated only when a member is chosen: candidate p is
+    # occluded iff some chosen r has d(p, r) < d(p, target), and that
+    # predicate is monotone in the chosen set, so flag maintenance at
+    # choose-time is exactly the reference's per-examination scan.
+    C = -(vecs[ids] @ vecs[ids].T)
+    occluded = np.zeros(len(ids), dtype=bool)
+    taken = np.zeros(len(ids), dtype=bool)
     result = [int(ids[start])]
+    taken[start] = True
+    occluded |= C[start] < dists
     for two_pass in range(2):
         i = start
         while len(result) < m_degree and i + 1 < len(ids):
             i += 1
-            pid, pdist = int(ids[i]), dists[i]
-            if pid in result:
+            if taken[i] or occluded[i]:
                 continue
-            d_to_chosen = -(vecs[result] @ vecs[pid])
-            if not np.any(d_to_chosen < pdist):
-                result.append(pid)
+            taken[i] = True
+            result.append(int(ids[i]))
+            occluded |= C[i] < dists
         if len(result) >= m_degree:
             break
         start = 0  # second pass rescans from the head (slack 1.0)
@@ -131,7 +249,8 @@ def occlusion_prune(cand_ids: np.ndarray, cand_dists: np.ndarray,
         for j in range(len(ids)):
             if len(result) >= m_degree:
                 break
-            if int(ids[j]) not in result:
+            if not taken[j]:
+                taken[j] = True
                 result.append(int(ids[j]))
     return result
 

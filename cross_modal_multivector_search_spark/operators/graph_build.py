@@ -191,12 +191,13 @@ def build_roargraph(base: DataFrame, train_queries: DataFrame,
         g_ids, g_vecs = bc.value
         snap_adj, snap_ep = bc_graph.value
         for pdf in it:
+            nodes = pdf["node"].to_numpy(dtype=np.int64)
+            # all of this partition's node searches in one batched pass
+            traces = core.batch_supply_search_collect(
+                snap_adj, g_vecs, nodes, snap_ep, params.l_pjpq)
             out_src, out_nbrs = [], []
-            for node in pdf["node"]:
+            for node, (ret_ids, ret_dists) in zip(nodes, traces):
                 node = int(node)
-                ret_ids, ret_dists = core.supply_search_collect(
-                    snap_adj, g_vecs, g_vecs[node], node, snap_ep,
-                    params.l_pjpq)
                 keep = ret_ids != node
                 ret_ids, ret_dists = ret_ids[keep], ret_dists[keep]
                 if len(ret_ids) == 0:

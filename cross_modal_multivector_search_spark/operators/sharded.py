@@ -113,11 +113,13 @@ def _build_one_shard(ids: np.ndarray, vecs: np.ndarray,
     centroid = vecs.mean(axis=0)
     ep = int(np.argmin(((vecs - centroid) ** 2).sum(axis=1)))
 
-    # one connectivity-enhancement sweep over the snapshot
+    # one connectivity-enhancement sweep over the snapshot; the searches
+    # for all nodes run wave-vectorized in one batched pass
     snapshot = [a.copy() for a in adj]
+    traces = core.batch_supply_search_collect(
+        snapshot, vecs, np.arange(n, dtype=np.int64), ep, params.l_pjpq)
     for node in range(n):
-        ret_ids, ret_dists = core.supply_search_collect(
-            snapshot, vecs, vecs[node], node, ep, params.l_pjpq)
+        ret_ids, ret_dists = traces[node]
         keep = ret_ids != node
         ret_ids, ret_dists = ret_ids[keep], ret_dists[keep]
         if len(ret_ids) == 0:

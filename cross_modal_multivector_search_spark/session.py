@@ -19,6 +19,14 @@ def get_spark(app_name: str = "cross-modal-multivector-search-spark",
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+    # Tasks are the parallelism unit: with `cpus` concurrent Python
+    # workers each running BLAS GEMMs, unpinned OpenBLAS/OMP spawns
+    # cpus x cpus threads (measured: multi-x wall-time inflation from
+    # scheduler thrash). Pin workers to 1 BLAS thread; respect an
+    # explicit user override.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -34,5 +42,9 @@ def get_spark(app_name: str = "cross-modal-multivector-search-spark",
         # dim-table joins (set mappings, GT, candidate lists) broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
+                os.environ["OPENBLAS_NUM_THREADS"])
+        .config("spark.executorEnv.OMP_NUM_THREADS",
+                os.environ["OMP_NUM_THREADS"])
     )
     return builder.getOrCreate()

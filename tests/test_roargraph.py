@@ -56,6 +56,27 @@ def index_and_vecs(spark):
     return index, vecs
 
 
+def test_batch_supply_search_matches_sequential():
+    """The wave-vectorized pass-3 search must reproduce the sequential
+    per-node traces exactly (ids + expansion order; dists to 1 ulp —
+    einsum vs gemv accumulation)."""
+    rng = np.random.default_rng(11)
+    n, d = 400, 16
+    vecs = rng.normal(size=(n, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    adj = [np.unique(rng.integers(0, n, size=rng.integers(2, 12)))
+           for _ in range(n)]
+    adj = [a[a != i] for i, a in enumerate(adj)]
+    nodes = np.arange(n, dtype=np.int64)
+    batch = core.batch_supply_search_collect(adj, vecs, nodes, ep=3,
+                                             beam_width=20, batch_rows=64)
+    for i in range(n):
+        si, sd = core.supply_search_collect(adj, vecs, vecs[i], i, 3, 20)
+        bi, bd = batch[i]
+        assert np.array_equal(si, bi), f"node {i} trace ids diverge"
+        assert np.allclose(sd, bd, atol=1e-12)
+
+
 def test_graph_shape(index_and_vecs):
     index, _ = index_and_vecs
     n = len(index.ids)
