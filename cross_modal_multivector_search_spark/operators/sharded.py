@@ -154,6 +154,8 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
     """
     from functools import reduce
 
+    from pyspark.sql import Window
+
     from .brute_force import knn_exact_gemm
     parts = []
     for s in range(n_shards):
@@ -162,8 +164,15 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
             sub.select(F.col(id_col).alias("query_id"), vec_col),
             sub.select(F.col(id_col).alias("base_id"), vec_col),
             k + 1, metric="ip"))     # +1: the self match is dropped below
-    out = reduce(DataFrame.unionByName, parts)
-    return out.filter(F.col("query_id") != F.col("base_id"))
+    out = reduce(DataFrame.unionByName, parts) \
+        .filter(F.col("query_id") != F.col("base_id"))
+    # re-rank after the self filter and keep exactly k: with duplicate
+    # vectors the (score, base_id) tie-break can rank a duplicate ahead
+    # of self, so the filtered list would otherwise keep k+1 entries
+    # (or shift ranks), diverging from the in-task fill_diagonal path
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def build_sharded(base: DataFrame, n_shards: int,

@@ -90,7 +90,13 @@ def kmeans(vecs: DataFrame, k: int, iters: int = 3,
              .select("cell", "centroid"))
     assign = None
     for _ in range(iters):
-        dist = V.l2_sq(V.to_double(F.col(vec_col)), F.col("centroid"))
+        # expansion form |v|^2 - 2 v.c + |c|^2 rather than sum((x-y)^2):
+        # left-to-right dots + left-assoc combination match the ANSI
+        # twin's FP sequence exactly, so a near-tie argmin can't assign
+        # different cells across engines
+        vv = V.to_double(F.col(vec_col))
+        dist = (V.dot(vv, vv) - 2 * V.dot(vv, F.col("centroid"))) \
+            + V.dot(F.col("centroid"), F.col("centroid"))
         assign = (vecs.crossJoin(F.broadcast(cents))
                   .groupBy(id_col)
                   .agg(F.min(F.struct(dist.alias("d"),

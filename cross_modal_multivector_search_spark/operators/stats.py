@@ -53,20 +53,75 @@ def entry_point(vecs: DataFrame, id_col: str = "vec_id",
 
 def graph_connectivity(graph: DataFrame, entry_point: int | None = None,
                        src_col: str = "src",
-                       nbrs_col: str = "nbrs") -> DataFrame:
+                       nbrs_col: str = "nbrs",
+                       max_bfs_rounds: int = 64,
+                       local_threshold: int = 5_000_000) -> DataFrame:
     """Connectivity diagnostic of an adjacency-list graph.
 
     Re-expresses the reference's `CollectPoints`/`dfs`/`findroot` check
-    (`/root/reference/src/index_bipartite.cpp:3010-3093`) via the
-    existing connected_components operator: (n_nodes, n_components[,
-    reachable_from_ep] ). ``reachable_from_ep`` counts the entry point's
-    weakly-connected component — equal to the reference's dfs-reachable
-    set once the build's reverse-edge supply passes have run (RoarGraph
-    materializes reverse edges, so weak == strong connectivity there).
+    (`/root/reference/src/index_bipartite.cpp:3010-3093`):
+    (n_nodes, n_components[, reachable_from_ep]). Components are the
+    weakly-connected partition; ``reachable_from_ep`` is TRUE directed
+    reachability — a frontier-expansion BFS over the src->nbr edges
+    (degree-bounded re-pruning can drop a reverse edge, so the entry
+    point's weak component may overstate what a directed search can
+    actually reach; the search path follows directed edges).
+
+    Size gate (same rationale as connected_components): an edge list
+    under ``local_threshold`` is resolved driver-side in one Arrow fetch
+    — union-find for components plus a plain BFS — instead of ~3 Spark
+    jobs per BFS round on a graph that fits in driver memory. The
+    distributed path (join-per-round frontier expansion; RoarGraph
+    diameters are O(log n)) is the beyond-memory shape.
     """
-    from .dedup import connected_components
+    spark = graph.sparkSession
     edges = graph.select(F.col(src_col).alias("a"),
-                         F.explode(F.col(nbrs_col)).alias("b"))
+                         F.explode(F.col(nbrs_col)).alias("b")) \
+        .localCheckpoint()
+    if local_threshold and edges.count() <= local_threshold:
+        import numpy as np
+        epdf = edges.toPandas()
+        nodes = graph.select(F.col(src_col)).toPandas() \
+            .iloc[:, 0].to_numpy(dtype=np.int64)
+        ea = epdf["a"].to_numpy(dtype=np.int64)
+        eb = epdf["b"].to_numpy(dtype=np.int64)
+        parent = {int(v): int(v) for v in nodes}
+
+        def find(v):
+            r = v
+            while parent[r] != r:
+                r = parent[r]
+            while parent[v] != r:
+                parent[v], v = r, parent[v]
+            return r
+
+        for x, y in zip(ea, eb):
+            x, y = int(x), int(y)
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        n_nodes = len(parent)
+        n_comp = sum(1 for v in parent if find(v) == v)
+        if entry_point is None:
+            return spark.createDataFrame(
+                [(n_nodes, n_comp)], "n_nodes long, n_components long")
+        adj: dict[int, list] = {}
+        for x, y in zip(ea, eb):
+            adj.setdefault(int(x), []).append(int(y))
+        seen = {int(entry_point)}
+        stack = [int(entry_point)]
+        while stack:
+            for nb in adj.get(stack.pop(), ()):
+                if nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        return spark.createDataFrame(
+            [(n_nodes, n_comp, len(seen))],
+            "n_nodes long, n_components long, reachable_from_ep long")
+
+    from .dedup import connected_components
     comp = connected_components(edges)
     # nodes with no edges at all never reach the edge list: they are
     # their own singleton components
@@ -79,11 +134,24 @@ def graph_connectivity(graph: DataFrame, entry_point: int | None = None,
         F.countDistinct("component").alias("n_components"))
     if entry_point is None:
         return agg
-    ep_comp = comp_full.filter(F.col("node") == entry_point) \
-        .select(F.col("component").alias("_epc"))
-    reach = (comp_full.join(F.broadcast(ep_comp),
-                            comp_full.component == F.col("_epc"))
-             .agg(F.count("*").alias("reachable_from_ep")))
+    reached = spark.createDataFrame([(int(entry_point),)], "node long") \
+        .localCheckpoint()
+    frontier = reached
+    for _ in range(max_bfs_rounds):
+        new = (frontier.join(edges, frontier.node == edges.a)
+               .select(F.col("b").alias("node")).distinct()
+               .join(reached, "node", "left_anti")
+               .localCheckpoint())
+        if new.limit(1).count() == 0:
+            break
+        reached = reached.unionByName(new).localCheckpoint()
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"graph_connectivity: BFS frontier still growing after "
+            f"{max_bfs_rounds} rounds — implausible diameter, inspect "
+            "the graph")
+    reach = reached.agg(F.count("*").alias("reachable_from_ep"))
     return agg.crossJoin(reach)
 
 

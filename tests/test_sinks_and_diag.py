@@ -96,3 +96,22 @@ def test_instrumented_search_overlap(spark):
     assert len(res) == 5
     assert stats["total_visited"] >= stats["unique_visited"] > 0
     assert 1.0 / 5 <= stats["unique_ratio"] <= 1.0
+
+
+def test_graph_connectivity_directed_vs_weak(spark):
+    """reachable_from_ep is DIRECTED reachability: a graph that is one
+    weak component but has a one-way edge into the entry side must
+    report fewer reachable nodes than n_nodes; local union-find gate and
+    the distributed BFS path must agree."""
+    from cross_modal_multivector_search_spark.operators import stats
+    # 0 -> 1 -> 2, and 3 -> 1 (3 unreachable FROM 1's side; weakly joined)
+    g = spark.createDataFrame(
+        [(0, [1]), (1, [2]), (2, []), (3, [1])],
+        "src long, nbrs array<long>")
+    local = stats.graph_connectivity(g, entry_point=0).collect()[0]
+    assert (local["n_nodes"], local["n_components"],
+            local["reachable_from_ep"]) == (4, 1, 3)
+    dist = stats.graph_connectivity(
+        g, entry_point=0, local_threshold=0).collect()[0]
+    assert (dist["n_nodes"], dist["n_components"],
+            dist["reachable_from_ep"]) == (4, 1, 3)

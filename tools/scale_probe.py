@@ -8,8 +8,8 @@ path), then measures the scale-relevant operators:
   * sharded RoarGraph build + fan-out multi-vector search
   * embedding near-dup at threshold
 
-Writes SCALE_PROBE.md. Usage:
-  python tools/scale_probe.py [n_vectors] [dim] [n_shards]
+Writes SCALE_PROBE.md (or the given output path). Usage:
+  python tools/scale_probe.py [n_vectors] [dim] [n_shards] [out_md]
 """
 
 from __future__ import annotations
@@ -83,32 +83,41 @@ def main() -> None:
                  f"~{n // n_shards:,} nodes | {t_build:.1f}s "
                  f"| {n / t_build / 1e3:.1f}k nodes/s |")
 
-    t0 = time.time()
-    cands = sharded.search_sharded(
-        g, v.select("vec_id", "vec"), qsets, min_pq=5, max_pq=100,
-        budget=100, n_shards=n_shards)
-    res = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
-                        qsets, v, 10, m=5)
-    res = res.cache()
-    res.count()
-    dt = time.time() - t0
+    work = sharded.prepare_search_work(
+        g, v.select("vec_id", "vec"), n_shards).cache()
+    work.count()
     gt = set_search.set_topk_gemm(qsets, v, 10).select(
-        "query_set_id", "data_set_id")
-    mr = recall.mean_recall(
-        res.select("query_set_id", "data_set_id"), gt, 10
-    ).collect()[0]["mean_recall"]
-    lines.append(f"| sharded search + rerank | 10 query sets, budget 100 "
-                 f"per shard | {dt:.1f}s | recall@10 {mr:.2f} |")
+        "query_set_id", "data_set_id").cache()
+    gt.count()
+    for budget in (100, 400, 1000):
+        t0 = time.time()
+        cands = sharded.search_sharded(
+            None, v.select("vec_id", "vec"), qsets, min_pq=5,
+            max_pq=budget, budget=budget, n_shards=n_shards, work=work)
+        res = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
+                            qsets, v, 10, m=5)
+        res = res.cache()
+        res.count()
+        dt = time.time() - t0
+        mr = recall.mean_recall(
+            res.select("query_set_id", "data_set_id"), gt, 10
+        ).collect()[0]["mean_recall"]
+        lines.append(f"| sharded search + rerank | budget {budget}/shard "
+                     f"| {dt:.1f}s | recall@10 {mr:.2f} |")
 
     t0 = time.time()
-    n_pairs = dedup.embedding_near_dup_pairs(
-        v.select("vec_id", "vec"), 0.5).count()
+    nd = dedup.embedding_near_dup_pairs(v.select("vec_id", "vec"), 0.5)
+    n_pairs = nd.count()
     dt = time.time() - t0
-    lines.append(f"| embedding near-dup (GEMM) | {n:,}^2 pairs @ cos>=0.5 "
+    path = ("LSH-bucketed" if n > dedup.NEAR_DUP_EXACT_GATE
+            else "exact GEMM")
+    lines.append(f"| embedding near-dup ({path}, impl=auto) "
+                 f"| {n:,}^2 pairs @ cos>=0.5 "
                  f"| {dt:.1f}s | {n * n / dt / 1e9:.2f}B pairs/s "
                  f"({n_pairs} hits) |")
 
-    with open("SCALE_PROBE.md", "w") as f:
+    out = sys.argv[4] if len(sys.argv) > 4 else "SCALE_PROBE.md"
+    with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines[5:]))
     spark.stop()
