@@ -174,10 +174,14 @@ def build_roargraph(base: DataFrame, train_queries: DataFrame,
                 out_nbrs.append(pruned)
             yield pd.DataFrame({"src": out_src, "nbrs": out_nbrs})
 
-    graph1 = merged.mapInPandas(reprune, schema=_GRAPH_SCHEMA).collect()
+    # Arrow fetch of the re-pruned graph (no per-row Row objects): the
+    # adjacency is the one payload the driver must hold — it is the next
+    # pass's broadcast snapshot
+    graph1 = merged.mapInPandas(reprune, schema=_GRAPH_SCHEMA).toPandas()
     adj = [np.empty(0, dtype=np.int64)] * n
-    for r in graph1:
-        adj[int(r["src"])] = np.asarray(r["nbrs"], dtype=np.int64)
+    for src, nbrs in zip(graph1["src"].to_numpy(),
+                         graph1["nbrs"].to_numpy()):
+        adj[int(src)] = np.asarray(nbrs, dtype=np.int64)
 
     # ---- entry point: centroid -> nearest base (CalculateProjectionep)
     centroid = vecs.mean(axis=0)
@@ -239,11 +243,13 @@ def build_roargraph(base: DataFrame, train_queries: DataFrame,
             yield pd.DataFrame({"src": out_src, "nbrs": out_nbrs})
 
     supply_final = s_merged.mapInPandas(reprune2, schema=_GRAPH_SCHEMA) \
-        .collect()
+        .toPandas()
 
     # ---- merge <= 2*M_pjbp novel supply edges into the projection graph
     final_adj = []
-    supply_map = {int(r["src"]): r["nbrs"] for r in supply_final}
+    supply_map = {int(s): nb for s, nb in
+                  zip(supply_final["src"].to_numpy(),
+                      supply_final["nbrs"].to_numpy())}
     for node in range(n):
         base_nbrs = list(int(x) for x in adj[node])
         have = set(base_nbrs)
@@ -284,11 +290,12 @@ def load_graph(spark: SparkSession, path: str,
                vec_col: str = "vec") -> RoarGraphIndex:
     ids, vecs = _collect_matrix(base, id_col, vec_col)
     id_to_ix = {int(v): i for i, v in enumerate(ids)}
-    adj_rows = spark.read.parquet(f"{path}/adjacency.parquet").collect()
+    adj_pdf = spark.read.parquet(f"{path}/adjacency.parquet").toPandas()
     adj = [np.empty(0, dtype=np.int64)] * len(ids)
-    for r in adj_rows:
-        adj[id_to_ix[int(r["src"])]] = np.array(
-            [id_to_ix[int(x)] for x in r["nbrs"]], dtype=np.int64)
+    for src, nbrs in zip(adj_pdf["src"].to_numpy(),
+                         adj_pdf["nbrs"].to_numpy()):
+        adj[id_to_ix[int(src)]] = np.array(
+            [id_to_ix[int(x)] for x in nbrs], dtype=np.int64)
     meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
     return RoarGraphIndex(ids=ids, vecs=vecs, adj=adj,
                           entry_point=id_to_ix[int(meta["entry_point"])])
