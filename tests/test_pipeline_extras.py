@@ -242,9 +242,80 @@ def test_multimodal_plumbing(spark):
     assert all(r["count"] == 5 for r in per_video)  # 5000ms / 1000ms
 
 
-def test_decode_stub_raises():
+def test_decode_compressed_codecs_raise():
+    # JPEG/PNG magics: compressed codecs stay a declared limitation
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def _ppm_bytes(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return (f"P6\n# test\n{w} {h}\n255\n".encode()
+            + img.astype(np.uint8).tobytes())
+
+
+def _bmp_bytes(img: np.ndarray) -> bytes:
+    import struct
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                      2835, 2835, 0, 0)
+    return header + dib + pix
+
+
+def _wav_bytes(samples: np.ndarray, rate: int = 8000) -> bytes:
+    import struct
+    data = samples.astype(np.int16).tobytes()
+    ch = samples.shape[1]
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_decode_real_formats_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_image(_ppm_bytes(img)), img)
+    assert np.array_equal(multimodal.decode_image(_bmp_bytes(img)), img)
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    pgm = b"P5\n6 4\n255\n" + gray.tobytes()
+    assert np.array_equal(multimodal.decode_image(pgm), gray)
+    audio = rng.integers(-2000, 2000, size=(100, 2))
+    dec, rate = multimodal.decode_audio(_wav_bytes(audio, 8000))
+    assert rate == 8000 and np.array_equal(dec, audio)
+    small = multimodal.resize_image(img, 2, 3)
+    assert small.shape == (2, 3, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
+
+
+def test_image_extractor_over_spark_pipeline(spark):
+    """The extractor contract exercised with REAL image bytes through
+    the mapInPandas stage: decode -> featurize -> unit-norm vectors."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(12):
+        img = rng.integers(0, 256, size=(6 + i, 8, 3), dtype=np.uint8)
+        payload = _ppm_bytes(img) if i % 2 == 0 else _bmp_bytes(img)
+        rows.append((i, "image", bytearray(payload), "ppm" if i % 2 == 0
+                     else "bmp", 8, 6 + i, None))
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(
+        media, extractor=multimodal.image_feature_extractor(12), dim=12)
+    got = {r["media_id"]: np.array(r["feature"]) for r in feats.collect()}
+    assert len(got) == 12
+    for v in got.values():
+        assert len(v) == 12 and abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # deterministic: driver-side kernel agrees with the Spark pipeline
+    k = multimodal.image_feature_extractor(12)
+    for i, _, payload, *_ in rows:
+        assert np.allclose(got[i], k(bytes(payload)), atol=1e-6)
 
 
 def test_fbin_roundtrip(spark, tmp_path):
