@@ -59,8 +59,10 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
     keep_exact = dedup.dedup_exact(docs, id_col, text_col,
                                    only_dups=False) \
         .select(F.col("keep_id").alias(id_col))
+    # dedup_pairs=False: components/union-find tolerate duplicate pairs,
+    # so the LSH pair distinct (a whole shuffle) is skipped here
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes, bands, shingle_n,
-                                    id_col, text_col)
+                                    id_col, text_col, dedup_pairs=False)
     # non-canonical members only: cluster sizes aren't needed here, so
     # go straight to components (skips dedup_clusters' size groupBy+join)
     drop_near = dedup.connected_components(pairs) \

@@ -106,13 +106,18 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      dedup_pairs: bool = True) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
     rows-per-band = num_hashes/bands; signature = concat of the band's
     minhashes in seed order. The self-join runs per (band, signature)
     bucket — the scale-defining property: candidates never leave their
     bucket, so the shuffle is O(docs x bands), not O(n^2).
+
+    ``dedup_pairs=False`` skips the final distinct — a whole shuffle —
+    for consumers that tolerate a pair repeating once per shared band
+    (union-find/any connectivity resolution; the curation pipeline).
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -151,9 +156,10 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
             .localCheckpoint())
     a = sigs.select(F.col(id_col).alias("a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("b"), "band", "sig")
-    return (a.join(b, ["band", "sig"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    out = (a.join(b, ["band", "sig"])
+           .filter(F.col("a") < F.col("b"))
+           .select("a", "b"))
+    return out.distinct() if dedup_pairs else out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
@@ -212,9 +218,13 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32,
             .agg(F.sum("bitval").alias("simhash")))
 
 
-def _local_label_rows(sym: DataFrame) -> list:
-    """Driver-side union-find over a collected edge list; same contract
-    as the distributed loop: component = min reachable node id."""
+def _local_label_rows(pdf) -> list:
+    """Driver-side union-find over a fetched edge frame; same contract
+    as the distributed loop: component = min reachable node id.
+
+    Accepts RAW (un-symmetrized, possibly duplicated) pairs: union(x, y)
+    is undirected and idempotent, so the symmetrize+distinct shuffle the
+    distributed loop needs is pure waste on this path."""
     parent: dict = {}
 
     def find(v):
@@ -225,9 +235,6 @@ def _local_label_rows(sym: DataFrame) -> list:
             parent[v], v = root, parent[v]
         return root
 
-    # one Arrow fetch (toLocalIterator would run a sequential job per
-    # partition); at the 5M-edge gate this is ~160 MB of int64 columns
-    pdf = sym.toPandas()
     for x, y in zip(pdf.iloc[:, 0].to_numpy(), pdf.iloc[:, 1].to_numpy()):
         x, y = int(x), int(y)
         parent.setdefault(x, x)
@@ -238,11 +245,16 @@ def _local_label_rows(sym: DataFrame) -> list:
     return [(int(v), int(find(v))) for v in parent]
 
 
-def _local_components(sym: DataFrame) -> DataFrame:
-    rows = _local_label_rows(sym)
-    return sym.sparkSession.createDataFrame(
-        rows, "node long, component long") if rows else \
-        sym.sparkSession.createDataFrame([], "node long, component long")
+def _fetch_if_small(pairs: DataFrame, a_col: str, b_col: str,
+                    threshold: int):
+    """One Arrow fetch of up to threshold+1 raw pairs: the gate decision
+    and the local path's input in a single job (at the 5M-pair default
+    this is ~80 MB of int64 columns). Returns the frame, or None when
+    the pair list exceeds the gate."""
+    pdf = (pairs.select(F.col(a_col).cast("long"),
+                        F.col(b_col).cast("long"))
+           .limit(threshold + 1).toPandas())
+    return None if len(pdf) > threshold else pdf
 
 
 def _symmetrized_edges(pairs: DataFrame, a_col: str,
@@ -274,19 +286,25 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     recomputes rounds 1..N-1 and the plan grows exponentially — the
     classic iterative-Spark trap).
 
-    Size gate: an edge set under ``local_threshold`` (after symmetrize +
-    dedup) is solved by driver-side union-find instead — the distributed
-    loop costs ~4 Spark jobs per round, pure overhead when the candidate
-    graph fits in driver memory. Near-dup graphs are tiny relative to
-    the corpus (pairs, not documents), so even a 100 TB corpus usually
+    Size gate: a RAW pair list under ``local_threshold`` is solved by
+    driver-side union-find instead — the distributed loop costs ~4 Spark
+    jobs per round, pure overhead when the candidate graph fits in
+    driver memory; union-find needs neither the symmetrize nor the
+    distinct (union is undirected and idempotent), so the local path
+    skips that whole shuffle. Near-dup graphs are tiny relative to the
+    corpus (pairs, not documents), so even a 100 TB corpus usually
     lands under a few-hundred-M edges; raise/lower the threshold to
     taste, set it to 0 to force the distributed path (what SCALE_PROBE
     exercises at 2.5M nodes / 3.5M edges).
     """
-    sym = _symmetrized_edges(pairs, a_col, b_col)
-    if local_threshold and sym.count() <= local_threshold:
-        return _local_components(sym)
-    return _components_distributed(sym, max_iter)
+    if local_threshold:
+        pdf = _fetch_if_small(pairs, a_col, b_col, local_threshold)
+        if pdf is not None:
+            rows = _local_label_rows(pdf)
+            return pairs.sparkSession.createDataFrame(
+                rows, "node long, component long")
+    return _components_distributed(
+        _symmetrized_edges(pairs, a_col, b_col), max_iter)
 
 
 def _components_distributed(sym: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -348,18 +366,19 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a",
     groupBy+join over a driver-resident map would be two Spark jobs of
     pure overhead.
     """
-    sym = _symmetrized_edges(pairs, a_col, b_col)
-    if local_threshold and sym.count() <= local_threshold:
-        labels = _local_label_rows(sym)
-        sizes: dict = {}
-        for _, comp in labels:
-            sizes[comp] = sizes.get(comp, 0) + 1
-        rows = [(node, comp, sizes[comp], node == comp)
-                for node, comp in labels]
-        return pairs.sparkSession.createDataFrame(
-            rows, "doc_id long, cluster_id long, cluster_size long, "
-                  "is_canonical boolean")
-    comp = _components_distributed(sym)
+    if local_threshold:
+        pdf = _fetch_if_small(pairs, a_col, b_col, local_threshold)
+        if pdf is not None:
+            labels = _local_label_rows(pdf)
+            sizes: dict = {}
+            for _, comp in labels:
+                sizes[comp] = sizes.get(comp, 0) + 1
+            rows = [(node, comp, sizes[comp], node == comp)
+                    for node, comp in labels]
+            return pairs.sparkSession.createDataFrame(
+                rows, "doc_id long, cluster_id long, cluster_size long, "
+                      "is_canonical boolean")
+    comp = _components_distributed(_symmetrized_edges(pairs, a_col, b_col))
     sizes = comp.groupBy("component") \
         .agg(F.count("*").alias("cluster_size"))
     return (comp.join(sizes, "component")
