@@ -77,12 +77,19 @@ def main() -> None:
     # one-time build/load lines are reported but not in the headline sum
     total = round(sum(v for k, v in timings.items()
                       if not k.endswith("_build_or_load")), 3)
+    # contention canary: nation_revenue is a trivial unchanging query
+    # measuring ~0.65s warm at sf0.1 on an idle 32-thread box — a value
+    # far above that flags a contended benchmark run (round-2's driver
+    # BENCH file inflated ~2x across the board; see VERDICT r2 preamble)
+    canary = timings.get("nation_revenue", -1.0)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "canary_nation_revenue_sec": canary,
+        "canary_idle_expectation_sec": 0.65,
     }))
     spark.stop()
 

@@ -26,16 +26,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as a proper timestamp.
+    """events with ts as a proper (UTC-interpreted) timestamp.
 
-    The driver writes TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; read nanos as long and truncate to microseconds
-    (Spark's native timestamp precision). Any oracle comparison must use
-    epoch microseconds on both engines (DuckDB: epoch_us) so truncation
-    agrees.
+    The driver's parquet encoding has varied across rounds: TIMESTAMP
+    (NANOS) — which Spark's vectorized reader only accepts as long via
+    the nanosAsLong flag — and plain timestamp[us], which Spark reads as
+    TIMESTAMP_NTZ. Handle both: longs are nanos truncated to micros;
+    NTZ is cast to the session timestamp under a pinned UTC session
+    timezone so epoch extraction agrees with DuckDB's naive epoch_us.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = load(spark, sf_dir, "events")
+    dt = dict(e.dtypes)["ts"]
+    if dt.startswith("timestamp"):
+        # naive wall-clock == UTC so both engines see identical epochs
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return e.withColumn("ts", F.col("ts").cast("timestamp"))
     # integer DIV, not /: float division of int64 nanos loses precision
     # (2^63-scale values exceed double's 53-bit mantissa) and rounds the
     # microsecond up
