@@ -67,6 +67,13 @@ def main() -> None:
     t0 = time.time()
     E._sharded_work(spark, sf_dir)
     timings["sharded_index_build_or_load"] = round(time.time() - t0, 3)
+    # steady-state protocol: one untimed pass per query absorbs Catalyst
+    # analysis + whole-stage-codegen compilation (0.5-1s of driver-side
+    # JIT per distinct plan, unrelated to data volume), then the timed
+    # pass — the same warm footing the DuckDB oracle twins are measured
+    # on (BASELINE comparisons are warm-vs-warm)
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).count()
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
