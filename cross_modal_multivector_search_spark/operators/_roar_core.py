@@ -369,6 +369,135 @@ def multivector_search(adj: list, vecs: np.ndarray, queries: np.ndarray,
     return out
 
 
+def batch_multivector_search(adj: list, vecs: np.ndarray,
+                             query_sets: list, ep: int,
+                             min_pq: int, max_pq: int, budget: int,
+                             adaptive: bool = True,
+                             mem_budget_bytes: int = 200_000_000) -> list:
+    """Wave-vectorized twin of ``multivector_search`` across MANY query
+    sets at once: all sets' member beam searches advance one expansion
+    per wave, with neighbor gathers / distance dots / beam merges as
+    single NumPy ops over the whole batch (the same mechanics as
+    ``batch_supply_search_collect``).
+
+    Exact-equivalence argument (pinned by tests): sets are independent
+    (private queues/visited), so wave interleaving cannot change any
+    set's trajectory; within a set the adaptive loop picks at most one
+    member per round exactly like the sequential `while` (strict-gt gap
+    comparison in ascending member order == masked argmax), and beam
+    insertion reproduces the queue's equal-distance order via the
+    reverse-neighbor-order concat + stable sort.
+
+    Returns a list aligned with ``query_sets``; each element is the
+    per-member [(ids, dists), ...] like ``multivector_search``.
+    """
+    n = len(vecs)
+    adj_pad = pad_adjacency(adj, n)
+    dmax = adj_pad.shape[1]
+    vecs_ext = np.vstack([vecs, np.zeros((1, vecs.shape[1]))])
+    L = max_pq
+    results: list = [None] * len(query_sets)
+    # sub-batch whole sets so the visited bitmap stays bounded
+    max_members = max(1, mem_budget_bytes // max(n + 1, 1))
+    col = np.arange(L)[None, :]
+    step = max(1, int(0.1 * budget))
+
+    s = 0
+    while s < len(query_sets):
+        e = s
+        members = 0
+        while e < len(query_sets) and (
+                members + len(query_sets[e]) <= max_members or e == s):
+            members += len(query_sets[e])
+            e += 1
+        batch = query_sets[s:e]
+        m_of = np.array([len(q) for q in batch])
+        F_ = int(m_of.sum())
+        qmat = np.vstack(batch)
+        set_of = np.repeat(np.arange(len(batch)), m_of)
+
+        ids = np.full((F_, L), n, dtype=np.int64)
+        dists = np.full((F_, L), np.inf)
+        expanded = np.ones((F_, L), dtype=bool)
+        size = np.ones(F_, dtype=np.int64)
+        visited = np.zeros((F_, n + 1), dtype=bool)
+        ids[:, 0] = ep
+        dists[:, 0] = -(qmat @ vecs[ep])
+        expanded[:, 0] = False
+        visited[:, ep] = True
+        if adaptive:
+            cur_size = np.full(F_, min_pq, dtype=np.int64)
+            sum_size = m_of * min_pq
+        else:
+            cur_size = np.maximum(1, budget // m_of)[set_of]
+            sum_size = np.full(len(batch), budget)
+
+        def run_waves():
+            while True:
+                un = ~expanded & (col < cur_size[:, None])
+                act = un.any(axis=1)
+                if not act.any():
+                    return
+                rows = np.nonzero(act)[0]
+                fidx = un[rows].argmax(axis=1)
+                cur = ids[rows, fidx]
+                expanded[rows, fidx] = True
+                nbr = adj_pad[cur]
+                fresh = ~visited[rows[:, None], nbr]
+                fresh &= nbr < n
+                visited[rows[:, None], np.where(fresh, nbr, n)] = True
+                nd = -np.einsum("and,ad->an", vecs_ext[nbr], qmat[rows])
+                new_d = np.where(fresh, nd, np.inf)
+                new_i = np.where(fresh, nbr, n)
+                cat_i = np.concatenate([new_i[:, ::-1], ids[rows]], axis=1)
+                cat_d = np.concatenate([new_d[:, ::-1], dists[rows]],
+                                       axis=1)
+                cat_e = np.concatenate([~fresh[:, ::-1], expanded[rows]],
+                                       axis=1)
+                order = np.argsort(cat_d, axis=1,
+                                   kind="stable")[:, :L]
+                ids[rows] = np.take_along_axis(cat_i, order, 1)
+                dists[rows] = np.take_along_axis(cat_d, order, 1)
+                expanded[rows] = np.take_along_axis(cat_e, order, 1)
+                size[rows] = np.minimum(L, size[rows] + fresh.sum(axis=1))
+
+        run_waves()
+        while adaptive:
+            # one pick per set, mirroring the sequential strict-gt scan:
+            # ineligible members get -inf, argmax takes the first max
+            ok = size >= cur_size
+            grown_ok = cur_size + step < max_pq
+            budget_ok = (sum_size + step <= budget)[set_of]
+            head = dists[np.arange(F_),
+                         np.minimum(cur_size, L) - 1]
+            gap = np.where(ok & grown_ok & budget_ok,
+                           (head - dists[:, 0]) / cur_size, -np.inf)
+            picked = False
+            for b in range(len(batch)):
+                sel = np.nonzero(set_of == b)[0]
+                g = gap[sel]
+                j = int(np.argmax(g))
+                if g[j] > 0.0:
+                    cur_size[sel[j]] += step
+                    sum_size[b] += step
+                    picked = True
+            if not picked:
+                break
+            run_waves()
+
+        flat = 0
+        for b in range(len(batch)):
+            out = []
+            for _ in range(m_of[b]):
+                lim = int(min(cur_size[flat], size[flat]))
+                out.append((ids[flat, :lim].copy(),
+                            dists[flat, :lim].copy()))
+                flat += 1
+            results[s + b] = out
+        s = e
+    return results
+
+
 def multivector_search_instrumented(adj: list, vecs: np.ndarray,
                                     queries: np.ndarray, ep: int,
                                     min_pq: int, max_pq: int, budget: int,

@@ -81,24 +81,40 @@ def multivector_search(index: RoarGraphIndex, query_vecs: DataFrame,
          shared) = bc.value
         for pdf in it:
             frames = []
-            for qsid, mats in zip(pdf["query_set_id"], pdf["mats"]):
-                q = np.stack([np.asarray(r, dtype=np.float64)
-                              for r in mats])
-                if shared:
+            if shared:
+                # shared-visited variant keeps the per-set kernel
+                for qsid, mats in zip(pdf["query_set_id"], pdf["mats"]):
+                    q = np.stack([np.asarray(r, dtype=np.float64)
+                                  for r in mats])
                     results = core.multivector_search_shared_visited(
                         adj, vecs, q, ep, min_pq, max_pq, budget)
-                else:
-                    results = core.multivector_search(
-                        adj, vecs, q, ep, min_pq, max_pq, budget, adaptive)
-                for pos, (cids, cdists) in enumerate(results):
-                    frames.append(pd.DataFrame({
-                        "query_set_id": np.full(len(cids), int(qsid),
-                                                dtype=np.int64),
-                        "member_pos": np.full(len(cids), pos,
-                                              dtype=np.int32),
-                        "base_vec_id": ids[cids],
-                        "dist": cdists,
-                    }))
+                    for pos, (cids, cdists) in enumerate(results):
+                        frames.append(pd.DataFrame({
+                            "query_set_id": np.full(len(cids), int(qsid),
+                                                    dtype=np.int64),
+                            "member_pos": np.full(len(cids), pos,
+                                                  dtype=np.int32),
+                            "base_vec_id": ids[cids],
+                            "dist": cdists,
+                        }))
+            else:
+                # the whole Arrow batch of query sets searches in one
+                # wave-vectorized pass
+                qsids = pdf["query_set_id"].to_numpy(dtype=np.int64)
+                sets = [np.stack([np.asarray(r, dtype=np.float64)
+                                  for r in mats]) for mats in pdf["mats"]]
+                all_res = core.batch_multivector_search(
+                    adj, vecs, sets, ep, min_pq, max_pq, budget, adaptive)
+                for qsid, results in zip(qsids, all_res):
+                    for pos, (cids, cdists) in enumerate(results):
+                        frames.append(pd.DataFrame({
+                            "query_set_id": np.full(len(cids), int(qsid),
+                                                    dtype=np.int64),
+                            "member_pos": np.full(len(cids), pos,
+                                                  dtype=np.int32),
+                            "base_vec_id": ids[cids],
+                            "dist": cdists,
+                        }))
             if frames:
                 yield pd.concat(frames)
 

@@ -316,10 +316,12 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
                     "same n_shards the graph was built with?") from e
             ep = ep_acc[0]
             frames = []
-            for qsid, qmat in q_sets_l:
-                res = core.multivector_search(
-                    adj, vecs, qmat, ep, min_pq_l, max_pq_l, budget_l,
-                    adaptive_l)
+            # every query set searches this shard in one wave-vectorized
+            # pass (exact twin of the per-set loop, pinned by tests)
+            all_res = core.batch_multivector_search(
+                adj, vecs, [qmat for _, qmat in q_sets_l], ep,
+                min_pq_l, max_pq_l, budget_l, adaptive_l)
+            for (qsid, _), res in zip(q_sets_l, all_res):
                 for pos, (cids, cdists) in enumerate(res):
                     frames.append(pd.DataFrame({
                         "query_set_id": np.full(len(cids), qsid,

@@ -77,6 +77,33 @@ def test_batch_supply_search_matches_sequential():
         assert np.allclose(sd, bd, atol=1e-12)
 
 
+def test_batch_multivector_search_matches_sequential():
+    """The batched search must reproduce every set's sequential result
+    exactly — including the adaptive budget-allocation trajectory —
+    across set sizes, budgets, and forced sub-batching."""
+    rng = np.random.default_rng(23)
+    n, d = 300, 16
+    vecs = rng.normal(size=(n, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    adj = [np.unique(rng.integers(0, n, size=rng.integers(2, 14)))
+           for _ in range(n)]
+    adj = [a[a != i] for i, a in enumerate(adj)]
+    sets = [rng.normal(size=(rng.integers(1, 6), d)) for _ in range(40)]
+    sets = [q / np.linalg.norm(q, axis=1, keepdims=True) for q in sets]
+    for adaptive in (True, False):
+        batch = core.batch_multivector_search(
+            adj, vecs, sets, ep=7, min_pq=5, max_pq=40, budget=60,
+            adaptive=adaptive, mem_budget_bytes=40 * (n + 1))
+        for qi, q in enumerate(sets):
+            seq = core.multivector_search(adj, vecs, q, 7, 5, 40, 60,
+                                          adaptive)
+            assert len(seq) == len(batch[qi])
+            for (si, sd), (bi, bd) in zip(seq, batch[qi]):
+                assert np.array_equal(si, bi), \
+                    f"set {qi} member ids diverge (adaptive={adaptive})"
+                assert np.allclose(sd, bd, atol=1e-12)
+
+
 def test_graph_shape(index_and_vecs):
     index, _ = index_and_vecs
     n = len(index.ids)
