@@ -441,9 +441,9 @@ def embedding_near_dup_pairs(vecs: DataFrame, threshold: float = 0.95,
     import pandas as pd
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
-    rows = norm.collect()
-    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    all_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    pdf = norm.toPandas()      # Arrow fetch of the bounded broadcast side
+    all_ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    all_mat = np.vstack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
     bc = vecs.sparkSession.sparkContext.broadcast(
         (all_ids, all_mat, float(threshold)))
     schema = StructType([StructField("a", LongType()),

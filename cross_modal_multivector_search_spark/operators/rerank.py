@@ -101,13 +101,14 @@ def _rerank_gemm(cand_sets: DataFrame, query_vecs: DataFrame,
     from ..functions import metrics as M
 
     spark = query_vecs.sparkSession
-    q_rows = (query_vecs.groupBy("set_id")
-              .agg(F.sort_array(F.collect_list(F.struct(
-                  F.col("vec_id").alias("o"), F.col("vec").alias("v"))))
-                  .alias("rows"))
-              .select("set_id", F.col("rows.v").alias("mat")).collect())
-    q_mats = {int(r["set_id"]): np.array(r["mat"], dtype=np.float64)
-              for r in q_rows}
+    q_pdf = (query_vecs.groupBy("set_id")
+             .agg(F.sort_array(F.collect_list(F.struct(
+                 F.col("vec_id").alias("o"), F.col("vec").alias("v"))))
+                 .alias("rows"))
+             .select("set_id", F.col("rows.v").alias("mat")).toPandas())
+    q_mats = {int(s): np.array([np.asarray(v) for v in m],
+                               dtype=np.float64)
+              for s, m in zip(q_pdf["set_id"], q_pdf["mat"])}
     bc = spark.sparkContext.broadcast((q_mats, metric))
 
     # one shuffle: each candidate data set carries its proposing queries

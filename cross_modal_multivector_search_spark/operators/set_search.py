@@ -130,9 +130,9 @@ def set_topk_gemm(query_vecs: DataFrame, data_vecs: DataFrame, k: int,
     """
     if metric not in M.SET_METRICS_BATCH:
         raise ValueError(f"unknown metric {metric!r}")
-    q_rows = _grouped_sets(query_vecs, set_id, pos, vec_col).collect()
-    q_sets = [(r["set_id"], np.array(r["mat"], dtype=np.float64))
-              for r in q_rows]
+    q_pdf = _grouped_sets(query_vecs, set_id, pos, vec_col).toPandas()
+    q_sets = [(s, np.array([np.asarray(v) for v in m], dtype=np.float64))
+              for s, m in zip(q_pdf["set_id"], q_pdf["mat"])]
     spark = query_vecs.sparkSession
     bc = spark.sparkContext.broadcast((q_sets, metric, k))
 

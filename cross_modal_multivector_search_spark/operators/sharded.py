@@ -277,13 +277,14 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
     with the full per-shard budget; global merge keeps each member's
     best candidates across shards (partial+final top-k)."""
     spark = base.sparkSession
-    q_rows = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
-              .agg(F.sort_array(F.collect_list(F.struct(
-                  F.col(vec_id).alias("o"), F.col(vec_col).alias("v"))))
-                  .alias("rows"))
-              .select("qsid", F.col("rows.v").alias("mats")).collect())
-    q_sets = [(int(r["qsid"]), np.array(r["mats"], dtype=np.float64))
-              for r in q_rows]
+    q_pdf = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
+             .agg(F.sort_array(F.collect_list(F.struct(
+                 F.col(vec_id).alias("o"), F.col(vec_col).alias("v"))))
+                 .alias("rows"))
+             .select("qsid", F.col("rows.v").alias("mats")).toPandas())
+    q_sets = [(int(s), np.array([np.asarray(v) for v in m],
+                                dtype=np.float64))
+              for s, m in zip(q_pdf["qsid"], q_pdf["mats"])]
     bc_q = spark.sparkContext.broadcast(
         (q_sets, min_pq, max_pq, budget, adaptive))
 
