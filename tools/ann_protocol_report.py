@@ -87,6 +87,35 @@ def main() -> None:
         gt.unpersist()
         v.unpersist()
 
+    # kernel-level QPS: the search kernel alone, driver-side, no Spark
+    # job floor — the number comparable to the reference's single-node
+    # QPS report (their protocol also excludes index build and measures
+    # search wall only)
+    import numpy as np
+
+    from cross_modal_multivector_search_spark.operators import (
+        _roar_core as core,
+    )
+    rng = np.random.default_rng(5)
+    n_k = 200
+    sets = [rng.normal(size=(5, index.vecs.shape[1])) for _ in range(n_k)]
+    sets = [q / np.linalg.norm(q, axis=1, keepdims=True) for q in sets]
+    core.batch_multivector_search(index.adj, index.vecs, sets[:4],
+                                  index.entry_point, 5, 400, 400)  # warm
+    t0 = time.time()
+    core.batch_multivector_search(index.adj, index.vecs, sets,
+                                  index.entry_point, 5, 400, 400)
+    dt = time.time() - t0
+    lines += [
+        "",
+        f"Kernel-level QPS (search kernel alone, single thread, no Spark "
+        f"job floor): **{n_k / dt:.0f} QPS** at m=5, budget 400 over the "
+        f"{len(index.ids):,}-node index — the figure comparable to the "
+        "reference's single-node search QPS; the Spark path multiplies "
+        "this by task parallelism and amortizes the job floor over the "
+        "batch.",
+    ]
+
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_md} ({len(lines)} lines)")
