@@ -92,3 +92,54 @@ def test_multivector_search_budget_respected(m, seed):
     for ids, dists in res:
         assert all(dists[j] <= dists[j + 1] for j in range(len(dists) - 1))
         assert len(set(ids.tolist())) == len(ids)
+
+
+@given(st.integers(1, 5), st.integers(2, 30), st.integers(0, 2 ** 31),
+       st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_batch_search_equals_sequential_property(m, n_sets, seed, adaptive):
+    """Random graphs / set sizes / budgets: the wave-vectorized search
+    must reproduce the sequential trajectory exactly."""
+    rng = np.random.default_rng(seed)
+    n, d = int(rng.integers(20, 120)), 8
+    vecs = rng.normal(size=(n, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    adj = [np.unique(rng.integers(0, n, size=rng.integers(1, 8)))
+           for _ in range(n)]
+    adj = [a[a != i] for i, a in enumerate(adj)]
+    sets = [rng.normal(size=(int(rng.integers(1, m + 1)), d))
+            for _ in range(n_sets)]
+    sets = [q / np.linalg.norm(q, axis=1, keepdims=True) for q in sets]
+    ep = int(rng.integers(0, n))
+    min_pq, max_pq, budget = 3, 20, int(rng.integers(5, 40))
+    batch = core.batch_multivector_search(
+        adj, vecs, sets, ep, min_pq, max_pq, budget, adaptive,
+        mem_budget_bytes=3 * (n + 1))   # force multi-sub-batch
+    for qi, q in enumerate(sets):
+        seq = core.multivector_search(adj, vecs, q, ep, min_pq, max_pq,
+                                      budget, adaptive)
+        for (si, sd), (bi, bd) in zip(seq, batch[qi]):
+            assert np.array_equal(si, bi)
+            assert np.allclose(sd, bd, atol=1e-12)
+
+
+@given(st.integers(0, 2 ** 31))
+@settings(max_examples=30, deadline=None)
+def test_batch_supply_search_equals_sequential_property(seed):
+    rng = np.random.default_rng(seed)
+    n, d = int(rng.integers(10, 80)), 8
+    vecs = rng.normal(size=(n, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    adj = [np.unique(rng.integers(0, n, size=rng.integers(1, 6)))
+           for _ in range(n)]
+    adj = [a[a != i] for i, a in enumerate(adj)]
+    ep = int(rng.integers(0, n))
+    L = int(rng.integers(2, 25))
+    nodes = np.arange(n, dtype=np.int64)
+    batch = core.batch_supply_search_collect(adj, vecs, nodes, ep, L,
+                                             batch_rows=7)
+    for i in range(n):
+        si, sd = core.supply_search_collect(adj, vecs, vecs[i], i, ep, L)
+        bi, bd = batch[i]
+        assert np.array_equal(si, bi)
+        assert np.allclose(sd, bd, atol=1e-12)
