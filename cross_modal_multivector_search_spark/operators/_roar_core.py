@@ -222,26 +222,30 @@ def occlusion_prune(cand_ids: np.ndarray, cand_dists: np.ndarray,
             start += 1
         if start == len(ids):
             return []
-    # Pairwise candidate distances in one GEMM up front, plus a running
-    # occlusion mask updated only when a member is chosen: candidate p is
-    # occluded iff some chosen r has d(p, r) < d(p, target), and that
-    # predicate is monotone in the chosen set, so flag maintenance at
-    # choose-time is exactly the reference's per-examination scan.
-    C = -(vecs[ids] @ vecs[ids].T)
+    # Running occlusion mask updated only when a member is chosen:
+    # candidate p is occluded iff some chosen r has d(p, r) < d(p,
+    # target) — monotone in the chosen set, so one gemv of
+    # everyone-vs-the-new-member per choose (<= m_degree gemvs total)
+    # maintains exactly the reference's per-examination predicate at
+    # ~1/8th the FLOPs of a full pairwise GEMM.
+    cand_vecs = vecs[ids]
     occluded = np.zeros(len(ids), dtype=bool)
     taken = np.zeros(len(ids), dtype=bool)
+
+    def choose(j: int) -> None:
+        taken[j] = True
+        occluded[:] |= -(cand_vecs @ cand_vecs[j]) < dists
+
     result = [int(ids[start])]
-    taken[start] = True
-    occluded |= C[start] < dists
+    choose(start)
     for two_pass in range(2):
         i = start
         while len(result) < m_degree and i + 1 < len(ids):
             i += 1
             if taken[i] or occluded[i]:
                 continue
-            taken[i] = True
             result.append(int(ids[i]))
-            occluded |= C[i] < dists
+            choose(i)
         if len(result) >= m_degree:
             break
         start = 0  # second pass rescans from the head (slack 1.0)
