@@ -23,7 +23,6 @@ import struct
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, FloatType, IntegerType, LongType,
                                StructField, StructType)
 
