@@ -64,26 +64,38 @@ def knn_exact_sql(queries: DataFrame, base: DataFrame, k: int,
         query_id, "rank", base_id, "score")
 
 
-def knn_exact_gemm(queries: DataFrame, base: DataFrame, k: int,
+def knn_exact_gemm(queries, base: DataFrame, k: int,
                    metric: str = "ip",
                    query_id: str = "query_id", base_id: str = "base_id",
-                   vec_col: str = "vec") -> DataFrame:
+                   vec_col: str = "vec",
+                   exclude_self: bool = False) -> DataFrame:
     """BLAS-blocked exact kNN with per-batch partial top-k.
 
+    ``queries`` is a DataFrame, or a pre-fetched ``(ids, matrix)`` tuple.
     The query side must fit on the driver/executors (it is the small side
     of a cross-modal workload: |Q| << |base|). The base side streams
     through ``mapInPandas`` one Arrow batch at a time — O(batch) memory.
+
+    ``exclude_self=True`` masks query_id == base_id matches inside the
+    kernel (the reference's fill-diagonal for self-kNN build inputs) —
+    cheaper and cleaner than fetching k+1 and re-ranking after a filter.
     """
     if metric not in _SQL_METRICS:
         raise ValueError(f"unknown metric {metric!r}")
-    # Arrow fetch: the query side can be a whole shard's worth of rows
-    # (shard_self_knn), where per-row Row objects are the slow path
-    q_pdf = queries.select(query_id, vec_col).toPandas()
-    q_ids = q_pdf[query_id].to_numpy(dtype=np.int64)
-    q_mat = (np.vstack(q_pdf[vec_col].to_numpy()).astype(np.float64)
-             if len(q_pdf) else np.empty((0, 0)))
-    spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, metric, k))
+    spark = base.sparkSession
+    if isinstance(queries, tuple):
+        # pre-fetched (ids, matrix) — callers that slice one Arrow fetch
+        # into many kNN invocations (shard_self_knn) skip per-call jobs
+        q_ids, q_mat = queries
+    else:
+        # Arrow fetch: the query side can be a whole shard's worth of
+        # rows, where per-row Row objects are the slow path
+        q_pdf = queries.select(query_id, vec_col).toPandas()
+        q_ids = q_pdf[query_id].to_numpy(dtype=np.int64)
+        q_mat = (np.vstack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+                 if len(q_pdf) else np.empty((0, 0)))
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_mat, metric, k, exclude_self))
 
     schema = StructType([
         StructField("query_id", LongType()),
@@ -92,7 +104,7 @@ def knn_exact_gemm(queries: DataFrame, base: DataFrame, k: int,
     ])
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, qm, met, kk = bc.value
+        ids, qm, met, kk, excl = bc.value
         if len(ids) == 0:
             return
         for pdf in it:
@@ -109,6 +121,8 @@ def knn_exact_gemm(queries: DataFrame, base: DataFrame, k: int,
             else:
                 sims = -(qm @ bmat.T)  # negated IP: ascending = closest
                 sign = 1.0
+            if excl:
+                sims[ids[:, None] == bids[None, :]] = np.inf
             kk_eff = min(kk, sims.shape[1])
             # per-batch partial top-k with the SAME deterministic
             # tiebreak as the global merge (dist asc, id asc) — a bare
@@ -121,9 +135,14 @@ def knn_exact_gemm(queries: DataFrame, base: DataFrame, k: int,
             out_scores = sims[rows, cols] * sign
             if met != "l2":
                 out_scores = -out_scores  # report raw similarity
+            out_q, out_b = ids[rows], bids[cols]
+            if excl:
+                keep = np.isfinite(out_scores)   # drop masked self slots
+                out_q, out_b = out_q[keep], out_b[keep]
+                out_scores = out_scores[keep]
             yield pd.DataFrame({
-                "query_id": ids[rows],
-                "base_id": bids[cols],
+                "query_id": out_q,
+                "base_id": out_b,
                 "score": out_scores,
             })
 

@@ -157,28 +157,36 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
     GEMM operator against that shard's bases, so the O(n_shard^2 * d)
     kNN compute spreads over the whole cluster in bounded-memory batches
     instead of running single-threaded inside each build task.
+
+    One Arrow fetch supplies every shard's query matrix (the per-shard
+    broadcast would round-trip the same bytes through the driver anyway)
+    and the kernel masks self matches (``exclude_self``) — exact-k
+    output with no post-filter re-rank, identical to the in-task
+    fill_diagonal path even under duplicate vectors.
     """
+    import numpy as np
+
     from functools import reduce
 
-    from pyspark.sql import Window
-
     from .brute_force import knn_exact_gemm
+    pdf = (base.select(F.col(id_col), vec_col,
+                       _shard_expr(id_col, n_shards).alias("_shard"))
+           .toPandas())
+    ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+    shards_all = pdf["_shard"].to_numpy()
+    mat_all = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) \
+        if len(pdf) else np.empty((0, 0))
     parts = []
     for s in range(n_shards):
+        sel = shards_all == s
+        if not sel.any():
+            continue
         sub = base.filter(_shard_expr(id_col, n_shards) == s)
         parts.append(knn_exact_gemm(
-            sub.select(F.col(id_col).alias("query_id"), vec_col),
+            (ids_all[sel], mat_all[sel]),
             sub.select(F.col(id_col).alias("base_id"), vec_col),
-            k + 1, metric="ip"))     # +1: the self match is dropped below
-    out = reduce(DataFrame.unionByName, parts) \
-        .filter(F.col("query_id") != F.col("base_id"))
-    # re-rank after the self filter and keep exactly k: with duplicate
-    # vectors the (score, base_id) tie-break can rank a duplicate ahead
-    # of self, so the filtered list would otherwise keep k+1 entries
-    # (or shift ranks), diverging from the in-task fill_diagonal path
-    w = Window.partitionBy("query_id").orderBy("rank")
-    return (out.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+            k, metric="ip", exclude_self=True))
+    return reduce(DataFrame.unionByName, parts)
 
 
 def build_sharded(base: DataFrame, n_shards: int,
