@@ -632,24 +632,42 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(budget, mean recall@10 vs exact oracle) — the reference's own
     reporting tuple (`tests/test_search_multivector_rerank.cpp:341-347`).
 
-    Deterministic given the deterministic graph build + search (pinned by
-    tests/test_roargraph.py), so the sf0.01 oracle twin asserts the exact
-    budget->recall curve, including recall 1.0 at the saturating budget."""
+    The WHOLE budget sweep runs as one pass: query sets are replicated
+    once per budget with tagged set ids and a per-set budget column
+    (graph_search budget_col), so one search job + one rerank + one
+    recall aggregation replace a per-budget driver loop (3x the jobs).
+    Deterministic given the deterministic graph build + search (pinned
+    by tests/test_roargraph.py), so the sf0.01 oracle twin asserts the
+    exact budget->recall curve, incl. recall 1.0 at saturation."""
     index = _roar_index(spark, sf_dir)
     q, v = _queries_norm(spark, sf_dir)
     gt = set_search.set_topk_sql(q, v, K).select(
         "query_set_id", "data_set_id")
-    rows = []
-    for budget in (50, 100, 400):
-        res = graph_search.search_and_rerank(
-            index, q, v, K,
-            graph_search.SearchParams(min_pq=5, max_pq=budget,
-                                      budget=budget), m=M)
-        mr = recall.mean_recall(
-            res.select("query_set_id", "data_set_id"), gt, K
-        ).collect()[0]["mean_recall"]
-        rows.append((budget, round(float(mr), 5)))
-    return spark.createDataFrame(rows, "budget long, mean_recall double")
+    budgets = (50, 100, 400)
+    off = 1_000_000  # tag offset: far above any real set id
+    tagged = None
+    gt_tagged = None
+    for i, b in enumerate(budgets):
+        tq = q.withColumn("set_id", F.col("set_id") + F.lit(i * off)) \
+            .withColumn("_budget", F.lit(b))
+        tg = gt.withColumn("query_set_id",
+                           F.col("query_set_id") + F.lit(i * off))
+        tagged = tq if tagged is None else tagged.unionByName(tq)
+        gt_tagged = tg if gt_tagged is None else gt_tagged.unionByName(tg)
+    cands = graph_search.multivector_search(
+        index, tagged, graph_search.SearchParams(min_pq=5),
+        budget_col="_budget")
+    res = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
+                        tagged, v, K, m=M)
+    per_query = recall.recall_at_k(
+        res.select("query_set_id", "data_set_id"), gt_tagged, K)
+    budget_of = F.element_at(
+        F.array(*[F.lit(b) for b in budgets]),
+        (F.col("query_set_id") / off).cast("int") + 1)
+    return (per_query
+            .groupBy(budget_of.cast("long").alias("budget"))
+            .agg(F.round(F.avg("recall"), 5).alias("mean_recall"))
+            .orderBy("budget"))
 
 
 def q_ann_varcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -375,7 +375,7 @@ def multivector_search(adj: list, vecs: np.ndarray, queries: np.ndarray,
 
 def batch_multivector_search(adj: list, vecs: np.ndarray,
                              query_sets: list, ep: int,
-                             min_pq: int, max_pq: int, budget: int,
+                             min_pq, max_pq, budget,
                              adaptive: bool = True,
                              mem_budget_bytes: int = 200_000_000) -> list:
     """Wave-vectorized twin of ``multivector_search`` across MANY query
@@ -392,25 +392,33 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
     insertion reproduces the queue's equal-distance order via the
     reverse-neighbor-order concat + stable sort.
 
+    ``min_pq`` / ``max_pq`` / ``budget`` are scalars or per-set arrays
+    (aligned with ``query_sets``) — per-set budgets let one pass serve a
+    whole budget sweep (each set follows exactly the trajectory the
+    sequential call with its own scalars would take).
+
     Returns a list aligned with ``query_sets``; each element is the
     per-member [(ids, dists), ...] like ``multivector_search``.
     """
     n = len(vecs)
+    nq = len(query_sets)
     adj_pad = pad_adjacency(adj, n)
     dmax = adj_pad.shape[1]
     vecs_ext = np.vstack([vecs, np.zeros((1, vecs.shape[1]))])
-    L = max_pq
-    results: list = [None] * len(query_sets)
+    min_pq_a = np.broadcast_to(np.asarray(min_pq, dtype=np.int64), (nq,))
+    max_pq_a = np.broadcast_to(np.asarray(max_pq, dtype=np.int64), (nq,))
+    budget_a = np.broadcast_to(np.asarray(budget, dtype=np.int64), (nq,))
+    L = int(max_pq_a.max()) if nq else 1
+    results: list = [None] * nq
     # sub-batch whole sets so the visited bitmap stays bounded
     max_members = max(1, mem_budget_bytes // max(n + 1, 1))
     col = np.arange(L)[None, :]
-    step = max(1, int(0.1 * budget))
 
     s = 0
-    while s < len(query_sets):
+    while s < nq:
         e = s
         members = 0
-        while e < len(query_sets) and (
+        while e < nq and (
                 members + len(query_sets[e]) <= max_members or e == s):
             members += len(query_sets[e])
             e += 1
@@ -419,6 +427,11 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
         F_ = int(m_of.sum())
         qmat = np.vstack(batch)
         set_of = np.repeat(np.arange(len(batch)), m_of)
+        b_min = min_pq_a[s:e]
+        b_max = max_pq_a[s:e]
+        b_budget_set = budget_a[s:e]
+        # per-set growth step, exactly the sequential max(1, 0.1*budget)
+        b_step = np.maximum(1, (0.1 * b_budget_set).astype(np.int64))
 
         ids = np.full((F_, L), n, dtype=np.int64)
         dists = np.full((F_, L), np.inf)
@@ -430,11 +443,11 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
         expanded[:, 0] = False
         visited[:, ep] = True
         if adaptive:
-            cur_size = np.full(F_, min_pq, dtype=np.int64)
-            sum_size = m_of * min_pq
+            cur_size = b_min[set_of].copy()
+            sum_size = m_of * b_min
         else:
-            cur_size = np.maximum(1, budget // m_of)[set_of]
-            sum_size = np.full(len(batch), budget)
+            cur_size = np.maximum(1, b_budget_set // m_of)[set_of]
+            sum_size = b_budget_set.copy()
 
         def run_waves():
             while True:
@@ -470,8 +483,8 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
             # one pick per set, mirroring the sequential strict-gt scan:
             # ineligible members get -inf, argmax takes the first max
             ok = size >= cur_size
-            grown_ok = cur_size + step < max_pq
-            budget_ok = (sum_size + step <= budget)[set_of]
+            grown_ok = cur_size + b_step[set_of] < b_max[set_of]
+            budget_ok = (sum_size + b_step <= b_budget_set)[set_of]
             head = dists[np.arange(F_),
                          np.minimum(cur_size, L) - 1]
             gap = np.where(ok & grown_ok & budget_ok,
@@ -482,8 +495,8 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
                 g = gap[sel]
                 j = int(np.argmax(g))
                 if g[j] > 0.0:
-                    cur_size[sel[j]] += step
-                    sum_size[b] += step
+                    cur_size[sel[j]] += b_step[b]
+                    sum_size[b] += b_step[b]
                     picked = True
             if not picked:
                 break

@@ -54,31 +54,41 @@ _CAND_SCHEMA = StructType([
 def multivector_search(index: RoarGraphIndex, query_vecs: DataFrame,
                        params: SearchParams = SearchParams(),
                        set_id: str = "set_id", vec_id: str = "vec_id",
-                       vec_col: str = "vec") -> DataFrame:
+                       vec_col: str = "vec",
+                       budget_col: str | None = None) -> DataFrame:
     """query_vecs(set_id, vec_id, vec) -> per-member candidates
     (query_set_id, member_pos, base_vec_id, dist).
 
     dist is the negated inner product (reference convention). The number
     of candidates per member equals its final beam size — budget
     allocation decides how deep each member searched.
+
+    ``budget_col`` names an optional per-set column overriding BOTH
+    max_pq and budget for that set (the reference sweep's budget knob):
+    a whole budget sweep then runs as ONE pass instead of one search
+    job per budget.
     """
     spark = query_vecs.sparkSession
     bc = spark.sparkContext.broadcast(
         (index.adj, index.vecs, index.ids, index.entry_point,
          params.min_pq, params.max_pq, params.budget, params.adaptive,
-         params.shared_visited))
+         params.shared_visited, budget_col is not None))
 
-    grouped = (
-        query_vecs.groupBy(F.col(set_id).alias("query_set_id"))
-        .agg(F.sort_array(F.collect_list(F.struct(
-            F.col(vec_id).alias("vid"), F.col(vec_col).alias("v")
-        ))).alias("members"))
-        .select("query_set_id", F.col("members.v").alias("mats"))
-    )
+    aggs = [F.sort_array(F.collect_list(F.struct(
+        F.col(vec_id).alias("vid"), F.col(vec_col).alias("v")
+    ))).alias("members")]
+    if budget_col is not None:
+        aggs.append(F.first(budget_col).alias("_budget"))
+    grouped = query_vecs.groupBy(F.col(set_id).alias("query_set_id")) \
+        .agg(*aggs)
+    cols = ["query_set_id", F.col("members.v").alias("mats")]
+    if budget_col is not None:
+        cols.append("_budget")
+    grouped = grouped.select(*cols)
 
     def search_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         (adj, vecs, ids, ep, min_pq, max_pq, budget, adaptive,
-         shared) = bc.value
+         shared, per_set_budget) = bc.value
         for pdf in it:
             frames = []
             if shared:
@@ -103,8 +113,14 @@ def multivector_search(index: RoarGraphIndex, query_vecs: DataFrame,
                 qsids = pdf["query_set_id"].to_numpy(dtype=np.int64)
                 sets = [np.stack([np.asarray(r, dtype=np.float64)
                                   for r in mats]) for mats in pdf["mats"]]
+                if per_set_budget:
+                    b = pdf["_budget"].to_numpy(dtype=np.int64)
+                    max_pq_eff, budget_eff = b, b
+                else:
+                    max_pq_eff, budget_eff = max_pq, budget
                 all_res = core.batch_multivector_search(
-                    adj, vecs, sets, ep, min_pq, max_pq, budget, adaptive)
+                    adj, vecs, sets, ep, min_pq, max_pq_eff, budget_eff,
+                    adaptive)
                 for qsid, results in zip(qsids, all_res):
                     for pos, (cids, cdists) in enumerate(results):
                         frames.append(pd.DataFrame({

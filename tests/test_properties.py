@@ -143,3 +143,34 @@ def test_batch_supply_search_equals_sequential_property(seed):
         bi, bd = batch[i]
         assert np.array_equal(si, bi)
         assert np.allclose(sd, bd, atol=1e-12)
+
+
+@given(st.integers(0, 2 ** 31))
+@settings(max_examples=25, deadline=None)
+def test_batch_search_per_set_budgets_property(seed):
+    """Per-set (min_pq, max_pq, budget) arrays: every set must follow
+    exactly the trajectory of a sequential call with its own scalars."""
+    rng = np.random.default_rng(seed)
+    n, d = int(rng.integers(30, 100)), 8
+    vecs = rng.normal(size=(n, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    adj = [np.unique(rng.integers(0, n, size=rng.integers(1, 8)))
+           for _ in range(n)]
+    adj = [a[a != i] for i, a in enumerate(adj)]
+    n_sets = int(rng.integers(2, 12))
+    sets = [rng.normal(size=(int(rng.integers(1, 5)), d))
+            for _ in range(n_sets)]
+    sets = [q / np.linalg.norm(q, axis=1, keepdims=True) for q in sets]
+    ep = int(rng.integers(0, n))
+    budgets = rng.integers(5, 60, size=n_sets)
+    max_pqs = rng.integers(10, 40, size=n_sets)
+    batch = core.batch_multivector_search(
+        adj, vecs, sets, ep, 3, max_pqs, budgets, True,
+        mem_budget_bytes=4 * (n + 1))
+    for qi, q in enumerate(sets):
+        seq = core.multivector_search(adj, vecs, q, ep, 3,
+                                      int(max_pqs[qi]), int(budgets[qi]),
+                                      True)
+        for (si, sd), (bi, bd) in zip(seq, batch[qi]):
+            assert np.array_equal(si, bi)
+            assert np.allclose(sd, bd, atol=1e-12)
