@@ -402,7 +402,8 @@ def embedding_near_dup_pairs(vecs: DataFrame, threshold: float = 0.95,
                              impl: str = "auto",
                              exact_gate: int = NEAR_DUP_EXACT_GATE,
                              n_planes: int = 8,
-                             seed: int = 42) -> DataFrame:
+                             seed: int = 42,
+                             n_rows: int | None = None) -> DataFrame:
     """(a, b, cos) pairs of near-duplicate embeddings (cos >= threshold).
 
     impl="sql": declarative cross join with the threshold filter in the
@@ -418,11 +419,25 @@ def embedding_near_dup_pairs(vecs: DataFrame, threshold: float = 0.95,
     (1 - theta/pi)^n_planes), which is what every at-scale near-dup
     pipeline runs; callers needing exact output above the gate must pass
     impl="gemm" explicitly and accept the broadcast.
+
+    ``n_rows``: pass the input's row count when the caller already knows
+    it (materialized table, cached count) to skip the gate's count job —
+    the gate decision only needs "is n > gate".
     """
     if impl == "auto":
-        # limit(gate+1).count() short-circuits the scan at the gate —
-        # the decision needs "is n > gate", never the exact n
-        if vecs.limit(exact_gate + 1).count() > exact_gate:
+        if n_rows is None:
+            # limit(gate+1).count() short-circuits the scan at the gate —
+            # the decision needs "is n > gate", never the exact n
+            n_rows = vecs.limit(exact_gate + 1).count()
+        if n_rows > exact_gate:
+            import warnings
+            warnings.warn(
+                "embedding_near_dup_pairs(impl='auto'): input exceeds "
+                f"exact_gate={exact_gate} rows; switching to the "
+                "LSH-bucketed APPROXIMATE path (same-bucket pairs only, "
+                "per-pair recall (1-theta/pi)^n_planes). Pass impl='gemm' "
+                "for exact output at broadcast cost.",
+                stacklevel=2)
             return embedding_near_dup_bucketed(
                 vecs, threshold, n_planes=n_planes, seed=seed,
                 id_col=id_col, vec_col=vec_col)

@@ -48,6 +48,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+# row counts of driver parquet tables never change within a round, so the
+# "is n > gate" decisions (e.g. embedding_near_dup's auto impl) can reuse
+# one count per (sf_dir, table) instead of paying a Spark job per call
+_NROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def n_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    if key not in _NROWS_CACHE:
+        _NROWS_CACHE[key] = load(spark, sf_dir, name).count()
+    return _NROWS_CACHE[key]
+
+
 def embeddings_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, set_id, vec) with L2-normalized double vectors.
 
