@@ -483,19 +483,34 @@ ORDER BY t.rank
 
 
 N_VAR_SETS = 150
+# the synthetic cardinality file: set i holds (i % 5 + 1) member vectors
+_VARCARD_CARDS = [(i, i % 5 + 1) for i in range(N_VAR_SETS)]
+# first vid belonging to a query set boundary — lets the query-side scan
+# prune on vec_id BEFORE the range join instead of filtering set_id after
+_VARCARD_QUERY_BOUND = sum(c for i, c in _VARCARD_CARDS
+                           if i < TD.N_QUERY_SETS)
+
+
+def _varcard_sides(spark: SparkSession, sf_dir: str):
+    """(query sets, data sets, mapping) for the variable-cardinality
+    queries. The mapping's prefix sum is computed driver-side — the
+    reference's own shape (`multivector_reranker.cpp:767-809` runs the
+    running offset on the client) — so no window shuffle is re-run per
+    broadcast; the query side pushes a vec_id bound into the parquet
+    scan."""
+    v = TD.embeddings_norm(spark, sf_dir).drop("set_id")
+    m_map = mapping.cardinality_mapping_local(spark, _VARCARD_CARDS)
+    varv = mapping.vid_to_vsid_variable(v, m_map)
+    q = mapping.vid_to_vsid_variable(
+        v.filter(F.col("vec_id") < _VARCARD_QUERY_BOUND), m_map)
+    return q, varv, m_map
 
 
 def q_chamfer_varcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smooth-Chamfer top-k over VARIABLE-cardinality sets: the
     cardinality-file path (`multivector_reranker.cpp:767-809`) —
     prefix-sum mapping + range-join gather + per-query-set m."""
-    v = TD.embeddings_norm(spark, sf_dir).drop("set_id")
-    cards = spark.range(N_VAR_SETS).select(
-        F.col("id").alias("set_id"),
-        (F.col("id") % 5 + 1).cast("long").alias("cardinality"))
-    m_map = mapping.cardinality_mapping(cards)
-    varv = mapping.vid_to_vsid_variable(v, m_map)
-    q = varv.filter(F.col("set_id") < TD.N_QUERY_SETS)
+    q, varv, _ = _varcard_sides(spark, sf_dir)
     out = set_search.set_topk_sql(q, varv, K, metric="smooth_chamfer")
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
@@ -504,13 +519,7 @@ def q_chamfer_varcard_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as q_chamfer_varcard via the batched-GEMM scale path
     (the batch scorer takes per-set cardinalities, so variable-m sets ride
     the same GEMM kernel)."""
-    v = TD.embeddings_norm(spark, sf_dir).drop("set_id")
-    cards = spark.range(N_VAR_SETS).select(
-        F.col("id").alias("set_id"),
-        (F.col("id") % 5 + 1).cast("long").alias("cardinality"))
-    m_map = mapping.cardinality_mapping(cards)
-    varv = mapping.vid_to_vsid_variable(v, m_map)
-    q = varv.filter(F.col("set_id") < TD.N_QUERY_SETS)
+    q, varv, _ = _varcard_sides(spark, sf_dir)
     out = set_search.set_topk_gemm(q, varv, K, metric="smooth_chamfer")
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
@@ -677,13 +686,7 @@ def q_ann_varcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     `src/multivector_reranker.cpp:767-809`). The budget saturates sf0.01,
     so the exact variable-cardinality set-top-k SQL is the oracle."""
     index = _roar_index(spark, sf_dir)
-    v = TD.embeddings_norm(spark, sf_dir).drop("set_id")
-    cards = spark.range(N_VAR_SETS).select(
-        F.col("id").alias("set_id"),
-        (F.col("id") % 5 + 1).cast("long").alias("cardinality"))
-    m_map = mapping.cardinality_mapping(cards)
-    varv = mapping.vid_to_vsid_variable(v, m_map)
-    q = varv.filter(F.col("set_id") < TD.N_QUERY_SETS)
+    q, varv, m_map = _varcard_sides(spark, sf_dir)
     out = graph_search.search_and_rerank(
         index, q, varv, K,
         graph_search.SearchParams(min_pq=5, max_pq=400, budget=400),

@@ -33,6 +33,31 @@ def cardinality_mapping(cards: DataFrame, set_id: str = "set_id",
         "first_vid", F.coalesce(F.sum(cardinality).over(w), F.lit(0)))
 
 
+def cardinality_mapping_local(spark, cards: list[tuple[int, int]]) -> DataFrame:
+    """Driver-side exclusive prefix sum over (set_id, cardinality) rows.
+
+    This is the reference's own shape — it loads the cardinality file and
+    computes the running offset on the client
+    (`/root/reference/src/multivector_reranker.cpp:767-809`) — emitted as
+    a literal single-partition DataFrame, so building / broadcasting the
+    mapping costs ZERO Spark jobs (the window variant pays a
+    single-partition shuffle per broadcast rebuild). Use when the cards
+    are already driver-resident (one row per SET, so driver-sized by
+    construction); use ``cardinality_mapping`` for a distributed cards
+    DataFrame.
+    """
+    rows, off = [], 0
+    for set_id, card in sorted(cards):
+        rows.append((int(set_id), int(card), off))
+        off += int(card)
+    # literal VALUES -> LocalRelation: broadcast builds driver-side with
+    # ZERO Spark jobs (createDataFrame would parallelize to an RDD scan
+    # that re-runs a 32-task job on every broadcast rebuild)
+    values = ", ".join(f"({s}L, {c}L, {f}L)" for s, c, f in rows)
+    return spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(set_id, cardinality, first_vid)")
+
+
 def vid_to_vsid_variable(vecs: DataFrame, mapping: DataFrame,
                          vec_id: str = "vec_id") -> DataFrame:
     """Range-join each vector id into its owning set's [first_vid, +card)."""
