@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from .partitioning import ensure_parallelism
 
 
 def tokens(docs: DataFrame, id_col: str = "doc_id",
@@ -31,12 +32,15 @@ def tokens(docs: DataFrame, id_col: str = "doc_id",
 
     Empty tokens are filtered BEFORE numbering (filter-then-number, like
     the ANSI oracle) — numbering first would leave idx gaps on leading/
-    repeated whitespace.
+    repeated whitespace. Input is repartitioned up to cluster parallelism
+    first (identity at scale) so the explode+hash consumers parallelize
+    even from a one-split file.
     """
     toks = F.filter(F.split(F.col(text_col), r"\s+"),
                     lambda x: F.length(x) > 0)
-    return (docs.select(F.col(id_col),
-                        F.posexplode(toks).alias("pos0", "token"))
+    return (ensure_parallelism(docs)
+            .select(F.col(id_col),
+                    F.posexplode(toks).alias("pos0", "token"))
             .select(id_col, (F.col("pos0") + 1).alias("idx"), "token"))
 
 
@@ -58,7 +62,7 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     # guard: sequence(1, 0) would infer step -1 and yield [1, 0]
     sh = F.when(F.size(F.col("_toks")) >= n, sh).otherwise(
         F.array().cast("array<string>"))
-    return (docs.select(F.col(id_col), toks.alias("_toks"))
+    return (ensure_parallelism(docs).select(F.col(id_col), toks.alias("_toks"))
             .select(id_col, F.posexplode(sh).alias("pos0", "shingle"))
             .select(id_col, (F.col("pos0") + 1).alias("idx"), "shingle"))
 
@@ -111,9 +115,17 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
     rows-per-band = num_hashes/bands; signature = concat of the band's
-    minhashes in seed order. The self-join runs per (band, signature)
-    bucket — the scale-defining property: candidates never leave their
-    bucket, so the shuffle is O(docs x bands), not O(n^2).
+    minhashes in seed order. Pairs are generated bucket-locally — group
+    on (band, signature), sort the bucket's ids, stream the i<j pairs
+    out through two chained generators — the scale-defining property:
+    candidates never leave their bucket, so the shuffle is O(docs x
+    bands), not O(n^2), and no self-join (with its second shuffle of the
+    signature table and eager checkpoint to dodge double execution) is
+    needed. Per-row memory is O(bucket), the same bound the groupBy
+    itself already carries; a pathological mega-bucket (a corpus of
+    near-identical documents surviving exact dedup) inflates pair count
+    quadratically under EITHER strategy — tune bands/rows-per-band or
+    exact-dedup first.
 
     ``dedup_pairs=False`` skips the final distinct — a whole shuffle —
     for consumers that tolerate a pair repeating once per shared band
@@ -136,13 +148,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
             .alias(f"mh{s}") for s in range(num_hashes)]
     wide = sh.groupBy(id_col).agg(*mins)
     # all band signatures in one pass over `wide` (explode of an inline
-    # struct array), then materialize: the self-join below would
-    # otherwise re-run the whole shingle->md5->groupBy pipeline once per
-    # band per join side (8 full document scans for 4 bands — measured;
-    # Catalyst does not reuse the exchange across the union branches).
-    # The signature table is O(docs x bands) rows of 3 short columns —
-    # per-executor-disk materialization is the scale play too: at 100 TB
-    # the corpus is huge but signatures stay ~1e-4 of its bytes.
+    # struct array); the signature table is O(docs x bands) rows of 3
+    # short columns — ~1e-4 of corpus bytes at 100 TB.
     band_structs = []
     for band in range(bands):
         seeds = range(band * rows_per_band, (band + 1) * rows_per_band)
@@ -152,13 +159,18 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
                                      sig.alias("sig")))
     sigs = (wide.select(F.col(id_col),
                         F.explode(F.array(*band_structs)).alias("bs"))
-            .select(id_col, "bs.band", "bs.sig")
-            .localCheckpoint())
-    a = sigs.select(F.col(id_col).alias("a"), "band", "sig")
-    b = sigs.select(F.col(id_col).alias("b"), "band", "sig")
-    out = (a.join(b, ["band", "sig"])
-           .filter(F.col("a") < F.col("b"))
-           .select("a", "b"))
+            .select(id_col, "bs.band", "bs.sig"))
+    # bucket-local pair stream: ascending ids per bucket, element i pairs
+    # with every later element — two pipelined generators, never a
+    # bucket^2 array in memory
+    buckets = (sigs.groupBy("band", "sig")
+               .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    heads = buckets.select(F.posexplode("ids").alias("_i", "a"), "ids")
+    out = heads.select(
+        "a",
+        F.explode(F.slice(F.col("ids"), F.col("_i") + 2,
+                          F.size("ids"))).alias("b"))
     return out.distinct() if dedup_pairs else out
 
 

@@ -23,6 +23,23 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame,
+                       min_partitions: int | None = None) -> DataFrame:
+    """Repartition small inputs up to cluster parallelism.
+
+    A small parquet file with one row group scans as ONE task, which
+    serializes every CPU-heavy map stage built on it (shingle+md5
+    pipelines) at test scale. At production scale a 100 TB scan already
+    carries >= cluster-parallelism partitions, so this returns the input
+    untouched — the round-robin shuffle only ever happens on inputs small
+    enough for it to be trivial.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
                    n_buckets: int, sort_cols: Sequence[str] | None = None,
                    mode: str = "overwrite") -> None:
