@@ -78,13 +78,92 @@ def neg_ip(vecs: np.ndarray, ids, query: np.ndarray) -> np.ndarray:
 def pad_adjacency(adj: list, n: int) -> np.ndarray:
     """Dense (n, max_degree) int64 adjacency, padded with the sentinel
     index ``n`` (callers append a zero row / extra visited column at n so
-    padded gathers never collide with a real node)."""
+    padded gathers never collide with a real node).
+
+    Rows are normalized to first-occurrence order with duplicates
+    dropped: graphs built in-repo already emit unique rows, but
+    ``load_graph`` accepts arbitrary parquet adjacency, and a duplicated
+    id inside one row would otherwise be inserted twice by the wave
+    kernels (the visited bitmap is read before it is written within a
+    wave) where the sequential queue's dup check admits it once."""
     dmax = max((len(a) for a in adj), default=0)
     out = np.full((n, max(dmax, 1)), n, dtype=np.int64)
     for i, a in enumerate(adj):
         if len(a):
-            out[i, :len(a)] = a
+            u = np.fromiter(dict.fromkeys(int(x) for x in a), dtype=np.int64)
+            out[i, :len(u)] = u
     return out
+
+
+def _merge_wave(ids: np.ndarray, dists: np.ndarray, expanded: np.ndarray,
+                rows: np.ndarray, nbr: np.ndarray, fresh: np.ndarray,
+                nd: np.ndarray, cap_r: np.ndarray, n: int) -> None:
+    """Merge one wave of neighbor candidates into the beams at ``rows``,
+    bit-equal to calling ``BeamQueue.insert`` per candidate in forward
+    neighbor order with per-row capacity ``cap_r``.
+
+    Fast path (no distance ties): one stable sort of [reversed new |
+    old pool]. With all-distinct distances this is exactly the
+    sequential result — membership is "the cap smallest", and the
+    reversed-new-first concat order only matters under ties.
+
+    Tie rows are replayed sequentially: the queue's tie rules are
+    order-dependent in a way no single sort reproduces — a newcomer
+    tying the tail of a FULL queue is rejected (incumbent wins), the
+    tail itself shrinks as the wave's earlier candidates are accepted,
+    yet an accepted newcomer lands BEFORE equal-distance incumbents
+    (insert at ``searchsorted(side="left")``) and so outlives them under
+    later eviction. Duplicate vectors produce exact negated-IP ties, so
+    real corpora hit this path; it is exact by construction (same
+    insert semantics as BeamQueue), and rare enough to stay off the
+    vectorized path's cost."""
+    L = ids.shape[1]
+    new_d = np.where(fresh, nd, np.inf)
+    new_i = np.where(fresh, nbr, n)
+    cat_i = np.concatenate([new_i[:, ::-1], ids[rows]], axis=1)
+    cat_d = np.concatenate([new_d[:, ::-1], dists[rows]], axis=1)
+    cat_e = np.concatenate([~fresh[:, ::-1], expanded[rows]], axis=1)
+    order = np.argsort(cat_d, axis=1, kind="stable")
+    d_s = np.take_along_axis(cat_d, order, 1)
+    tie = ((d_s[:, 1:] == d_s[:, :-1]) & (d_s[:, 1:] < np.inf)).any(axis=1)
+    ids_m = np.take_along_axis(cat_i, order, 1)[:, :L]
+    d_m = d_s[:, :L]
+    e_m = np.take_along_axis(cat_e, order, 1)[:, :L]
+    # entries past the row's queue capacity do not exist sequentially
+    over = np.arange(L)[None, :] >= cap_r[:, None]
+    if over.any():
+        ids_m[over] = n
+        d_m[over] = np.inf
+        e_m[over] = True
+    for r in np.nonzero(tie)[0]:
+        cap = int(cap_r[r])
+        ri = ids[rows[r]].copy()
+        rd = dists[rows[r]].copy()
+        re_ = expanded[rows[r]].copy()
+        sz = int((rd < np.inf).sum())
+        for j in range(nbr.shape[1]):
+            if not fresh[r, j]:
+                continue
+            d = nd[r, j]
+            if sz == cap and d >= rd[sz - 1]:
+                continue
+            lo = int(np.searchsorted(rd[:sz], d, side="left"))
+            end = min(sz, cap - 1)
+            ri[lo + 1:end + 1] = ri[lo:end]
+            rd[lo + 1:end + 1] = rd[lo:end]
+            re_[lo + 1:end + 1] = re_[lo:end]
+            ri[lo] = nbr[r, j]
+            rd[lo] = d
+            re_[lo] = False
+            if sz < cap:
+                sz += 1
+        ri[sz:] = n
+        rd[sz:] = np.inf
+        re_[sz:] = True
+        ids_m[r], d_m[r], e_m[r] = ri, rd, re_
+    ids[rows] = ids_m
+    dists[rows] = d_m
+    expanded[rows] = e_m
 
 
 def batch_supply_search_collect(adj: list, vecs: np.ndarray,
@@ -98,12 +177,12 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
 
     Exact-equivalence argument (pinned by tests): queries are independent
     (snapshot graph, private visited sets), so interleaving them by waves
-    cannot change any one query's trajectory; within a query, the beam
-    queue's insert-at-``searchsorted(left)`` tie rule means a later
-    insert precedes earlier equal-distance entries — reproduced here by
-    concatenating the wave's new candidates in reverse neighbor order
-    BEFORE the existing pool and using a stable sort on distance. The
-    visited bitmap makes duplicate-id rejection structural.
+    cannot change any one query's trajectory; within a query,
+    ``_merge_wave`` reproduces the beam queue's insert semantics exactly
+    (including full-queue tail-tie rejection and the
+    ``searchsorted(left)`` equal-distance layout, via sequential replay
+    on the rare tie rows). The visited bitmap makes duplicate-id
+    rejection structural.
 
     Returns [(ret_ids, ret_dists), ...] aligned with ``query_nodes`` —
     every expanded node in expansion order, exactly like the sequential
@@ -154,18 +233,8 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
             visited[rows[:, None],
                     np.where(fresh, nbr, n)] = True
             nd = -np.einsum("and,ad->an", vecs_ext[nbr], qmat[rows])
-            new_d = np.where(fresh, nd, np.inf)
-            new_i = np.where(fresh, nbr, n)
-            # reverse neighbor order + place before the pool: stable sort
-            # then reproduces the queue's equal-distance insert order
-            cat_i = np.concatenate([new_i[:, ::-1], ids[rows]], axis=1)
-            cat_d = np.concatenate([new_d[:, ::-1], dists[rows]], axis=1)
-            cat_e = np.concatenate([~fresh[:, ::-1], expanded[rows]],
-                                   axis=1)
-            order = np.argsort(cat_d, axis=1, kind="stable")[:, :L]
-            ids[rows] = np.take_along_axis(cat_i, order, 1)
-            dists[rows] = np.take_along_axis(cat_d, order, 1)
-            expanded[rows] = np.take_along_axis(cat_e, order, 1)
+            _merge_wave(ids, dists, expanded, rows, nbr, fresh, nd,
+                        np.full(len(rows), L, dtype=np.int64), n)
 
         if trace_b:
             tb = np.concatenate(trace_b)
@@ -389,8 +458,9 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
     set's trajectory; within a set the adaptive loop picks at most one
     member per round exactly like the sequential `while` (strict-gt gap
     comparison in ascending member order == masked argmax), and beam
-    insertion reproduces the queue's equal-distance order via the
-    reverse-neighbor-order concat + stable sort.
+    insertion is exact via ``_merge_wave`` (single stable sort off the
+    tie path, sequential replay on rows holding distance ties, per-row
+    capacity = the set's own max_pq).
 
     ``min_pq`` / ``max_pq`` / ``budget`` are scalars or per-set arrays
     (aligned with ``query_sets``) — per-set budgets let one pass serve a
@@ -464,19 +534,13 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
                 fresh &= nbr < n
                 visited[rows[:, None], np.where(fresh, nbr, n)] = True
                 nd = -np.einsum("and,ad->an", vecs_ext[nbr], qmat[rows])
-                new_d = np.where(fresh, nd, np.inf)
-                new_i = np.where(fresh, nbr, n)
-                cat_i = np.concatenate([new_i[:, ::-1], ids[rows]], axis=1)
-                cat_d = np.concatenate([new_d[:, ::-1], dists[rows]],
-                                       axis=1)
-                cat_e = np.concatenate([~fresh[:, ::-1], expanded[rows]],
-                                       axis=1)
-                order = np.argsort(cat_d, axis=1,
-                                   kind="stable")[:, :L]
-                ids[rows] = np.take_along_axis(cat_i, order, 1)
-                dists[rows] = np.take_along_axis(cat_d, order, 1)
-                expanded[rows] = np.take_along_axis(cat_e, order, 1)
-                size[rows] = np.minimum(L, size[rows] + fresh.sum(axis=1))
+                # per-row capacity = the member's OWN set max_pq: the
+                # sequential twin's BeamQueue never holds more, so
+                # neither may the batch beam (emit and tie/eviction
+                # behavior both depend on it)
+                _merge_wave(ids, dists, expanded, rows, nbr, fresh, nd,
+                            b_max[set_of[rows]], n)
+                size[rows] = (dists[rows] < np.inf).sum(axis=1)
 
         run_waves()
         while adaptive:

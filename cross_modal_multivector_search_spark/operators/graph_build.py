@@ -294,8 +294,11 @@ def load_graph(spark: SparkSession, path: str,
     adj = [np.empty(0, dtype=np.int64)] * len(ids)
     for src, nbrs in zip(adj_pdf["src"].to_numpy(),
                          adj_pdf["nbrs"].to_numpy()):
-        adj[id_to_ix[int(src)]] = np.array(
-            [id_to_ix[int(x)] for x in nbrs], dtype=np.int64)
+        # normalize to first-occurrence order: arbitrary parquet may
+        # duplicate ids within a row; in-repo builds never do, and the
+        # search kernels (sequential and batch) assume unique rows
+        adj[id_to_ix[int(src)]] = np.fromiter(
+            dict.fromkeys(id_to_ix[int(x)] for x in nbrs), dtype=np.int64)
     meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
     return RoarGraphIndex(ids=ids, vecs=vecs, adj=adj,
                           entry_point=id_to_ix[int(meta["entry_point"])])

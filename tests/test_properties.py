@@ -174,3 +174,93 @@ def test_batch_search_per_set_budgets_property(seed):
         for (si, sd), (bi, bd) in zip(seq, batch[qi]):
             assert np.array_equal(si, bi)
             assert np.allclose(sd, bd, atol=1e-12)
+
+
+@given(st.integers(0, 2 ** 31), st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_batch_search_equals_sequential_duplicate_vectors(seed, adaptive):
+    """Duplicate vectors produce EXACT negated-IP ties: the full-beam
+    tail-tie rejection and searchsorted-left layout rules must match the
+    sequential queue bit-for-bit (round-3 advisory divergence)."""
+    rng = np.random.default_rng(seed)
+    d = 4
+    n_unique = int(rng.integers(2, 6))
+    pool = rng.normal(size=(n_unique, d))
+    pool /= np.linalg.norm(pool, axis=1, keepdims=True)
+    n = int(rng.integers(20, 60))
+    vecs = pool[rng.integers(0, n_unique, size=n)]
+    adj = [np.unique(rng.integers(0, n, size=rng.integers(1, 8)))
+           for _ in range(n)]
+    adj = [a[a != i] for i, a in enumerate(adj)]
+    n_sets = int(rng.integers(1, 6))
+    sets = [pool[rng.integers(0, n_unique, size=int(rng.integers(1, 4)))]
+            for _ in range(n_sets)]
+    ep = int(rng.integers(0, n))
+    max_pq, budget = int(rng.integers(5, 15)), int(rng.integers(4, 30))
+    batch = core.batch_multivector_search(
+        adj, vecs, sets, ep, 2, max_pq, budget, adaptive,
+        mem_budget_bytes=3 * (n + 1))
+    for qi, q in enumerate(sets):
+        seq = core.multivector_search(adj, vecs, q, ep, 2, max_pq,
+                                      budget, adaptive)
+        for (si, sd), (bi, bd) in zip(seq, batch[qi]):
+            assert np.array_equal(si, bi)
+            assert np.allclose(sd, bd, atol=1e-12)
+
+
+@given(st.integers(0, 2 ** 31))
+@settings(max_examples=30, deadline=None)
+def test_batch_supply_search_equals_sequential_duplicate_vectors(seed):
+    rng = np.random.default_rng(seed)
+    d = 4
+    n_unique = int(rng.integers(2, 5))
+    pool = rng.normal(size=(n_unique, d))
+    pool /= np.linalg.norm(pool, axis=1, keepdims=True)
+    n = int(rng.integers(10, 50))
+    vecs = pool[rng.integers(0, n_unique, size=n)]
+    adj = [np.unique(rng.integers(0, n, size=rng.integers(1, 6)))
+           for _ in range(n)]
+    adj = [a[a != i] for i, a in enumerate(adj)]
+    ep = int(rng.integers(0, n))
+    L = int(rng.integers(2, 20))
+    nodes = np.arange(n, dtype=np.int64)
+    batch = core.batch_supply_search_collect(adj, vecs, nodes, ep, L,
+                                             batch_rows=7)
+    for i in range(n):
+        si, sd = core.supply_search_collect(adj, vecs, vecs[i], i, ep, L)
+        bi, bd = batch[i]
+        assert np.array_equal(si, bi)
+        assert np.allclose(sd, bd, atol=1e-12)
+
+
+@given(st.integers(0, 2 ** 31))
+@settings(max_examples=25, deadline=None)
+def test_batch_search_non_adaptive_respects_per_set_max_pq(seed):
+    """adaptive=False with budget//m > a set's own max_pq: members must
+    emit at most max_pq entries, exactly like the sequential queue whose
+    capacity is max_pq (round-3 advisory)."""
+    rng = np.random.default_rng(seed)
+    n, d = int(rng.integers(40, 100)), 8
+    vecs = rng.normal(size=(n, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    adj = [np.unique(rng.integers(0, n, size=rng.integers(2, 8)))
+           for _ in range(n)]
+    adj = [a[a != i] for i, a in enumerate(adj)]
+    n_sets = int(rng.integers(2, 8))
+    sets = [rng.normal(size=(1, d)) for _ in range(n_sets)]
+    sets = [q / np.linalg.norm(q, axis=1, keepdims=True) for q in sets]
+    ep = int(rng.integers(0, n))
+    # m=1 and budget >> max_pq forces budget//m > max_pq for every set
+    max_pqs = rng.integers(3, 10, size=n_sets)
+    budgets = max_pqs * int(rng.integers(3, 6))
+    batch = core.batch_multivector_search(
+        adj, vecs, sets, ep, 2, max_pqs, budgets, False,
+        mem_budget_bytes=4 * (n + 1))
+    for qi, q in enumerate(sets):
+        seq = core.multivector_search(adj, vecs, q, ep, 2,
+                                      int(max_pqs[qi]), int(budgets[qi]),
+                                      False)
+        for (si, sd), (bi, bd) in zip(seq, batch[qi]):
+            assert len(bi) <= int(max_pqs[qi])
+            assert np.array_equal(si, bi)
+            assert np.allclose(sd, bd, atol=1e-12)
