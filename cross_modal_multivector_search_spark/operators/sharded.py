@@ -147,7 +147,8 @@ def _shard_expr(col: str, n_shards: int):
 
 def shard_self_knn(base: DataFrame, n_shards: int, k: int,
                    id_col: str = "vec_id",
-                   vec_col: str = "vec") -> DataFrame:
+                   vec_col: str = "vec",
+                   driver_bytes_budget: int = 2_000_000_000) -> DataFrame:
     """Within-shard exact kNN as a distributed table: (query_id, rank,
     base_id, score), self excluded, both sides in the same hash shard.
 
@@ -158,34 +159,52 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
     kNN compute spreads over the whole cluster in bounded-memory batches
     instead of running single-threaded inside each build task.
 
-    One Arrow fetch supplies every shard's query matrix (the per-shard
-    broadcast would round-trip the same bytes through the driver anyway)
-    and the kernel masks self matches (``exclude_self``) — exact-k
-    output with no post-filter re-rank, identical to the in-task
-    fill_diagonal path even under duplicate vectors.
+    The kernel masks self matches (``exclude_self``) — exact-k output
+    with no post-filter re-rank, identical to the in-task fill_diagonal
+    path even under duplicate vectors.
+
+    Driver memory is BOUNDED, not corpus-sized: the query-side Arrow
+    fetch is sliced into ceil(corpus_bytes / driver_bytes_budget) shard
+    groups, each fetched (one filtered scan) and released before the
+    next — the broadcast bytes a group produces live in Spark's block
+    store, not the Python heap. Small inputs take one fetch, so the
+    extra scans only appear exactly when a single fetch would not fit.
     """
     import numpy as np
 
     from functools import reduce
 
     from .brute_force import knn_exact_gemm
-    pdf = (base.select(F.col(id_col), vec_col,
-                       _shard_expr(id_col, n_shards).alias("_shard"))
-           .toPandas())
-    ids_all = pdf[id_col].to_numpy(dtype=np.int64)
-    shards_all = pdf["_shard"].to_numpy()
-    mat_all = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) \
-        if len(pdf) else np.empty((0, 0))
+
+    n_rows = base.count()
+    if n_rows == 0:
+        raise ValueError("shard_self_knn: empty base table")
+    first = base.select(vec_col).first()
+    dim = len(first[0])
+    est_bytes = n_rows * (dim * 8 + 24)
+    n_groups = int(min(n_shards, max(1, -(-est_bytes // driver_bytes_budget))))
+    shard_of = _shard_expr(id_col, n_shards)
     parts = []
-    for s in range(n_shards):
-        sel = shards_all == s
-        if not sel.any():
+    for g in range(n_groups):
+        pdf = (base.select(F.col(id_col), vec_col, shard_of.alias("_shard"))
+               .filter(F.pmod(shard_of, F.lit(n_groups)) == g)
+               .toPandas())
+        if not len(pdf):
             continue
-        sub = base.filter(_shard_expr(id_col, n_shards) == s)
-        parts.append(knn_exact_gemm(
-            (ids_all[sel], mat_all[sel]),
-            sub.select(F.col(id_col).alias("base_id"), vec_col),
-            k, metric="ip", exclude_self=True))
+        ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+        shards_all = pdf["_shard"].to_numpy()
+        mat_all = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        for s in range(g, n_shards, n_groups):
+            sel = shards_all == s
+            if not sel.any():
+                continue
+            sub = base.filter(_shard_expr(id_col, n_shards) == s)
+            parts.append(knn_exact_gemm(
+                (ids_all[sel], mat_all[sel]),
+                sub.select(F.col(id_col).alias("base_id"), vec_col),
+                k, metric="ip", exclude_self=True))
+    if not parts:
+        raise ValueError("shard_self_knn: no non-empty shards")
     return reduce(DataFrame.unionByName, parts)
 
 

@@ -84,3 +84,19 @@ def test_sharded_search_recall(spark, shard_graph):
         out.select("query_set_id", "data_set_id"), gt, 10
     ).collect()[0]["mean_recall"]
     assert mr >= 0.95, f"sharded recall {mr}"
+
+
+def test_shard_self_knn_grouped_fetch_equivalence(spark):
+    """A tiny driver_bytes_budget forces the multi-group sliced fetch;
+    output must equal the single-fetch fast path, and empty input must
+    raise loudly instead of TypeError-ing inside reduce()."""
+    vecs = TD.embeddings_norm(spark, SF_SMOKE)
+    base = vecs.select("vec_id", "vec")
+    one = sharded.shard_self_knn(base, N_SHARDS, 5).collect()
+    grouped = sharded.shard_self_knn(
+        base, N_SHARDS, 5, driver_bytes_budget=10_000).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(one, key=key) == sorted(grouped, key=key)
+    with pytest.raises(ValueError, match="empty"):
+        sharded.shard_self_knn(base.filter(F.col("vec_id") < 0),
+                               N_SHARDS, 5)
