@@ -38,6 +38,22 @@ _GT_SCHEMA = StructType([
 ])
 
 
+# single-file binary sinks are inherently driver-resident (the format has
+# one header + one packed block); they exist for GT/query-sized round
+# trips back to reference tooling. The guard turns "pointed a 100 TB base
+# table at a .fbin" into a loud error instead of a silent driver OOM.
+SINK_MAX_ROWS = 5_000_000
+
+
+def _guard_sink_rows(df: DataFrame, what: str, max_rows: int) -> None:
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{what}: input exceeds {max_rows} rows; this single-file "
+            "driver-side sink is for GT/query-scale tables — write large "
+            "tables as parquet (df.write.parquet) instead, or raise "
+            "max_rows explicitly if the driver really can hold it")
+
+
 def read_meta(path: str) -> tuple[int, int]:
     """(npts, dim) header with the reference's size validation."""
     import os
@@ -71,8 +87,10 @@ def read_fbin(spark: SparkSession, path: str,
 
 
 def write_fbin(df: DataFrame, path: str, vec_id: str = "vec_id",
-               vec_col: str = "vec") -> None:
+               vec_col: str = "vec",
+               max_rows: int = SINK_MAX_ROWS) -> None:
     """DataFrame -> fbin, rows ordered by vec_id (driver-side sink)."""
+    _guard_sink_rows(df, "write_fbin", max_rows)
     rows = df.select(vec_id, vec_col).orderBy(vec_id).collect()
     mat = np.array([r[1] for r in rows], dtype=np.float32)
     with open(path, "wb") as f:
@@ -156,7 +174,9 @@ def _rank_grid(rows, n_cols_extra: int = 0):
 
 def write_set_gt_ibin(df: DataFrame, path: str,
                       query_col: str = "query_id", rank_col: str = "rank",
-                      id_col: str = "neighbor_id") -> None:
+                      id_col: str = "neighbor_id",
+                      max_rows: int = SINK_MAX_ROWS) -> None:
+    _guard_sink_rows(df, "write_set_gt_ibin", max_rows)
     rows = df.select(query_col, rank_col, id_col) \
         .orderBy(query_col, rank_col).collect()
     if not rows:
@@ -175,10 +195,12 @@ def write_vector_gt_ibin(df: DataFrame, path: str,
                          query_col: str = "query_id",
                          rank_col: str = "rank",
                          id_col: str = "neighbor_id",
-                         dist_col: str = "dist") -> None:
+                         dist_col: str = "dist",
+                         max_rows: int = SINK_MAX_ROWS) -> None:
     """DataFrame -> vector-GT ibin (DiskANN layout: ids block then
     float32 dists block), the reference's GT-generation sink
     (`/root/reference/tests/gen_vector_groundtruth.cpp:126-133`)."""
+    _guard_sink_rows(df, "write_vector_gt_ibin", max_rows)
     rows = df.select(query_col, rank_col, id_col, dist_col) \
         .orderBy(query_col, rank_col).collect()
     if not rows:

@@ -115,3 +115,23 @@ def test_graph_connectivity_directed_vs_weak(spark):
         g, entry_point=0, local_threshold=0).collect()[0]
     assert (dist["n_nodes"], dist["n_components"],
             dist["reachable_from_ep"]) == (4, 1, 3)
+
+
+def test_sink_row_guard(spark, tmp_path):
+    """The driver-side binary sinks refuse tables above max_rows with a
+    pointer to parquet (no silent driver-OOM path)."""
+    import pytest
+    df = spark.range(10).selectExpr(
+        "id AS vec_id", "array(float(id), float(id)) AS vec")
+    with pytest.raises(ValueError, match="parquet"):
+        fbin.write_fbin(df, str(tmp_path / "x.fbin"), max_rows=5)
+    gt = spark.range(10).selectExpr(
+        "id AS query_id", "1 AS rank", "id AS neighbor_id",
+        "float(id) AS dist")
+    with pytest.raises(ValueError, match="parquet"):
+        fbin.write_set_gt_ibin(gt, str(tmp_path / "x.ibin"), max_rows=5)
+    with pytest.raises(ValueError, match="parquet"):
+        fbin.write_vector_gt_ibin(gt, str(tmp_path / "y.ibin"), max_rows=5)
+    # at or below the bound the sinks still work
+    fbin.write_fbin(df, str(tmp_path / "ok.fbin"), max_rows=10)
+    assert fbin.read_meta(str(tmp_path / "ok.fbin")) == (10, 2)
