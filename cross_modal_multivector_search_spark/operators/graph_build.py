@@ -86,187 +86,218 @@ def _collect_matrix(base: DataFrame, id_col: str, vec_col: str):
     return ids, mat
 
 
-def build_roargraph(base: DataFrame, train_queries: DataFrame,
-                    params: RoarGraphParams = RoarGraphParams(),
-                    id_col: str = "vec_id", vec_col: str = "vec",
-                    train_knn: DataFrame | None = None) -> RoarGraphIndex:
-    """Build the projected bipartite graph over ``base`` guided by
-    ``train_queries`` (both (id, vec) DataFrames, rows pre-normalized).
+def _pipeline_build_arrays(vecs: np.ndarray, nn_locals: list,
+                           params: RoarGraphParams) -> tuple[list, int]:
+    """The full LinkProjection pass pipeline (module docstring) over
+    local contiguous indexes, pure NumPy — runs inside ONE Spark task so
+    neither the vector matrix nor any pass state ever transits the
+    driver. ``nn_locals``: one array per training query, local base
+    indexes nearest-first (pass 1's kNN lists).
 
-    ``train_knn`` (query_id, rank, base_id) can be supplied (e.g. loaded
-    from a previous exact-kNN materialization); otherwise it is computed
-    here with the blocked-GEMM exact kNN — in Spark the offline oracle
-    the reference reads from disk becomes a first-class stage
-    (SURVEY §3.2 note).
+    This is bit-identical to the former driver-orchestrated pass chain
+    in its single-partition regime (pinned by the ANN oracle constants):
+    same pool-set construction, same np.unique candidate normalization,
+    same supply reverse edges + 2*M_pjbp cap + novel-edge merge.
+    """
+    n = len(vecs)
+    m_deg = params.m_pjbp
+    if n == 0:
+        return [], 0
+
+    # ---- pass 1: per training query -> occlusion-pruned target lists
+    pools: dict[int, set] = {}
+    for nn in nn_locals:
+        if nn is None or len(nn) == 0:
+            continue
+        pools.setdefault(int(nn[0]), set()).update(int(x) for x in nn[1:])
+    fwd: dict[int, list] = {}
+    for tgt, pool in pools.items():
+        cand = np.fromiter((p for p in pool if p != tgt), dtype=np.int64)
+        if len(cand) == 0:
+            continue
+        dists = -(vecs[cand] @ vecs[tgt])
+        fwd[tgt] = core.occlusion_prune(cand, dists, vecs, m_deg,
+                                        exclude=tgt)
+
+    # ---- reverse edges + degree-overflow re-prune
+    nbr_sets: dict[int, set] = {}
+    for src, nbrs in fwd.items():
+        nbr_sets.setdefault(src, set()).update(nbrs)
+        for d in nbrs:
+            nbr_sets.setdefault(d, set()).add(src)
+    adj = [np.empty(0, dtype=np.int64)] * n
+    for src, cands in nbr_sets.items():
+        cand = np.unique(np.fromiter(cands, dtype=np.int64))
+        cand = cand[cand != src]
+        if len(cand) <= m_deg:
+            adj[src] = cand
+        else:
+            dists = -(vecs[cand] @ vecs[src])
+            adj[src] = np.asarray(
+                core.occlusion_prune(cand, dists, vecs, m_deg, exclude=src),
+                dtype=np.int64)
+
+    # ---- entry point: centroid -> nearest base (CalculateProjectionep)
+    centroid = vecs.mean(axis=0)
+    ep = int(np.argmin(((vecs - centroid) ** 2).sum(axis=1)))
+
+    # ---- pass 3: connectivity enhancement over the pass-2 snapshot
+    traces = core.batch_supply_search_collect(
+        adj, vecs, np.arange(n, dtype=np.int64), ep, params.l_pjpq)
+    supply: dict[int, list] = {}
+    for node in range(n):
+        ret_ids, ret_dists = traces[node]
+        keep = ret_ids != node
+        ret_ids, ret_dists = ret_ids[keep], ret_dists[keep]
+        if len(ret_ids) == 0:
+            continue
+        pruned = core.occlusion_prune(
+            ret_ids, ret_dists, vecs, m_deg, exclude=node, backfill=False,
+            seed_skip=set(int(x) for x in adj[node]))
+        if pruned:
+            supply[node] = pruned
+
+    cap2 = 2 * m_deg
+    s_sets: dict[int, set] = {}
+    for src, nbrs in supply.items():
+        s_sets.setdefault(src, set()).update(nbrs)
+        for d in nbrs:
+            s_sets.setdefault(d, set()).add(src)
+    supply_map: dict[int, list] = {}
+    for src, cands in s_sets.items():
+        cand = np.unique(np.fromiter(cands, dtype=np.int64))
+        cand = cand[cand != src]
+        if len(cand) > cap2:
+            dists = -(vecs[cand] @ vecs[src])
+            cand = np.asarray(
+                core.occlusion_prune(cand, dists, vecs, cap2, exclude=src),
+                dtype=np.int64)
+        supply_map[src] = [int(x) for x in cand]
+
+    # ---- merge <= 2*M_pjbp novel supply edges into the projection graph
+    final_adj = []
+    for node in range(n):
+        base_nbrs = [int(x) for x in adj[node]]
+        have = set(base_nbrs)
+        added = 0
+        for s in supply_map.get(node, []):
+            if added >= cap2:
+                break
+            if s not in have:
+                base_nbrs.append(s)
+                have.add(s)
+                added += 1
+        final_adj.append(np.asarray(base_nbrs, dtype=np.int64))
+    return final_adj, ep
+
+
+def build_roargraph_df(base: DataFrame, train_queries: DataFrame,
+                       params: RoarGraphParams = RoarGraphParams(),
+                       id_col: str = "vec_id", vec_col: str = "vec",
+                       train_knn: DataFrame | None = None) -> DataFrame:
+    """Task-side single-index build: (src, nbrs, is_entry) adjacency.
+
+    The kNN stage runs distributed (blocked GEMM); the pass pipeline
+    runs inside ONE Spark task fed by a union of the base vectors and
+    the per-query kNN lists — the driver never materializes the vector
+    matrix or any pass state, only the plan. Peak driver memory for a
+    build is therefore O(1); callers that want the broadcastable
+    in-memory handle pay O(adjacency + vectors) at assembly time
+    (``build_roargraph``), which is the handle's own size, not the
+    build's. A single index must fit one task's memory by construction
+    (it is searched from one memory); beyond that, ``build_sharded``.
     """
     spark = base.sparkSession
-    ids, vecs = _collect_matrix(base, id_col, vec_col)
-    n = len(ids)
-    m_deg = params.m_pjbp
-
     if train_knn is None:
         train_knn = knn_exact_gemm(
             train_queries.select(F.col(id_col).alias("query_id"), vec_col),
             base.select(F.col(id_col).alias("base_id"), vec_col),
             params.m_sq, metric="ip")
-
-    # ---- pass 1: per training query -> occlusion-pruned target lists.
-    # groupBy(target) merges the pools of all training queries that chose
-    # the same nearest base — a deterministic snapshot-merge of the
-    # reference's per-thread overwrites.
     knn_lists = (
         train_knn.groupBy("query_id")
         .agg(F.sort_array(F.collect_list(F.struct("rank", "base_id")))
              .alias("l"))
         .select(F.col("l.base_id").alias("nn_base"))
     )
-    bc = spark.sparkContext.broadcast((ids, vecs))
+    vec_t = base.schema[vec_col].dataType.simpleString()
+    payload = (
+        base.select(F.lit(0).alias("_kind"),
+                    F.col(id_col).cast("long").alias("_id"),
+                    F.col(vec_col).alias("_vec"),
+                    F.lit(None).cast("array<long>").alias("_nn"))
+        .unionByName(knn_lists.select(
+            F.lit(1).alias("_kind"),
+            F.lit(None).cast("long").alias("_id"),
+            F.lit(None).cast(vec_t).alias("_vec"),
+            F.col("nn_base").alias("_nn")))
+        .repartition(1))
 
-    def pass1(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g_ids, g_vecs = bc.value
-        g_map = {int(v): i for i, v in enumerate(g_ids)}
-        pools: dict[int, set] = {}
+    schema = StructType(_GRAPH_SCHEMA.fields + [
+        StructField("is_entry", LongType())])
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_l, vec_l, nn_l = [], [], []
         for pdf in it:
-            for nn in pdf["nn_base"]:
-                nn = [g_map[int(x)] for x in nn]
-                tgt, rest = nn[0], nn[1:]
-                pools.setdefault(tgt, set()).update(rest)
-        out_src, out_nbrs = [], []
-        for tgt, pool in pools.items():
-            cand = np.fromiter((p for p in pool if p != tgt),
-                               dtype=np.int64)
-            if len(cand) == 0:
-                continue
-            dists = -(g_vecs[cand] @ g_vecs[tgt])
-            pruned = core.occlusion_prune(cand, dists, g_vecs, m_deg,
-                                          exclude=tgt)
-            out_src.append(tgt)
-            out_nbrs.append(pruned)
-        yield pd.DataFrame({"src": out_src, "nbrs": out_nbrs})
+            kind = pdf["_kind"].to_numpy()
+            ids_l.append(pdf["_id"].to_numpy()[kind == 0])
+            vec_l.extend(pdf["_vec"][kind == 0])
+            nn_l.extend(pdf["_nn"][kind == 1])
+        ids = np.concatenate(ids_l).astype(np.int64) if ids_l \
+            else np.empty(0, dtype=np.int64)
+        if len(ids) == 0:
+            return
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = np.vstack([np.asarray(v, dtype=np.float64)
+                          for v in vec_l])[order]
+        ix = {int(v): i for i, v in enumerate(ids)}
+        nn_locals = [np.array([ix[int(x)] for x in nn], dtype=np.int64)
+                     for nn in nn_l if nn is not None and len(nn)]
+        adj, ep = _pipeline_build_arrays(vecs, nn_locals, params)
+        yield pd.DataFrame({
+            "src": ids,
+            "nbrs": [[int(ids[j]) for j in adj[i]]
+                     for i in range(len(ids))],
+            "is_entry": [1 if i == ep else 0 for i in range(len(ids))],
+        })
 
-    fwd = knn_lists.mapInPandas(pass1, schema=_GRAPH_SCHEMA)
-    # merge pools for targets that landed in different partitions
-    fwd = (fwd.select("src", F.explode("nbrs").alias("dst"))
-           .groupBy("src").agg(F.collect_set("dst").alias("nbrs")))
+    return payload.mapInPandas(build, schema=schema)
 
-    # ---- reverse edges + degree-overflow re-prune (one functional pass)
-    edges = fwd.select("src", F.explode("nbrs").alias("dst"))
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    merged = (edges.unionByName(rev).distinct()
-              .groupBy("src").agg(F.collect_list("dst").alias("cands")))
 
-    def reprune(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g_ids, g_vecs = bc.value
-        for pdf in it:
-            out_src, out_nbrs = [], []
-            for src, cands in zip(pdf["src"], pdf["cands"]):
-                src = int(src)
-                cand = np.unique(np.asarray(cands, dtype=np.int64))
-                cand = cand[cand != src]
-                if len(cand) <= m_deg:
-                    out_src.append(src)
-                    out_nbrs.append([int(x) for x in cand])
-                    continue
-                dists = -(g_vecs[cand] @ g_vecs[src])
-                pruned = core.occlusion_prune(cand, dists, g_vecs, m_deg,
-                                              exclude=src)
-                out_src.append(src)
-                out_nbrs.append(pruned)
-            yield pd.DataFrame({"src": out_src, "nbrs": out_nbrs})
+def build_roargraph(base: DataFrame, train_queries: DataFrame,
+                    params: RoarGraphParams = RoarGraphParams(),
+                    id_col: str = "vec_id", vec_col: str = "vec",
+                    train_knn: DataFrame | None = None) -> RoarGraphIndex:
+    """Build the projected bipartite graph over ``base`` guided by
+    ``train_queries`` (both (id, vec) DataFrames, rows pre-normalized),
+    returning the broadcastable in-memory handle.
 
-    # Arrow fetch of the re-pruned graph (no per-row Row objects): the
-    # adjacency is the one payload the driver must hold — it is the next
-    # pass's broadcast snapshot
-    graph1 = merged.mapInPandas(reprune, schema=_GRAPH_SCHEMA).toPandas()
-    adj = [np.empty(0, dtype=np.int64)] * n
-    for src, nbrs in zip(graph1["src"].to_numpy(),
-                         graph1["nbrs"].to_numpy()):
-        adj[int(src)] = np.asarray(nbrs, dtype=np.int64)
+    ``train_knn`` (query_id, rank, base_id) can be supplied (e.g. loaded
+    from a previous exact-kNN materialization); otherwise it is computed
+    here with the blocked-GEMM exact kNN — in Spark the offline oracle
+    the reference reads from disk becomes a first-class stage
+    (SURVEY §3.2 note).
 
-    # ---- entry point: centroid -> nearest base (CalculateProjectionep)
-    centroid = vecs.mean(axis=0)
-    ep = int(np.argmin(((vecs - centroid) ** 2).sum(axis=1)))
-
-    # ---- pass 3: connectivity enhancement over a broadcast snapshot
-    bc_graph = spark.sparkContext.broadcast((adj, ep))
-    node_df = spark.range(n).select(F.col("id").alias("node"))
-
-    def pass3(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g_ids, g_vecs = bc.value
-        snap_adj, snap_ep = bc_graph.value
-        for pdf in it:
-            nodes = pdf["node"].to_numpy(dtype=np.int64)
-            # all of this partition's node searches in one batched pass
-            traces = core.batch_supply_search_collect(
-                snap_adj, g_vecs, nodes, snap_ep, params.l_pjpq)
-            out_src, out_nbrs = [], []
-            for node, (ret_ids, ret_dists) in zip(nodes, traces):
-                node = int(node)
-                keep = ret_ids != node
-                ret_ids, ret_dists = ret_ids[keep], ret_dists[keep]
-                if len(ret_ids) == 0:
-                    out_src.append(node)
-                    out_nbrs.append([])
-                    continue
-                pruned = core.occlusion_prune(
-                    ret_ids, ret_dists, g_vecs, m_deg, exclude=node,
-                    backfill=False,
-                    seed_skip=set(int(x) for x in snap_adj[node]))
-                out_src.append(node)
-                out_nbrs.append(pruned)
-            yield pd.DataFrame({"src": out_src, "nbrs": out_nbrs})
-
-    supply = node_df.mapInPandas(pass3, schema=_GRAPH_SCHEMA)
-    s_edges = supply.select("src", F.explode("nbrs").alias("dst"))
-    s_rev = s_edges.select(F.col("dst").alias("src"),
-                           F.col("src").alias("dst"))
-    s_merged = (s_edges.unionByName(s_rev).distinct()
-                .groupBy("src").agg(F.collect_list("dst").alias("cands")))
-
-    cap2 = 2 * m_deg
-
-    def reprune2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g_ids, g_vecs = bc.value
-        for pdf in it:
-            out_src, out_nbrs = [], []
-            for src, cands in zip(pdf["src"], pdf["cands"]):
-                src = int(src)
-                cand = np.unique(np.asarray(cands, dtype=np.int64))
-                cand = cand[cand != src]
-                if len(cand) > cap2:
-                    dists = -(g_vecs[cand] @ g_vecs[src])
-                    cand = np.array(core.occlusion_prune(
-                        cand, dists, g_vecs, cap2, exclude=src),
-                        dtype=np.int64)
-                out_src.append(src)
-                out_nbrs.append([int(x) for x in cand])
-            yield pd.DataFrame({"src": out_src, "nbrs": out_nbrs})
-
-    supply_final = s_merged.mapInPandas(reprune2, schema=_GRAPH_SCHEMA) \
-        .toPandas()
-
-    # ---- merge <= 2*M_pjbp novel supply edges into the projection graph
-    final_adj = []
-    supply_map = {int(s): nb for s, nb in
-                  zip(supply_final["src"].to_numpy(),
-                      supply_final["nbrs"].to_numpy())}
-    for node in range(n):
-        base_nbrs = list(int(x) for x in adj[node])
-        have = set(base_nbrs)
-        added = 0
-        for s in supply_map.get(node, []):
-            if added >= cap2:
-                break
-            s = int(s)
-            if s not in have:
-                base_nbrs.append(s)
-                have.add(s)
-                added += 1
-        final_adj.append(np.asarray(base_nbrs, dtype=np.int64))
-
-    bc.destroy()
-    bc_graph.destroy()
-    return RoarGraphIndex(ids=ids, vecs=vecs, adj=final_adj, entry_point=ep)
+    The build itself runs task-side (``build_roargraph_df``); this
+    wrapper only assembles the handle, whose O(vectors + adjacency)
+    driver footprint is the handle's own broadcast payload — callers
+    that persist straight to parquet can use ``build_roargraph_df`` and
+    never materialize either.
+    """
+    rows = build_roargraph_df(base, train_queries, params,
+                              id_col, vec_col, train_knn).toPandas()
+    ids, vecs = _collect_matrix(base, id_col, vec_col)
+    ix = {int(v): i for i, v in enumerate(ids)}
+    adj = [np.empty(0, dtype=np.int64)] * len(ids)
+    ep = 0
+    for src, nbrs, is_ep in zip(rows["src"].to_numpy(),
+                                rows["nbrs"].to_numpy(),
+                                rows["is_entry"].to_numpy()):
+        i = ix[int(src)]
+        adj[i] = np.array([ix[int(x)] for x in nbrs], dtype=np.int64)
+        if is_ep:
+            ep = i
+    return RoarGraphIndex(ids=ids, vecs=vecs, adj=adj, entry_point=ep)
 
 
 def save_graph(index: RoarGraphIndex, spark: SparkSession,
