@@ -242,12 +242,100 @@ def test_multimodal_plumbing(spark):
     assert all(r["count"] == 5 for r in per_video)  # 5000ms / 1000ms
 
 
-def test_decode_compressed_codecs_raise():
-    # JPEG/PNG magics: compressed codecs stay a declared limitation
-    with pytest.raises(NotImplementedError):
+def test_decode_codec_dispatch_seam():
+    """JPEG routes through the import-guarded PIL/cv2 seam: absent both,
+    a clear NotImplementedError; with a (stubbed) PIL installed, bytes
+    decode through the seam unchanged."""
+    import sys
+    import types
+    with pytest.raises(NotImplementedError, match="PIL or cv2"):
         multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
-    with pytest.raises(NotImplementedError):
+    stub_img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+
+    class _Im:
+        def __array__(self, dtype=None, copy=None):
+            return stub_img
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: _Im()
+    pil = types.ModuleType("PIL")
+    pil.Image = image_mod
+    sys.modules["PIL"] = pil
+    sys.modules["PIL.Image"] = image_mod
+    try:
+        out = multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        assert np.array_equal(out, stub_img)
+    finally:
+        del sys.modules["PIL"], sys.modules["PIL.Image"]
+    # malformed PNG still fails loudly (ValueError, not a codec gap)
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_png_roundtrip_all_color_types():
+    """REAL compressed decode in-container: encode_png (DEFLATE) ->
+    _decode_png for gray / gray+alpha / RGB / RGBA."""
+    rng = np.random.default_rng(11)
+    for shape in ((6, 5), (6, 5, 2), (6, 5, 3), (6, 5, 4)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = multimodal.decode_image(multimodal.encode_png(img))
+        assert np.array_equal(out, img), shape
+
+
+def _png_chunks(w, h, ctype, body_rows, plte=None):
+    import struct
+    import zlib
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(body_rows))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decodes_every_filter_type():
+    """Scanlines forward-filtered with each spec filter (none/sub/up/
+    average/paeth) must invert exactly."""
+    rng = np.random.default_rng(23)
+    h, w, nch = 5, 4, 3
+    img = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    recon = img.reshape((h, w * nch)).astype(np.int64)
+    stride, bpp = w * nch, nch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    body = b""
+    for y in range(h):
+        f = y % 5
+        prev = recon[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        raw = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            left = recon[y, x - bpp] if x >= bpp else 0
+            upl = prev[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: left, 2: prev[x],
+                    3: (left + prev[x]) // 2,
+                    4: paeth(left, int(prev[x]), upl)}[f]
+            raw[x] = (recon[y, x] - pred) % 256
+        body += bytes([f]) + raw.astype(np.uint8).tobytes()
+    out = multimodal.decode_image(_png_chunks(w, h, 2, body))
+    assert np.array_equal(out, img)
+
+
+def test_png_palette():
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                    dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    body = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    out = multimodal.decode_image(_png_chunks(3, 2, 3, body, plte=plte))
+    assert np.array_equal(out, plte[idx])
 
 
 def _ppm_bytes(img: np.ndarray) -> bytes:
