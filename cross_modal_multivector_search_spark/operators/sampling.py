@@ -97,6 +97,44 @@ def generate_random_vectors(spark: SparkSession, n: int, dim: int,
     return spark.range(n).mapInPandas(gen, schema=schema)
 
 
+def generate_clustered_vectors(spark: SparkSession, n: int, dim: int,
+                               n_clusters: int, sigma: float = 0.2,
+                               seed: int = 42) -> DataFrame:
+    """n unit-norm rows drawn from a seeded mixture of Gaussians —
+    clustered data for evaluating trained coarse quantizers (uniform
+    Gaussians are the ANN worst case; real embedding corpora cluster).
+
+    Cluster centers are generated once on the driver (tiny:
+    n_clusters x dim) and folded into the mapInPandas closure; each row
+    seeds its own generator from (seed, id) so output is independent of
+    partitioning, exactly like `generate_random_vectors`.
+    """
+    rng = np.random.default_rng([seed, n_clusters])
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("cluster", LongType(), False),
+        StructField("vec", ArrayType(FloatType(), False), False),
+    ])
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            cl, out = [], []
+            for i in ids:
+                r = np.random.default_rng([seed, int(i)])
+                c = int(r.integers(n_clusters))
+                v = centers[c] + sigma * r.standard_normal(dim)
+                v /= np.linalg.norm(v)
+                cl.append(c)
+                out.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "cluster": cl, "vec": out})
+
+    return spark.range(n).mapInPandas(gen, schema=schema)
+
+
 def nn_wise_similarity(cands: DataFrame, vecs: DataFrame,
                        query_col: str = "query_id",
                        id_col: str = "base_id",

@@ -115,6 +115,89 @@ def kmeans(vecs: DataFrame, k: int, iters: int = 3,
     return assign
 
 
+def train_codebook(vecs: DataFrame, k: int, iters: int = 10,
+                   sample_n: int = 100_000, seed: int = 42,
+                   id_col: str = "vec_id",
+                   vec_col: str = "vec") -> np.ndarray:
+    """Train a k-cell coarse quantizer: deterministic sample to the
+    driver, NumPy Lloyd's on the sample, unit-normalized codebook out.
+
+    The 100 TB shape of IVF training: the codebook is learned from a
+    BOUNDED sample (sample_n x dim floats, independent of corpus size)
+    and the full corpus is only ever touched by the distributed
+    `assign_cells` pass. Sampling is md5-ordered (seeded shuffle any
+    engine reproduces); init is the first k sample rows; assignment is
+    argmax dot against unit-norm centroids, consistent with
+    `ivf_search`'s probe rule.
+    """
+    samp = (vecs.select(id_col, vec_col)
+            .orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))),
+                     F.col(id_col))
+            .limit(sample_n).toPandas())
+    X = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in samp[vec_col]])
+    if len(X) < k:
+        raise ValueError(f"train_codebook: sample ({len(X)}) < k ({k})")
+    C = X[:k].copy()
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[a == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        C = np.where(norms > 0, C / np.maximum(norms, 1e-12), C)
+    return C
+
+
+def assign_cells(vecs: DataFrame, codebook: np.ndarray,
+                 id_col: str = "vec_id",
+                 vec_col: str = "vec") -> DataFrame:
+    """(id, cell): nearest-codebook-cell assignment as one distributed
+    GEMM pass — the scale path for k in the hundreds/thousands where
+    the expression-based `kmeans` crossJoin argmin would emit k dot
+    products per row in codegen.
+
+    The codebook (k x dim, unit-norm rows) rides in the closure
+    (broadcast once per executor); each Arrow batch does a single
+    X @ C.T and argmax. Cell rule = argmax dot, the same rule
+    `ivf_search` probes with, so assignment and probe can never
+    disagree about a cell boundary.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.ascontiguousarray(codebook, dtype=np.float64).T  # (dim, k)
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("cell", LongType(), False),
+    ])
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            cells = np.argmax(X @ C, axis=1).astype(np.int64)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(),
+                                "cell": cells})
+
+    return vecs.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def codebook_df(spark, codebook: np.ndarray) -> DataFrame:
+    """Codebook as the (cell, centroid) DataFrame `ivf_search` expects
+    (LocalRelation — k x dim doubles, always broadcastable)."""
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in row])
+         for i, row in enumerate(codebook)],
+        "cell long, centroid array<double>")
+
+
 def lsh_bucket_col(dim: int, n_planes: int = 8, seed: int = 42,
                    vec_col: str = "vec"):
     """Sign-bit LSH signature as a plain Column expression.

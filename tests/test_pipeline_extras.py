@@ -220,6 +220,69 @@ def test_kmeans_converges_and_is_deterministic(spark):
     assert out.count() == 25
 
 
+def test_trained_codebook_assign_and_recall(spark):
+    """train_codebook + assign_cells: deterministic, assignment equals
+    the NumPy argmax-dot rule, and nprobe=k_cells IVF over the trained
+    cells == exact search (cells partition the base, no vector lost)."""
+    import numpy as np
+
+    from cross_modal_multivector_search_spark.operators import brute_force
+    from cross_modal_multivector_search_spark.operators.sampling import (
+        generate_clustered_vectors,
+    )
+    v = generate_clustered_vectors(spark, 400, 16, 8, seed=7) \
+        .drop("cluster").cache()
+    cb1 = simsearch.train_codebook(v, 8, iters=4, sample_n=400)
+    cb2 = simsearch.train_codebook(v, 8, iters=4, sample_n=400)
+    assert np.array_equal(cb1, cb2)          # deterministic
+    assert np.allclose(np.linalg.norm(cb1, axis=1), 1.0)
+    a = simsearch.assign_cells(v, cb1)
+    rows = {r["vec_id"]: r["cell"] for r in a.collect()}
+    pdf = v.toPandas()
+    X = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
+    expect = np.argmax(X @ cb1.T, axis=1)
+    for i, vid in enumerate(pdf["vec_id"]):
+        assert rows[vid] == expect[i]        # same rule as the kernel
+    av = v.join(a, "vec_id").select("vec_id", "cell", "vec")
+    cents = simsearch.codebook_df(spark, cb1)
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "vec")
+    ivf = simsearch.ivf_search(q, av, cents, nprobe=8, k=10,
+                               cell_col="cell", base_id="vec_id")
+    exact = brute_force.knn_exact_sql(
+        q, v.select(F.col("vec_id").alias("base_id"), "vec"), 10, "ip")
+    got = [(r["query_id"], r["rank"], r["vec_id"])
+           for r in ivf.orderBy("query_id", "rank").collect()]
+    want = [(r["query_id"], r["rank"], r["base_id"])
+            for r in exact.orderBy("query_id", "rank").collect()]
+    assert got == want
+
+
+def test_clustered_vectors_seeded_per_row(spark):
+    """generate_clustered_vectors is per-row seeded: each row equals
+    the driver-side recomputation from (seed, id), so output cannot
+    depend on partitioning; rows are unit-norm."""
+    import numpy as np
+
+    from cross_modal_multivector_search_spark.operators.sampling import (
+        generate_clustered_vectors,
+    )
+    rows = {r["vec_id"]: (r["cluster"], np.asarray(r["vec"]))
+            for r in generate_clustered_vectors(
+                spark, 50, 8, 4, seed=11).collect()}
+    rng = np.random.default_rng([11, 4])
+    centers = rng.standard_normal((4, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    for i in (0, 17, 49):
+        r = np.random.default_rng([11, i])
+        c = int(r.integers(4))
+        v = centers[c] + 0.2 * r.standard_normal(8)
+        v /= np.linalg.norm(v)
+        assert rows[i][0] == c
+        assert np.allclose(rows[i][1], v.astype(np.float32))
+        assert abs(np.linalg.norm(rows[i][1]) - 1.0) < 1e-5
+
+
 def test_lsh_buckets_deterministic(spark):
     v = TD.embeddings_norm(spark, SF_SMOKE).select("vec_id", "vec")
     b1 = simsearch.lsh_buckets(v, 8, seed=1).collect()
