@@ -126,9 +126,11 @@ def train_codebook(vecs: DataFrame, k: int, iters: int = 10,
     BOUNDED sample (sample_n x dim floats, independent of corpus size)
     and the full corpus is only ever touched by the distributed
     `assign_cells` pass. Sampling is md5-ordered (seeded shuffle any
-    engine reproduces); init is the first k sample rows; assignment is
-    argmax dot against unit-norm centroids, consistent with
-    `ivf_search`'s probe rule.
+    engine reproduces); init is seeded k-means++ (first-k init collapses
+    on clustered data — dense mixture components grab many seeds, rival
+    components none, and Lloyd's cannot split a merged cell afterwards);
+    assignment is argmax dot against unit-norm centroids, consistent
+    with `ivf_search`'s probe rule.
     """
     samp = (vecs.select(id_col, vec_col)
             .orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))),
@@ -138,8 +140,16 @@ def train_codebook(vecs: DataFrame, k: int, iters: int = 10,
                     for v in samp[vec_col]])
     if len(X) < k:
         raise ValueError(f"train_codebook: sample ({len(X)}) < k ({k})")
-    C = X[:k].copy()
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    # k-means++ seeding: next center drawn D^2-weighted from the sample
+    rng = np.random.default_rng([seed, k, len(X)])
+    C = np.empty((k, X.shape[1]))
+    C[0] = X[int(rng.integers(len(X)))]
+    d2 = np.sum((X - C[0]) ** 2, axis=1)
+    for c in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C[c] = X[int(rng.choice(len(X), p=p))]
+        d2 = np.minimum(d2, np.sum((X - C[c]) ** 2, axis=1))
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
         a = np.argmax(X @ C.T, axis=1)
         for c in range(k):

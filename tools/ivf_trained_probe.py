@@ -9,7 +9,11 @@ bounded sample (`train_codebook`), assigned distributively
 (`assign_cells`), then the same declarative `ivf_search` sweep.
 
 Appends the result table to SCALE_PROBE.md (or prints with out='-').
-Usage: python tools/ivf_trained_probe.py [n] [dim] [cells] [out_md]
+Usage: python tools/ivf_trained_probe.py [n] [dim] [cells] [out_md] [sigma]
+
+sigma is the mixture's per-dim noise scale: at dim=64, sigma=0.2 gives
+noise norm ~1.6 vs ~1.41 expected center separation (clusters overlap —
+barely-clustered data), sigma=0.1 gives ~0.8 (clearly clustered).
 """
 
 from __future__ import annotations
@@ -38,13 +42,15 @@ def main() -> None:
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_cells = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     out = sys.argv[4] if len(sys.argv) > 4 else "SCALE_PROBE.md"
+    sigma = float(sys.argv[5]) if len(sys.argv) > 5 else 0.2
     mixture_k = n_cells  # as many true clusters as codebook cells
 
     spark = get_spark("ivf-trained-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
-    v = generate_clustered_vectors(spark, n, dim, mixture_k).drop("cluster")
+    v = generate_clustered_vectors(spark, n, dim, mixture_k,
+                                   sigma=sigma).drop("cluster")
     v = v.repartition(32).cache()
     v.count()
     t_gen = time.time() - t0
@@ -72,7 +78,7 @@ def main() -> None:
     lines = [
         "",
         f"## IVF with a TRAINED codebook at n = {n:,} "
-        "(mixture-of-Gaussians data)",
+        f"(mixture-of-Gaussians data, sigma={sigma})",
         "",
         f"{mixture_k}-component seeded mixture (`generate_clustered_"
         f"vectors`), k-means codebook trained on a 100k sample in "
