@@ -1,0 +1,576 @@
+"""Pure-NumPy baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman).
+
+In-container REAL compressed-image decode with no external codec
+library: the decoder handles baseline (SOF0/SOF1) 8-bit JPEG — gray or
+YCbCr, arbitrary integer sampling factors (4:4:4, 4:2:0, 4:2:2, ...),
+restart intervals — and raises ``NotImplementedError`` for the modes
+that genuinely need a richer codec (progressive SOF2, hierarchical,
+arithmetic coding, 12-bit), which ``operators.multimodal`` then routes
+through the import-guarded PIL/cv2 seam.
+
+The encoder is the fixture/round-trip partner: Annex-K quantization +
+Huffman tables (scaled by the libjpeg quality formula), 4:4:4 or 4:2:0
+chroma subsampling, optional restart intervals. Both sides batch the
+8x8 DCT/IDCT as one einsum over all blocks — the per-symbol Huffman
+loop is the only scalar part.
+
+Reference analog: the reference's data prep decodes real media before
+CLIP embedding (`/root/reference/python/prepare_for_clip_webvid.py`);
+this module makes that stage real for baseline JPEG inside the Spark
+`mapInPandas` decode UDFs (operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- constants (ITU-T T.81 Annex K — public standard tables) ---------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QUANT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8x8 DCT-II basis: block_coeffs = D @ block @ D.T
+_K = np.arange(8, dtype=np.float64)
+_D = np.cos((2 * _K[None, :] + 1) * _K[:, None] * np.pi / 16) / 2.0
+_D[0, :] /= np.sqrt(2.0)
+
+
+def _dct2_batch(blocks: np.ndarray) -> np.ndarray:
+    return np.einsum("ij,njk,lk->nil", _D, blocks, _D, optimize=True)
+
+
+def _idct2_batch(coefs: np.ndarray) -> np.ndarray:
+    return np.einsum("ji,njk,kl->nil", _D, coefs, _D, optimize=True)
+
+
+def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _canonical_codes(bits: list[int],
+                     vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for a T.81 BITS/HUFFVAL table."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int],
+                  vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, the decoder-side view."""
+    return {(ln, code): sym
+            for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+
+
+# --- bit I/O ---------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+    def raw_marker(self, marker: int) -> None:
+        self.pad_to_byte()
+        self.buf += bytes((0xFF, marker))
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.i = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.i >= len(self.d):
+            raise ValueError("JPEG entropy stream truncated")
+        b = self.d[self.i]
+        if b == 0xFF:
+            nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else None
+            if nxt != 0x00:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                    if nxt is not None else "JPEG entropy stream truncated")
+            self.i += 2
+        else:
+            self.i += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.acc = 0
+        self.n = 0
+
+
+def _extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (category s, s-bit code) per T.81 F.1.2.1."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+
+
+def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG entropy stream")
+
+
+# --- encoder ---------------------------------------------------------
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, ...]:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _plane_to_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H8, W8) plane -> (by, bx, 64) quantized zigzag coefficients."""
+    h8, w8 = plane.shape
+    by, bx = h8 // 8, w8 // 8
+    blocks = (plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+              .reshape(by * bx, 8, 8) - 128.0)
+    coefs = _dct2_batch(blocks)
+    quant = np.round(coefs / q[None]).astype(np.int64)
+    return quant.reshape(by, bx, 64)[:, :, ZIGZAG]
+
+
+def _pad_to(plane: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return np.pad(plane, ((0, h8 - plane.shape[0]),
+                          (0, w8 - plane.shape[1])), mode="edge")
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    dc = int(zz[0])
+    s, code = _magnitude(dc - pred)
+    hc, hl = dc_codes[s]
+    w.write(hc, hl)
+    w.write(code, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_codes[0xF0]      # ZRL
+            w.write(hc, hl)
+            run -= 16
+        s, code = _magnitude(v)
+        hc, hl = ac_codes[(run << 4) | s]
+        w.write(hc, hl)
+        w.write(code, s)
+        run = 0
+    if last < 63:
+        hc, hl = ac_codes[0x00]          # EOB
+        w.write(hc, hl)
+    return dc
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """Encode a uint8 gray (H,W) or RGB (H,W,3) array as baseline JPEG."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 pixels")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = _scale_quant(QUANT_LUM, quality)
+    qc = _scale_quant(QUANT_CHROM, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(img)
+        if subsampling == "4:4:4":
+            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "4:2:0":
+            he, we = h + (h & 1), w + (w & 1)
+            cbp = _pad_to(cb, he, we).reshape(he // 2, 2, we // 2, 2) \
+                                     .mean(axis=(1, 3))
+            crp = _pad_to(cr, he, we).reshape(he // 2, 2, we // 2, 2) \
+                                     .mean(axis=(1, 3))
+            planes, samp = [y, cbp, crp], [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qtabs = [ql, qc]
+    comp_blocks = []
+    for plane, (sh, sv), qi in zip(planes, samp, qsel):
+        comp_blocks.append(_plane_to_blocks(
+            _pad_to(plane, mcus_y * sv * 8, mcus_x * sh * 8), qtabs[qi]))
+
+    dc_tabs = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+               _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
+    ac_tabs = [_canonical_codes(AC_LUM_BITS, AC_LUM_VALS),
+               _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)]
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_i = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                hsel = 0 if ci == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = comp_blocks[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _encode_block(
+                            bw, zz, preds[ci],
+                            dc_tabs[hsel], ac_tabs[hsel])
+            mcu_i += 1
+            if (restart_interval and mcu_i % restart_interval == 0
+                    and mcu_i < mcus_x * mcus_y):
+                bw.raw_marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)
+    bw.pad_to_byte()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(ql.reshape(64)[ZIGZAG].tolist()))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].tolist()))
+    ncomp = 1 if gray else 3
+    sof = bytearray((8).to_bytes(1, "big"))
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes((ci + 1, (sh << 4) | sv, qsel[ci]))
+    out += seg(0xC0, bytes(sof))
+    for cls, tid, bits, vals in (
+            (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+            (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+            (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+            (1, 1, AC_CHROM_BITS, AC_CHROM_VALS)):
+        if gray and tid == 1:
+            continue
+        out += seg(0xC4, bytes(((cls << 4) | tid,)) + bytes(bits)
+                   + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        tsel = 0 if ci == 0 else 1
+        sos += bytes((ci + 1, (tsel << 4) | tsel))
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += bw.buf
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+# --- decoder ---------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to uint8 (H,W) gray or (H,W,3) RGB.
+
+    Raises NotImplementedError for non-baseline modes (progressive,
+    arithmetic, hierarchical, 12-bit) so the caller can dispatch to an
+    external codec; malformed data raises ValueError.
+    """
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    ri = 0
+    frame = None
+    scan = None
+    while True:
+        if i + 1 >= len(d):
+            raise ValueError("JPEG truncated before SOS")
+        if d[i] != 0xFF:
+            raise ValueError(f"expected marker at byte {i}")
+        m = d[i + 1]
+        i += 2
+        if m in (0x01,) or 0xD0 <= m <= 0xD9:
+            continue
+        if i + 2 > len(d):
+            raise ValueError("JPEG segment truncated")
+        ln = int.from_bytes(d[i:i + 2], "big")
+        if ln < 2:
+            raise ValueError(f"invalid JPEG segment length {ln}")
+        body = d[i + 2:i + ln]
+        i += ln
+        if m == 0xDB:                                  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                if pq:
+                    raise NotImplementedError("16-bit quantization tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(
+                    body[j + 1:j + 65], dtype=np.uint8).astype(np.int64)
+                qt[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif m == 0xC4:                                # DHT
+            j = 0
+            while j < len(body):
+                cls, tid = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17:j + 17 + nv])
+                tab = _decode_table(bits, vals)
+                (hdc if cls == 0 else hac)[tid] = tab
+                j += 17 + nv
+        elif m == 0xDD:                                # DRI
+            ri = int.from_bytes(body[:2], "big")
+        elif m in (0xC0, 0xC1):                        # baseline SOF
+            if body[0] != 8:
+                raise NotImplementedError(f"{body[0]}-bit JPEG precision")
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, sf, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 15,
+                              "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif m == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame type 0xFF{m:02X}")
+        elif m == 0xDA:                                # SOS
+            nc = body[0]
+            scan = []
+            for c in range(nc):
+                cid, tsel = body[1 + 2 * c:3 + 2 * c]
+                scan.append({"id": cid, "dc": tsel >> 4, "ac": tsel & 15})
+            break
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("JPEG has no frame/scan")
+    comps = frame["comps"]
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan JPEG")
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        if s["id"] not in by_id:
+            raise ValueError("scan references unknown component")
+        by_id[s["id"]].update(dc=s["dc"], ac=s["ac"])
+    if len(comps) == 1:
+        comps[0]["h"] = comps[0]["v"] = 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bx"] = mcus_x * c["h"]
+        c["by"] = mcus_y * c["v"]
+        c["zz"] = np.zeros((c["by"], c["bx"], 64), dtype=np.int64)
+
+    br = _BitReader(d, i)
+    preds = {c["id"]: 0 for c in comps}
+    n_mcus = mcus_x * mcus_y
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and mcu_i and mcu_i % ri == 0:
+                br.align()
+                if not (br.i + 1 < len(d) and d[br.i] == 0xFF
+                        and 0xD0 <= d[br.i + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                br.i += 2
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dctab, actab = hdc.get(c["dc"]), hac.get(c["ac"])
+                if dctab is None or actab is None:
+                    raise ValueError("scan uses undefined Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = c["zz"][my * c["v"] + by, mx * c["h"] + bx]
+                        s = _decode_huff(br, dctab)
+                        diff = _extend(br.bits(s), s)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, actab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break                     # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "AC run past end of block")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+            mcu_i += 1
+
+    planes = []
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("component references undefined quant table")
+        zz = c["zz"].reshape(-1, 64)
+        coef = np.zeros_like(zz, dtype=np.float64)
+        coef[:, ZIGZAG] = zz * q.reshape(64)[ZIGZAG][None, :]
+        pix = _idct2_batch(coef.reshape(-1, 8, 8)) + 128.0
+        plane = (pix.reshape(c["by"], c["bx"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["by"] * 8, c["bx"] * 8))
+        fh, fw = hmax // c["h"], vmax // c["v"]
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError("non-integer sampling ratio")
+        if fh > 1:
+            plane = np.repeat(plane, fh, axis=1)
+        if fw > 1:
+            plane = np.repeat(plane, fw, axis=0)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
+                   255).astype(np.uint8)

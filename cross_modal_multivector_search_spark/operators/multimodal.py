@@ -219,10 +219,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode a raster payload to a pixel array.
 
     In-container (no external library): binary netpbm P5/P6,
-    uncompressed 24/32-bit BMP, and REAL 8-bit PNG (stdlib zlib inflate
-    + NumPy unfilter). Codecs that genuinely need an external library
-    (JPEG/WebP/...) route through the import-guarded PIL/cv2 dispatch
-    and raise NotImplementedError only when neither is installed.
+    uncompressed 24/32-bit BMP, REAL 8-bit PNG (stdlib zlib inflate +
+    NumPy unfilter), and REAL baseline JPEG (pure-NumPy Huffman+IDCT,
+    ``functions.jpeg``). Non-baseline JPEG modes (progressive SOF2,
+    arithmetic, 12-bit) and WebP route through the import-guarded
+    PIL/cv2 dispatch and raise NotImplementedError only when neither
+    is installed.
     """
     if payload[:2] in (b"P5", b"P6"):
         return _decode_netpbm(payload)
@@ -231,7 +233,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
-        return _decode_with_library(payload, "JPEG")
+        from ..functions import jpeg as _jpeg
+        try:
+            return _jpeg.decode_jpeg(payload)
+        except NotImplementedError:
+            # progressive/arithmetic/12-bit: needs a full codec library
+            return _decode_with_library(payload, "JPEG")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return _decode_with_library(payload, "WebP")
     raise NotImplementedError(

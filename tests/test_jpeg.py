@@ -1,0 +1,100 @@
+"""Round-trip tests for the pure-NumPy baseline JPEG codec.
+
+The codec is self-contained (stdlib + NumPy), so correctness is pinned
+by encode->decode round trips at several shapes/modes: the decoder
+exercises real Huffman streams, MCU interleave, subsampled chroma,
+restart markers, and the quantization/IDCT pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cross_modal_multivector_search_spark.functions import jpeg
+from cross_modal_multivector_search_spark.operators import multimodal
+
+
+def _smooth_rgb(h: int, w: int, seed: int = 7) -> np.ndarray:
+    """Low-frequency test image: quantization error stays small."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 128 + 90 * np.sin(2 * np.pi * xx / w)
+    g = 128 + 90 * np.cos(2 * np.pi * yy / h)
+    b = 128 + 60 * np.sin(2 * np.pi * (xx + yy) / (h + w))
+    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255) \
+        .astype(np.uint8)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_gray_roundtrip_nonmultiple_of_8():
+    img = (_smooth_rgb(41, 57)[:, :, 0]).copy()
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert _psnr(img, out) > 40
+
+
+def test_rgb_444_roundtrip():
+    img = _smooth_rgb(48, 64)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 35
+
+
+def test_rgb_420_roundtrip_odd_dims():
+    img = _smooth_rgb(33, 50)
+    out = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=90, subsampling="4:2:0"))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 30
+
+
+def test_flat_image_near_exact():
+    img = np.full((24, 24, 3), 77, dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=75))
+    assert int(np.abs(out.astype(int) - 77).max()) <= 2
+
+
+def test_restart_interval_identical_pixels():
+    img = _smooth_rgb(40, 40)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85))
+    with_ri = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=85, restart_interval=3))
+    # restart markers change the byte stream, not the coefficients
+    assert np.array_equal(plain, with_ri)
+
+
+def test_quality_monotonic():
+    img = _smooth_rgb(48, 48)
+    p_lo = _psnr(img, jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=30)))
+    p_hi = _psnr(img, jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95)))
+    assert p_hi > p_lo
+
+
+def test_progressive_raises_not_implemented():
+    img = _smooth_rgb(16, 16)
+    data = bytearray(jpeg.encode_jpeg(img))
+    # flip the SOF0 marker (FFC0) to SOF2 (FFC2): progressive
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg(bytes(data))
+
+
+def test_malformed_raises_value_error():
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg at all")
+
+
+def test_decode_image_dispatches_to_pure_codec():
+    """operators.multimodal.decode_image handles baseline JPEG
+    in-container now — no PIL/cv2 needed."""
+    img = _smooth_rgb(32, 32)
+    out = multimodal.decode_image(jpeg.encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 35
