@@ -1,0 +1,283 @@
+"""Vector quantization: scalar int8 (SQ) and product quantization (PQ).
+
+The 100 TB memory story for similarity search. The reference engine
+holds full float32 vectors in RAM for every distance it computes
+(`/root/reference/src/index_bipartite.cpp` loads the raw fbin matrix);
+at 10^9+ vectors that is the capacity wall. Quantized codes shrink the
+resident set — SQ: dim bytes/vector (4x vs float32), PQ: m_sub
+bytes/vector (e.g. 32x at dim=64, m_sub=8) — while asymmetric distance
+computation (ADC) scores full-precision queries against codes without
+ever reconstructing the corpus.
+
+Spark shapes:
+
+  * ``sq_minmax`` — one JVM-side aggregation pass (2*dim min/max
+    expressions, map-side combined; no shuffle of vector rows).
+  * ``sq_encode`` / ``sq_dequantize_expr`` — pure column expressions
+    (stay in whole-stage codegen); the per-dim (lo, scale) constants
+    ride in the plan as literals.
+  * ``sq_adc_topk`` — declarative: dequantize + dot + grouped top-k
+    (WindowGroupLimit), hash-reproducible against an ANSI-SQL twin.
+  * ``pq_train`` — bounded driver work: per-subspace k-means++ /
+    Lloyd's on a seeded sample (O(sample_n * dim), corpus-independent),
+    mirroring ``simsearch.train_codebook``.
+  * ``pq_encode`` / ``pq_adc_topk`` — ``mapInPandas`` GEMM passes; the
+    codebook (m_sub*k*d_sub floats, ~100 KB at defaults) rides in the
+    task closure, codes stream through Arrow batches, per-batch partial
+    top-k merges via the same deterministic (score, id) tiebreak as
+    ``brute_force.knn_exact_gemm``.
+
+At cluster scale nothing here collects the corpus: encoding is
+embarrassingly parallel, ADC search broadcasts only queries + codebook
++ LUTs, and the 4-32x smaller code column is what shuffles/caches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                               LongType, StructField, StructType)
+
+from ..functions import vector as V
+from .topk import grouped_topk
+
+
+# --- scalar quantization --------------------------------------------
+
+
+def sq_minmax(vecs: DataFrame, dim: int,
+              vec_col: str = "vec") -> tuple[list[float], list[float]]:
+    """Per-dimension (lo, hi) over the corpus in ONE aggregation pass.
+
+    2*dim scalar min/max aggregates — map-side combined, so the only
+    thing that moves is one partial row per partition. Driver output is
+    O(dim), corpus-independent.
+    """
+    row = vecs.agg(*(
+        [F.min(F.col(vec_col)[i]).alias(f"lo{i}") for i in range(dim)]
+        + [F.max(F.col(vec_col)[i]).alias(f"hi{i}") for i in range(dim)]
+    )).first()
+    lo = [float(row[f"lo{i}"]) for i in range(dim)]
+    hi = [float(row[f"hi{i}"]) for i in range(dim)]
+    return lo, hi
+
+
+def _sq_scales(lo: list[float], hi: list[float]) -> list[float]:
+    # constant dimension -> scale 1.0: code 0, dequantizes to lo exactly
+    return [(h - l) / 255.0 if h != l else 1.0
+            for l, h in zip(lo, hi)]
+
+
+def sq_encode(vecs: DataFrame, lo: list[float], hi: list[float],
+              vec_col: str = "vec", out_col: str = "codes") -> DataFrame:
+    """uint8 codes: code_i = min(floor((x_i - lo_i)/scale_i + 0.5), 255).
+
+    Pure column expressions (no UDF): the (lo, scale) constants fold
+    into the plan, the array stays in codegen. The expression shape
+    (subtract, divide, +0.5, floor, least) is mirrored verbatim by the
+    ANSI oracle so codes are bit-reproducible across engines.
+    """
+    s = _sq_scales(lo, hi)
+    codes = F.array(*[
+        F.least(F.floor((F.col(vec_col)[i] - F.lit(lo[i])) / F.lit(s[i])
+                        + F.lit(0.5)), F.lit(255)).cast("int")
+        for i in range(len(lo))
+    ])
+    return vecs.withColumn(out_col, codes)
+
+
+def sq_dequantize_expr(lo: list[float], hi: list[float],
+                       codes_col: str = "codes"):
+    """dq_i = lo_i + code_i * scale_i as a column expression."""
+    s = _sq_scales(lo, hi)
+    return F.array(*[
+        (F.lit(lo[i]) + F.col(codes_col)[i].cast("double") * F.lit(s[i]))
+        for i in range(len(lo))
+    ])
+
+
+def sq_adc_topk(queries: DataFrame, base: DataFrame, dim: int, k: int,
+                query_id: str = "query_id", base_id: str = "base_id",
+                vec_col: str = "vec") -> DataFrame:
+    """Top-k inner product of full-precision queries against the
+    int8-quantized corpus (asymmetric: only the base side is lossy).
+
+    Declarative end-to-end: encode, dequantize, dot, WindowGroupLimit
+    top-k — every stage an ANSI-SQL-expressible column expression, so
+    the whole operator is oracle-checkable by value hash (unlike PQ,
+    whose trained codebook needs the saturating k=n construction).
+    """
+    lo, hi = sq_minmax(base, dim, vec_col)
+    coded = sq_encode(base.select(F.col(base_id).cast("long"), vec_col),
+                      lo, hi, vec_col)
+    dq = coded.select(base_id,
+                      sq_dequantize_expr(lo, hi).alias("dqvec"))
+    q = queries.select(F.col(query_id).cast("long"),
+                       F.col(vec_col).alias("qvec"))
+    scored = q.crossJoin(dq).select(
+        query_id, base_id,
+        V.dot(F.col("qvec"), F.col("dqvec")).alias("score"))
+    return grouped_topk(
+        scored, [query_id],
+        [F.col("score").desc(), F.col(base_id).asc()], k)
+
+
+# --- product quantization -------------------------------------------
+
+
+def pq_train(vecs: DataFrame, m_sub: int, k: int = 256,
+             iters: int = 10, sample_n: int = 100_000, seed: int = 42,
+             vec_col: str = "vec", id_col: str = "vec_id") -> np.ndarray:
+    """Train a (m_sub, k, d_sub) PQ codebook on a bounded seeded sample.
+
+    Per-subspace k-means++ seeding + Lloyd's, all driver-side NumPy on
+    O(sample_n * dim) data — corpus-independent, the same bounded-
+    training shape as ``simsearch.train_codebook``. Centroids are NOT
+    normalized: PQ reconstructs raw subvectors.
+
+    With k >= the number of distinct subvectors in a subspace the
+    codebook converges to the identity quantizer (every subvector is
+    its own centroid), making ADC scores exact — the saturating
+    construction the oracle-checked driver query uses.
+    """
+    samp = (vecs.select(id_col, vec_col)
+            .orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))),
+                     F.col(id_col))
+            .limit(sample_n).toPandas())
+    X = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in samp[vec_col]])
+    n, dim = X.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if n < k:
+        raise ValueError(f"pq_train: sample ({n}) < k ({k})")
+    d_sub = dim // m_sub
+    book = np.empty((m_sub, k, d_sub))
+    for m in range(m_sub):
+        Xm = X[:, m * d_sub:(m + 1) * d_sub]
+        rng = np.random.default_rng([seed, k, m, n])
+        C = np.empty((k, d_sub))
+        C[0] = Xm[int(rng.integers(n))]
+        d2 = np.sum((Xm - C[0]) ** 2, axis=1)
+        for c in range(1, k):
+            tot = d2.sum()
+            p = d2 / tot if tot > 0 else None
+            C[c] = Xm[int(rng.choice(n, p=p))]
+            d2 = np.minimum(d2, np.sum((Xm - C[c]) ** 2, axis=1))
+        for _ in range(iters):
+            # nearest centroid by the FastL2 expansion (constant ||x||^2
+            # dropped); argmin ties resolve to the lowest centroid id
+            a = np.argmin(
+                -2.0 * (Xm @ C.T) + (C * C).sum(axis=1)[None, :], axis=1)
+            for c in range(k):
+                members = Xm[a == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        book[m] = C
+    return book
+
+
+def pq_encode(vecs: DataFrame, codebook: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "vec",
+              out_col: str = "codes") -> DataFrame:
+    """(id, codes): nearest-centroid code per subspace, one GEMM per
+    subspace per Arrow batch — the distributed encode pass. Codes are
+    the only thing a downstream cache/shuffle needs to hold."""
+    m_sub, k, d_sub = codebook.shape
+    book = codebook.copy()
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField(out_col, ArrayType(IntegerType())),
+    ])
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cn2 = (book * book).sum(axis=2)        # (m_sub, k)
+        for pdf in it:
+            ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            Xb = np.vstack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            codes = np.empty((len(ids), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                Xm = Xb[:, m * d_sub:(m + 1) * d_sub]
+                codes[:, m] = np.argmin(
+                    -2.0 * (Xm @ book[m].T) + cn2[m][None, :], axis=1)
+            yield pd.DataFrame({id_col: ids,
+                                out_col: list(codes)})
+
+    return vecs.select(F.col(id_col).cast("long"),
+                       vec_col).mapInPandas(encode, schema=schema)
+
+
+def pq_adc_topk(queries: DataFrame, codes: DataFrame,
+                codebook: np.ndarray, k: int,
+                query_id: str = "query_id", base_id: str = "base_id",
+                codes_id: str = "vec_id", vec_col: str = "vec",
+                codes_col: str = "codes") -> DataFrame:
+    """Asymmetric top-k: full-precision queries vs PQ codes.
+
+    Queries (the small side, |Q| << corpus) fetch to the driver once;
+    each task builds the (n_q, m_sub, k) lookup table of partial dots
+    — one GEMM per subspace — then every Arrow batch of codes scores as
+    pure table gathers (no reconstruction). Per-batch partial top-k
+    with the deterministic (score desc, id asc) tiebreak, global merge
+    via WindowGroupLimit — the knn_exact_gemm shape with codes instead
+    of vectors streaming through."""
+    m_sub, kc, d_sub = codebook.shape
+    book = codebook.copy()
+    q_pdf = queries.select(F.col(query_id).cast("long"),
+                           vec_col).toPandas()
+    q_ids = q_pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    q_mat = (np.vstack(q_pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+             if len(q_pdf) else np.empty((0, m_sub * d_sub)))
+    # LUT[q, m, c] = q_sub(m) . centroid(m, c)
+    lut = np.einsum("qmd,mcd->qmc",
+                    q_mat.reshape(len(q_ids), m_sub, d_sub), book,
+                    optimize=True)
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, lut, k))
+
+    schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("base_id", LongType()),
+        StructField("score", DoubleType()),
+    ])
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tab, kk = bc.value
+        if not len(ids):
+            return
+        nq = len(ids)
+        for pdf in it:
+            bids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            if not len(bids):
+                continue
+            cm = np.vstack(pdf.iloc[:, 1].to_numpy()).astype(np.int64)
+            # scores[q, b] = sum_m LUT[q, m, codes[b, m]]
+            sims = np.zeros((nq, len(bids)))
+            for m in range(tab.shape[1]):
+                sims += tab[:, m, :][:, cm[:, m]]
+            kk_eff = min(kk, sims.shape[1])
+            order = np.lexsort((np.broadcast_to(bids, sims.shape),
+                                -sims), axis=1)[:, :kk_eff]
+            rows = np.repeat(np.arange(nq), kk_eff)
+            cols = order.ravel()
+            yield pd.DataFrame({
+                "query_id": ids[rows],
+                "base_id": bids[cols],
+                "score": sims[rows, cols],
+            })
+
+    partials = codes.select(
+        F.col(codes_id).cast("long"), codes_col
+    ).mapInPandas(score, schema=schema)
+    out = grouped_topk(
+        partials, ["query_id"],
+        [F.col("score").desc(), F.col("base_id").asc()], k)
+    return out.select(F.col("query_id").alias(query_id), "rank",
+                      F.col("base_id").alias(base_id), "score")
