@@ -606,7 +606,7 @@ def _sharded_work(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     cache = (f"{os.path.dirname(os.path.abspath(__file__))}/.roar_cache/"
              f"sharded-{tag}-s{N_SHARDS}-msq{p.m_sq}-m{p.m_pjbp}"
-             f"-l{p.l_pjpq}-v2")
+             f"-l{p.l_pjpq}-v3")   # v3: reverse supply edges in shards
     if not os.path.exists(cache):
         base = v.select("vec_id", "vec")
         # kNN as a distributed build input (reference design: the kNN

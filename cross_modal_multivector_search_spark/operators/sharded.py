@@ -138,6 +138,18 @@ def _build_one_shard(ids: np.ndarray, vecs: np.ndarray,
         if novel:
             adj[node] = np.concatenate(
                 [adj[node], np.array(novel, dtype=np.int64)])
+            # reverse supply edges (the reference's SupplyAddReverse,
+            # `/root/reference/src/index_bipartite.cpp` pass 3): the
+            # enhancement sweep above only adds edges INTO the entry
+            # point's reachable component; without the reverse
+            # direction a shard holding several well-separated
+            # clusters (spatial sharding) leaves directed islands the
+            # beam can never escape. Bounded append, deterministic
+            # node order.
+            for p in novel:
+                if len(adj[p]) < 3 * m_deg and not (adj[p] == node).any():
+                    adj[p] = np.concatenate(
+                        [adj[p], np.array([node], dtype=np.int64)])
     return adj, ep
 
 
@@ -211,18 +223,32 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
 def build_sharded(base: DataFrame, n_shards: int,
                   params: RoarGraphParams = RoarGraphParams(),
                   id_col: str = "vec_id", vec_col: str = "vec",
-                  train_knn: DataFrame | None = None) -> DataFrame:
+                  train_knn: DataFrame | None = None,
+                  shard_col: str | None = None) -> DataFrame:
     """(shard, src, nbrs, is_entry) adjacency for every shard.
 
-    Sharding is hash(id) % n_shards: uniform by construction, no skew.
-    One task per shard; S-way parallel, zero cross-shard traffic.
+    Default sharding is hash(id) % n_shards: uniform by construction,
+    no skew. One task per shard; S-way parallel, zero cross-shard
+    traffic.
+
+    ``shard_col`` names a precomputed int shard column on ``base``
+    (e.g. ``spatial_shards``'s nearest-codebook-cell assignment) —
+    computed inline by a map-only pass upstream, so SPATIAL sharding
+    costs no join and no broadcast at any corpus size. Spatial shards
+    make the sub-indexes routable: ``route_query_sets`` then sends each
+    query to the few shards that can hold its neighbors instead of
+    fanning out to all (the fix for uniform budget dilution at large
+    shard counts, SCALE_PROBE 10M section).
 
     ``train_knn`` (query_id, rank, base_id — e.g. shard_self_knn's
-    output) supplies the pass-1 kNN lists as build input; cross-shard
-    pairs are filtered out so each sub-index only ever references its
-    own shard. Without it each build task computes its shard's kNN
-    locally (blocked, but quadratic per task — fine for small shards,
-    the table path is the 100 TB shape).
+    output) supplies the pass-1 kNN lists as build input; with hash
+    sharding, cross-shard pairs are filtered out here so each sub-index
+    only ever references its own shard. With ``shard_col`` the caller
+    must supply an already-same-shard kNN table (the build task fails
+    loudly on a cross-shard reference). Without ``train_knn`` each
+    build task computes its shard's kNN locally (blocked, but quadratic
+    per task — fine for small shards; the table path is the 100 TB
+    shape).
     """
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # applyInPandas-free: rows arrive grouped+sorted by shard via
@@ -258,12 +284,17 @@ def build_sharded(base: DataFrame, n_shards: int,
         if ids_acc:
             yield emit(cur_shard, ids_acc, vec_acc, nn_acc)
 
-    sharded = base.withColumn("shard", _shard_expr(id_col, n_shards))
+    if shard_col is None:
+        sharded = base.withColumn("shard", _shard_expr(id_col, n_shards))
+    else:
+        sharded = base.withColumn("shard",
+                                  F.col(shard_col).cast("int"))
     if train_knn is not None:
-        lists = (train_knn
-                 .filter(F.col("query_id") != F.col("base_id"))
-                 .filter(_shard_expr("query_id", n_shards)
-                         == _shard_expr("base_id", n_shards))
+        same = train_knn.filter(F.col("query_id") != F.col("base_id"))
+        if shard_col is None:
+            same = same.filter(_shard_expr("query_id", n_shards)
+                               == _shard_expr("base_id", n_shards))
+        lists = (same
                  .groupBy(F.col("query_id").alias(id_col))
                  .agg(F.sort_array(F.collect_list(
                      F.struct("rank", "base_id"))).alias("l"))
@@ -284,13 +315,22 @@ _CAND_SCHEMA = StructType([
 
 def prepare_search_work(shard_graph: DataFrame, base: DataFrame,
                         n_shards: int, vec_id: str = "vec_id",
-                        vec_col: str = "vec") -> DataFrame:
+                        vec_col: str = "vec",
+                        shard_col: str | None = None) -> DataFrame:
     """Join the shard adjacency to its vectors, grouped+sorted by shard —
     the search-ready layout. Build-once / search-many callers should
     cache() this and pass it to search_sharded(work=...) so repeated
-    searches skip the join+shuffle (the index is static between builds)."""
-    vecs_sharded = base.withColumn(
-        "shard", F.pmod(F.hash(F.col(vec_id)), F.lit(n_shards)).cast("int"))
+    searches skip the join+shuffle (the index is static between builds).
+
+    ``shard_col``: precomputed shard column on ``base`` (spatial
+    sharding) — must be the same assignment the graph was built with."""
+    if shard_col is not None:
+        vecs_sharded = base.withColumn("shard",
+                                       F.col(shard_col).cast("int"))
+    else:
+        vecs_sharded = base.withColumn(
+            "shard",
+            F.pmod(F.hash(F.col(vec_id)), F.lit(n_shards)).cast("int"))
     return (shard_graph
             .join(vecs_sharded.select(
                 "shard", F.col(vec_id).alias("src"),
@@ -305,10 +345,18 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
                    adaptive: bool = True, n_shards: int | None = None,
                    set_id: str = "set_id", vec_id: str = "vec_id",
                    vec_col: str = "vec",
-                   work: DataFrame | None = None) -> DataFrame:
+                   work: DataFrame | None = None,
+                   routes: dict[int, frozenset] | None = None) -> DataFrame:
     """Fan-out multi-vector search: every shard searches every query set
     with the full per-shard budget; global merge keeps each member's
-    best candidates across shards (partial+final top-k)."""
+    best candidates across shards (partial+final top-k).
+
+    ``routes`` (query_set_id -> shard ids, from ``route_query_sets``)
+    restricts each query to its routed shards: with spatial shards the
+    total visited-node budget concentrates where neighbors can actually
+    live, cutting search work by ~n_shards/nprobe at matched recall
+    (clustered corpora). Routing rides in the same broadcast as the
+    query sets; unrouted shards skip the set entirely inside the task."""
     spark = base.sparkSession
     q_pdf = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
              .agg(F.sort_array(F.collect_list(F.struct(
@@ -319,7 +367,7 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
                                 dtype=np.float64))
               for s, m in zip(q_pdf["qsid"], q_pdf["mats"])]
     bc_q = spark.sparkContext.broadcast(
-        (q_sets, min_pq, max_pq, budget, adaptive))
+        (q_sets, min_pq, max_pq, budget, adaptive, routes))
 
     if work is None:
         if n_shards is None:
@@ -331,12 +379,24 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
             n_shards = top + 1
         work = prepare_search_work(shard_graph, base, n_shards,
                                    vec_id=vec_id, vec_col=vec_col)
+    if routes is not None:
+        # prune unrouted shards JVM-side: their rows never cross the
+        # Arrow boundary (partition-level skip of dead work)
+        routed_union = sorted({int(s) for ss in routes.values()
+                               for s in ss})
+        work = work.filter(F.col("shard").isin(routed_union))
 
     def search(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_sets_l, min_pq_l, max_pq_l, budget_l, adaptive_l = bc_q.value
+        (q_sets_l, min_pq_l, max_pq_l, budget_l, adaptive_l,
+         routes_l) = bc_q.value
         cur, ids_acc, nbrs_acc, vecs_acc, ep_acc = None, [], [], [], [0]
 
-        def run_shard():
+        def run_shard(shard_id):
+            sel = [qs for qs in q_sets_l
+                   if routes_l is None
+                   or shard_id in routes_l.get(qs[0], ())]
+            if not sel:
+                return None
             ids = np.array(ids_acc, dtype=np.int64)
             ix = {int(v): i for i, v in enumerate(ids)}
             vecs = np.vstack(vecs_acc).astype(np.float64)
@@ -347,15 +407,17 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
                 raise ValueError(
                     f"shard graph references vec_id {e} missing from the "
                     "vector join — was search_sharded called with the "
-                    "same n_shards the graph was built with?") from e
+                    "same n_shards/shard assignment the graph was built "
+                    "with?") from e
             ep = ep_acc[0]
             frames = []
-            # every query set searches this shard in one wave-vectorized
-            # pass (exact twin of the per-set loop, pinned by tests)
+            # every routed query set searches this shard in one
+            # wave-vectorized pass (exact twin of the per-set loop,
+            # pinned by tests)
             all_res = core.batch_multivector_search(
-                adj, vecs, [qmat for _, qmat in q_sets_l], ep,
+                adj, vecs, [qmat for _, qmat in sel], ep,
                 min_pq_l, max_pq_l, budget_l, adaptive_l)
-            for (qsid, _), res in zip(q_sets_l, all_res):
+            for (qsid, _), res in zip(sel, all_res):
                 for pos, (cids, cdists) in enumerate(res):
                     frames.append(pd.DataFrame({
                         "query_set_id": np.full(len(cids), qsid,
@@ -372,7 +434,7 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
                     pdf["shard"], pdf["src"], pdf["nbrs"],
                     pdf["is_entry"], pdf["v"]):
                 if cur is not None and shard != cur:
-                    out = run_shard()
+                    out = run_shard(int(cur))
                     if out is not None:
                         yield out
                     ids_acc, nbrs_acc, vecs_acc, ep_acc = [], [], [], [0]
@@ -383,7 +445,7 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
                 nbrs_acc.append(nbrs)
                 vecs_acc.append(np.asarray(v, dtype=np.float64))
         if ids_acc:
-            out = run_shard()
+            out = run_shard(int(cur))
             if out is not None:
                 yield out
 
@@ -395,3 +457,69 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
         partials, ["query_set_id", "member_pos"],
         [F.col("dist").asc(), F.col("base_vec_id").asc()], max_pq
     ).drop("rank")
+
+
+# --------------------------------------------------------------------
+# spatial sharding + query routing (the large-shard-count scale path)
+# --------------------------------------------------------------------
+
+
+def spatial_shards(base: DataFrame, codebook: np.ndarray,
+                   id_col: str = "vec_id",
+                   vec_col: str = "vec") -> DataFrame:
+    """``base`` + an int ``shard`` column = nearest codebook cell.
+
+    One map-only pass (the ``simsearch.assign_cells`` GEMM rule with
+    the vector column retained) — no join, no broadcast of anything but
+    the tiny codebook, so the assignment costs the same at 10^9 rows as
+    at 10^4. Feed the result to ``build_sharded(shard_col="shard")`` /
+    ``prepare_search_work(shard_col="shard")`` and route searches with
+    ``route_query_sets``: spatial sub-indexes are the fix for the
+    uniform-fan-out budget dilution measured at 640 hash shards
+    (SCALE_PROBE 10M section). Shard sizes follow the data's cluster
+    structure; at 100 TB, pair with a codebook trained to balance cell
+    populations (or split oversized cells) if skew matters.
+    """
+    from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+    C = np.ascontiguousarray(codebook, dtype=np.float64).T   # (dim, k)
+    schema = _ST(base.select(id_col, vec_col).schema.fields
+                 + [_SF("shard", IntegerType(), False)])
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["shard"] = np.argmax(X @ C, axis=1).astype(np.int32)
+            yield pdf
+
+    return base.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def route_query_sets(query_vecs: DataFrame, codebook: np.ndarray,
+                     nprobe: int, set_id: str = "set_id",
+                     vec_col: str = "vec") -> dict[int, frozenset]:
+    """query_set_id -> its ``nprobe`` most promising spatial shards.
+
+    A set's affinity to a shard is the max member-vector dot against
+    the shard's codebook centroid — the same argmax-dot rule the
+    vectors were assigned with, so a query identical to a stored vector
+    always routes to that vector's shard. Driver-side NumPy on the
+    (small) query side only: |Q| x k dots, the IVF probe rule lifted to
+    vector sets.
+    """
+    q_pdf = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
+             .agg(F.collect_list(vec_col).alias("mats"))
+             .toPandas())
+    C = np.ascontiguousarray(codebook, dtype=np.float64).T
+    nprobe = min(nprobe, codebook.shape[0])
+    routes: dict[int, frozenset] = {}
+    for qsid, mats in zip(q_pdf["qsid"], q_pdf["mats"]):
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in mats])
+        affinity = (M @ C).max(axis=0)            # best member per cell
+        top = np.argsort(-affinity, kind="stable")[:nprobe]
+        routes[int(qsid)] = frozenset(int(s) for s in top)
+    return routes
