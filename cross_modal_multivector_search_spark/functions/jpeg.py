@@ -421,6 +421,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("JPEG truncated before SOS")
         if d[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
+        # optional 0xFF fill bytes before any marker (T.81 B.1.1.2)
+        while i + 1 < len(d) and d[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= len(d):
+            raise ValueError("JPEG truncated before SOS")
         m = d[i + 1]
         i += 2
         if m in (0x01,) or 0xD0 <= m <= 0xD9:
@@ -511,6 +516,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for mx in range(mcus_x):
             if ri and mcu_i and mcu_i % ri == 0:
                 br.align()
+                # skip optional 0xFF fill bytes before the RST marker
+                while (br.i + 1 < len(d) and d[br.i] == 0xFF
+                       and d[br.i + 1] == 0xFF):
+                    br.i += 1
                 if not (br.i + 1 < len(d) and d[br.i] == 0xFF
                         and 0xD0 <= d[br.i + 1] <= 0xD7):
                     raise ValueError("expected restart marker")

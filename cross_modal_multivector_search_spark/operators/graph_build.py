@@ -227,7 +227,9 @@ def build_roargraph_df(base: DataFrame, train_queries: DataFrame,
                     F.lit(None).cast("array<long>").alias("_nn"))
         .unionByName(knn_lists.select(
             F.lit(1).alias("_kind"),
-            F.lit(None).cast("long").alias("_id"),
+            # -1 sentinel, NOT null: a nullable long column converts to
+            # float64 in Arrow->pandas, silently rounding ids > 2^53
+            F.lit(-1).cast("long").alias("_id"),
             F.lit(None).cast(vec_t).alias("_vec"),
             F.col("nn_base").alias("_nn")))
         .repartition(1))

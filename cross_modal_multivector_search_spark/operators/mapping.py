@@ -46,6 +46,11 @@ def cardinality_mapping_local(spark, cards: list[tuple[int, int]]) -> DataFrame:
     construction); use ``cardinality_mapping`` for a distributed cards
     DataFrame.
     """
+    if not cards:
+        raise ValueError(
+            "cardinality_mapping_local: empty cards — an empty VALUES "
+            "clause is not valid SQL; filter upstream or skip the "
+            "mapping entirely")
     rows, off = [], 0
     for set_id, card in sorted(cards):
         rows.append((int(set_id), int(card), off))

@@ -231,7 +231,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
-        return _decode_png(payload)
+        try:
+            return _decode_png(payload)
+        except NotImplementedError:
+            # interlaced / 16-bit: a full codec library handles these
+            return _decode_with_library(payload, "PNG")
     if payload[:3] == b"\xff\xd8\xff":
         from ..functions import jpeg as _jpeg
         try:

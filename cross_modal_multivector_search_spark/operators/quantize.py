@@ -145,12 +145,9 @@ def pq_train(vecs: DataFrame, m_sub: int, k: int = 256,
     its own centroid), making ADC scores exact — the saturating
     construction the oracle-checked driver query uses.
     """
-    samp = (vecs.select(id_col, vec_col)
-            .orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))),
-                     F.col(id_col))
-            .limit(sample_n).toPandas())
-    X = np.asarray([np.asarray(v, dtype=np.float64)
-                    for v in samp[vec_col]])
+    from . import _kmeans
+    X = _kmeans.seeded_sample_matrix(vecs, sample_n, seed, id_col,
+                                     vec_col)
     n, dim = X.shape
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -161,24 +158,8 @@ def pq_train(vecs: DataFrame, m_sub: int, k: int = 256,
     for m in range(m_sub):
         Xm = X[:, m * d_sub:(m + 1) * d_sub]
         rng = np.random.default_rng([seed, k, m, n])
-        C = np.empty((k, d_sub))
-        C[0] = Xm[int(rng.integers(n))]
-        d2 = np.sum((Xm - C[0]) ** 2, axis=1)
-        for c in range(1, k):
-            tot = d2.sum()
-            p = d2 / tot if tot > 0 else None
-            C[c] = Xm[int(rng.choice(n, p=p))]
-            d2 = np.minimum(d2, np.sum((Xm - C[c]) ** 2, axis=1))
-        for _ in range(iters):
-            # nearest centroid by the FastL2 expansion (constant ||x||^2
-            # dropped); argmin ties resolve to the lowest centroid id
-            a = np.argmin(
-                -2.0 * (Xm @ C.T) + (C * C).sum(axis=1)[None, :], axis=1)
-            for c in range(k):
-                members = Xm[a == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
-        book[m] = C
+        C = _kmeans.kmeanspp_init(Xm, k, rng)
+        book[m] = _kmeans.lloyd_l2(Xm, C, iters)
     return book
 
 

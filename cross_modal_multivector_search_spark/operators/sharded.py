@@ -366,6 +366,16 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
     q_sets = [(int(s), np.array([np.asarray(v) for v in m],
                                 dtype=np.float64))
               for s, m in zip(q_pdf["qsid"], q_pdf["mats"])]
+    if routes is not None:
+        # a set missing from routes would silently search NO shard and
+        # return zero rows — fail loudly instead (stale/filtered routes)
+        missing = [qsid for qsid, _ in q_sets if qsid not in routes]
+        if missing:
+            raise ValueError(
+                f"search_sharded: query sets {missing[:10]} have no "
+                "entry in routes — routes must cover every searched "
+                "set (rebuild with route_query_sets on the same "
+                "queries)")
     bc_q = spark.sparkContext.broadcast(
         (q_sets, min_pq, max_pq, budget, adaptive, routes))
 
@@ -469,10 +479,10 @@ def spatial_shards(base: DataFrame, codebook: np.ndarray,
                    vec_col: str = "vec") -> DataFrame:
     """``base`` + an int ``shard`` column = nearest codebook cell.
 
-    One map-only pass (the ``simsearch.assign_cells`` GEMM rule with
-    the vector column retained) — no join, no broadcast of anything but
-    the tiny codebook, so the assignment costs the same at 10^9 rows as
-    at 10^4. Feed the result to ``build_sharded(shard_col="shard")`` /
+    One map-only pass (``simsearch.assign_cells`` with the vector
+    column retained) — no join, no broadcast of anything but the tiny
+    codebook, so the assignment costs the same at 10^9 rows as at
+    10^4. Feed the result to ``build_sharded(shard_col="shard")`` /
     ``prepare_search_work(shard_col="shard")`` and route searches with
     ``route_query_sets``: spatial sub-indexes are the fix for the
     uniform-fan-out budget dilution measured at 640 hash shards
@@ -480,23 +490,11 @@ def spatial_shards(base: DataFrame, codebook: np.ndarray,
     structure; at 100 TB, pair with a codebook trained to balance cell
     populations (or split oversized cells) if skew matters.
     """
-    from pyspark.sql.types import StructField as _SF, StructType as _ST
+    from .simsearch import assign_cells
 
-    C = np.ascontiguousarray(codebook, dtype=np.float64).T   # (dim, k)
-    schema = _ST(base.select(id_col, vec_col).schema.fields
-                 + [_SF("shard", IntegerType(), False)])
-
-    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            X = np.asarray([np.asarray(v, dtype=np.float64)
-                            for v in pdf[vec_col]])
-            pdf = pdf[[id_col, vec_col]].copy()
-            pdf["shard"] = np.argmax(X @ C, axis=1).astype(np.int32)
-            yield pdf
-
-    return base.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+    out = assign_cells(base, codebook, id_col=id_col, vec_col=vec_col,
+                       keep_vec=True)
+    return out.withColumn("shard", F.col("cell").cast("int")).drop("cell")
 
 
 def route_query_sets(query_vecs: DataFrame, codebook: np.ndarray,

@@ -132,38 +132,20 @@ def train_codebook(vecs: DataFrame, k: int, iters: int = 10,
     assignment is argmax dot against unit-norm centroids, consistent
     with `ivf_search`'s probe rule.
     """
-    samp = (vecs.select(id_col, vec_col)
-            .orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))),
-                     F.col(id_col))
-            .limit(sample_n).toPandas())
-    X = np.asarray([np.asarray(v, dtype=np.float64)
-                    for v in samp[vec_col]])
+    from . import _kmeans
+    X = _kmeans.seeded_sample_matrix(vecs, sample_n, seed, id_col,
+                                     vec_col)
     if len(X) < k:
         raise ValueError(f"train_codebook: sample ({len(X)}) < k ({k})")
-    # k-means++ seeding: next center drawn D^2-weighted from the sample
     rng = np.random.default_rng([seed, k, len(X)])
-    C = np.empty((k, X.shape[1]))
-    C[0] = X[int(rng.integers(len(X)))]
-    d2 = np.sum((X - C[0]) ** 2, axis=1)
-    for c in range(1, k):
-        p = d2 / d2.sum() if d2.sum() > 0 else None
-        C[c] = X[int(rng.choice(len(X), p=p))]
-        d2 = np.minimum(d2, np.sum((X - C[c]) ** 2, axis=1))
-    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    for _ in range(iters):
-        a = np.argmax(X @ C.T, axis=1)
-        for c in range(k):
-            members = X[a == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
-        norms = np.linalg.norm(C, axis=1, keepdims=True)
-        C = np.where(norms > 0, C / np.maximum(norms, 1e-12), C)
-    return C
+    C = _kmeans.kmeanspp_init(X, k, rng)
+    return _kmeans.lloyd_ip_normalized(X, C, iters)
 
 
 def assign_cells(vecs: DataFrame, codebook: np.ndarray,
                  id_col: str = "vec_id",
-                 vec_col: str = "vec") -> DataFrame:
+                 vec_col: str = "vec",
+                 keep_vec: bool = False) -> DataFrame:
     """(id, cell): nearest-codebook-cell assignment as one distributed
     GEMM pass — the scale path for k in the hundreds/thousands where
     the expression-based `kmeans` crossJoin argmin would emit k dot
@@ -174,6 +156,10 @@ def assign_cells(vecs: DataFrame, codebook: np.ndarray,
     X @ C.T and argmax. Cell rule = argmax dot, the same rule
     `ivf_search` probes with, so assignment and probe can never
     disagree about a cell boundary.
+
+    ``keep_vec=True`` retains the vector column in the output — the
+    spatial-sharding caller (`sharded.spatial_shards`) needs (id, vec,
+    cell) from the same single pass, with no join to recover vectors.
     """
     from typing import Iterator
 
@@ -181,10 +167,11 @@ def assign_cells(vecs: DataFrame, codebook: np.ndarray,
     from pyspark.sql.types import LongType, StructField, StructType
 
     C = np.ascontiguousarray(codebook, dtype=np.float64).T  # (dim, k)
-    schema = StructType([
-        StructField("vec_id", LongType(), False),
-        StructField("cell", LongType(), False),
-    ])
+    fields = [StructField("vec_id", LongType(), False)]
+    if keep_vec:
+        fields.append(vecs.select(F.col(vec_col)).schema.fields[0])
+    fields.append(StructField("cell", LongType(), False))
+    schema = StructType(fields)
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -193,8 +180,11 @@ def assign_cells(vecs: DataFrame, codebook: np.ndarray,
             X = np.asarray([np.asarray(v, dtype=np.float64)
                             for v in pdf[vec_col]])
             cells = np.argmax(X @ C, axis=1).astype(np.int64)
-            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(),
-                                "cell": cells})
+            out = {"vec_id": pdf[id_col].to_numpy()}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            out["cell"] = cells
+            yield pd.DataFrame(out)
 
     return vecs.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
