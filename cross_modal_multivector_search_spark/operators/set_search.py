@@ -116,12 +116,28 @@ def _grouped_sets(vec_df: DataFrame, set_id: str, pos: str | None,
     )
 
 
-def set_topk_gemm(query_vecs: DataFrame, data_vecs: DataFrame, k: int,
+def fetch_grouped_sets(query_vecs: DataFrame, set_id: str = "set_id",
+                       pos: str | None = None,
+                       vec_col: str = "vec") -> list:
+    """Arrow-fetch the (small) query side once: [(set_id, matrix), ...].
+
+    Build-once / search-many callers pass the result straight to
+    ``set_topk_gemm`` instead of a DataFrame, skipping the grouped
+    fetch's 2-3 Spark jobs on every repeated search (the reference
+    loads its query fbin once and benchmarks search alone)."""
+    q_pdf = _grouped_sets(query_vecs, set_id, pos, vec_col).toPandas()
+    return [(s, np.array([np.asarray(v) for v in m], dtype=np.float64))
+            for s, m in zip(q_pdf["set_id"], q_pdf["mat"])]
+
+
+def set_topk_gemm(query_vecs, data_vecs: DataFrame, k: int,
                   metric: str = "smooth_chamfer",
                   set_id: str = "set_id", pos: str | None = None,
                   vec_col: str = "vec") -> DataFrame:
     """Scale path: broadcast query sets, stream data sets, batch GEMM.
 
+    ``query_vecs`` is a DataFrame, or a pre-fetched
+    ``fetch_grouped_sets`` list (the knn_exact_gemm tuple pattern).
     Data sets are grouped (shuffle keyed on set_id — at 100 TB each set
     is <= ~8 rows so the shuffle is balanced), then scored one Arrow batch
     at a time: the batch's member matrices are stacked into a single GEMM
@@ -130,10 +146,11 @@ def set_topk_gemm(query_vecs: DataFrame, data_vecs: DataFrame, k: int,
     """
     if metric not in M.SET_METRICS_BATCH:
         raise ValueError(f"unknown metric {metric!r}")
-    q_pdf = _grouped_sets(query_vecs, set_id, pos, vec_col).toPandas()
-    q_sets = [(s, np.array([np.asarray(v) for v in m], dtype=np.float64))
-              for s, m in zip(q_pdf["set_id"], q_pdf["mat"])]
-    spark = query_vecs.sparkSession
+    if isinstance(query_vecs, list):
+        q_sets = query_vecs
+    else:
+        q_sets = fetch_grouped_sets(query_vecs, set_id, pos, vec_col)
+    spark = data_vecs.sparkSession
     bc = spark.sparkContext.broadcast((q_sets, metric, k))
 
     schema = StructType([

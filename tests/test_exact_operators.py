@@ -109,3 +109,16 @@ def test_paired_recall_range_semantics(spark):
     out = recall.paired_recall(res, pairs).toPandas().set_index("query_set_id")
     assert out.loc[0, "hit"] == 1
     assert out.loc[1, "hit"] == 0
+
+
+def test_set_topk_gemm_prefetched_queries_equivalent(spark):
+    """set_topk_gemm(list) — the build-once prefetched query side —
+    must equal the DataFrame path exactly."""
+    vecs = TD.embeddings_norm(spark, SF_SMOKE)
+    q = vecs.filter(F.col("set_id") < 3)
+    a = set_search.set_topk_gemm(q, vecs, 5).toPandas()
+    pre = set_search.fetch_grouped_sets(q)
+    b = set_search.set_topk_gemm(pre, vecs, 5).toPandas()
+    key = ["query_set_id", "rank"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
