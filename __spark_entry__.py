@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -105,7 +106,8 @@ def q_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("vec_id") < TD.N_QUERY_VECS) \
          .select(F.col("vec_id").alias("query_id"), "vec")
     b = v.select(F.col("vec_id").alias("base_id"), "vec")
-    out = brute_force.knn_exact_gemm(q, b, K, metric="ip")
+    out = brute_force.knn_exact_gemm(_qvecs("knnq", sf_dir, q), b, K,
+                                     metric="ip")
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -206,7 +208,8 @@ def q_rerank_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate phase on the GEMM scale path (~3x the SQL-join scorer for
     # bulk scoring); the declarative scorer stays as the oracle twin and
     # keeps its own driver query (knn_ip_topk)
-    cands = brute_force.knn_exact_gemm(members, b, N_CAND, metric="ip") \
+    cands = brute_force.knn_exact_gemm(
+            _qvecs("members", sf_dir, members), b, N_CAND, metric="ip") \
         .select((F.col("query_id") / M).cast("long").alias("query_set_id"),
                 F.col("base_id").alias("base_vec_id"))
     out = rerank.rerank(cands, q, v, K, metric="smooth_chamfer", m=M)
@@ -531,6 +534,23 @@ def _qsets(key: str, sf_dir: str, q: DataFrame) -> list:
     return _QSETS_CACHE[ck]
 
 
+_QVECS_CACHE: dict[tuple, tuple] = {}
+
+
+def _qvecs(key: str, sf_dir: str, q: DataFrame,
+           id_col: str = "query_id") -> tuple:
+    """Vector-level twin of _qsets: the (ids, matrix) tuple
+    knn_exact_gemm accepts pre-fetched, cached per (family, sf)."""
+    ck = (key, sf_dir)
+    if ck not in _QVECS_CACHE:
+        pdf = q.select(id_col, "vec").toPandas()
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = (np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+               if len(pdf) else np.empty((0, 0)))
+        _QVECS_CACHE[ck] = (ids, mat)
+    return _QVECS_CACHE[ck]
+
+
 def q_chamfer_varcard_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as q_chamfer_varcard via the batched-GEMM scale path
     (the batch scorer takes per-set cardinalities, so variable-m sets ride
@@ -647,7 +667,7 @@ def q_ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = TD.embeddings_norm(spark, sf_dir)
     q = v.filter(F.col("set_id") < TD.N_QUERY_SETS)
     cands = sharded.search_sharded(
-        None, v.select("vec_id", "vec"), q,
+        None, v.select("vec_id", "vec"), _qsets("fixed", sf_dir, q),
         min_pq=5, max_pq=100, budget=100, n_shards=N_SHARDS, work=work)
     out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
                         q, v, K, m=M)

@@ -356,16 +356,25 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
     total visited-node budget concentrates where neighbors can actually
     live, cutting search work by ~n_shards/nprobe at matched recall
     (clustered corpora). Routing rides in the same broadcast as the
-    query sets; unrouted shards skip the set entirely inside the task."""
+    query sets; unrouted shards skip the set entirely inside the task.
+
+    ``query_vecs`` is a DataFrame, or a pre-fetched
+    [(set_id, member matrix), ...] list (``set_search.
+    fetch_grouped_sets`` shape) — search-many callers skip the
+    per-call grouped Arrow fetch."""
     spark = base.sparkSession
-    q_pdf = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
-             .agg(F.sort_array(F.collect_list(F.struct(
-                 F.col(vec_id).alias("o"), F.col(vec_col).alias("v"))))
-                 .alias("rows"))
-             .select("qsid", F.col("rows.v").alias("mats")).toPandas())
-    q_sets = [(int(s), np.array([np.asarray(v) for v in m],
-                                dtype=np.float64))
-              for s, m in zip(q_pdf["qsid"], q_pdf["mats"])]
+    if isinstance(query_vecs, list):
+        q_sets = [(int(s), np.asarray(m, dtype=np.float64))
+                  for s, m in query_vecs]
+    else:
+        q_pdf = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
+                 .agg(F.sort_array(F.collect_list(F.struct(
+                     F.col(vec_id).alias("o"), F.col(vec_col).alias("v"))))
+                     .alias("rows"))
+                 .select("qsid", F.col("rows.v").alias("mats")).toPandas())
+        q_sets = [(int(s), np.array([np.asarray(v) for v in m],
+                                    dtype=np.float64))
+                  for s, m in zip(q_pdf["qsid"], q_pdf["mats"])]
     if routes is not None:
         # a set missing from routes would silently search NO shard and
         # return zero rows — fail loudly instead (stale/filtered routes)
