@@ -98,6 +98,15 @@ def _pipeline_build_arrays(vecs: np.ndarray, nn_locals: list,
     in its single-partition regime (pinned by the ANN oracle constants):
     same pool-set construction, same np.unique candidate normalization,
     same supply reverse edges + 2*M_pjbp cap + novel-edge merge.
+
+    NOTE — deliberate divergence from ``sharded._build_one_shard``:
+    this pipeline is the reference's full three-pass LinkProjection
+    (reverse merge + re-prune between passes), while the shard variant
+    is the simplified single-sweep build (pass 1 + one enhancement
+    sweep with a bounded reverse append). The two serve different
+    regimes (one big broadcastable index vs many small sub-indexes)
+    and are each pinned by their own oracle rows; a connectivity or
+    pruning fix must be considered for BOTH.
     """
     n = len(vecs)
     m_deg = params.m_pjbp

@@ -160,7 +160,8 @@ def _shard_expr(col: str, n_shards: int):
 def shard_self_knn(base: DataFrame, n_shards: int, k: int,
                    id_col: str = "vec_id",
                    vec_col: str = "vec",
-                   driver_bytes_budget: int = 2_000_000_000) -> DataFrame:
+                   driver_bytes_budget: int = 2_000_000_000,
+                   n_rows: int | None = None) -> DataFrame:
     """Within-shard exact kNN as a distributed table: (query_id, rank,
     base_id, score), self excluded, both sides in the same hash shard.
 
@@ -188,7 +189,10 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
 
     from .brute_force import knn_exact_gemm
 
-    n_rows = base.count()
+    # the count exists only to size the sliced fetch; callers that know
+    # the row count pass n_rows and skip this full pass over base
+    if n_rows is None:
+        n_rows = base.count()
     if n_rows == 0:
         raise ValueError("shard_self_knn: empty base table")
     first = base.select(vec_col).first()
