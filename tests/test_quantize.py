@@ -207,3 +207,41 @@ def test_ivfpq_cell_matches_assign_cells(clustered):
     cells = {r["vec_id"]: r["cell"] for r in
              simsearch.assign_cells(clustered, coarse).collect()}
     assert codes == cells
+
+
+def test_ivfpq_search_saturating_nprobe_equals_full_scan(clustered):
+    """nprobe = n_cells scans everything: cell-pruned search must equal
+    the full ADC scan exactly."""
+    from cross_modal_multivector_search_spark.operators import simsearch
+    coarse = simsearch.train_codebook(clustered, k=8, iters=5,
+                                      sample_n=240)
+    book = quantize.ivfpq_train(clustered, coarse, m_sub=4, k=16,
+                                sample_n=240)
+    codes = quantize.ivfpq_encode(clustered, coarse, book).cache()
+    q = clustered.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "vec")
+    full = quantize.ivfpq_adc_topk(q, codes, coarse, book, 10)
+    pruned = quantize.ivfpq_search(q, codes, coarse, book, nprobe=8, k=10)
+    a = {(r["query_id"], r["rank"]): (r["base_id"], round(r["score"], 9))
+         for r in full.collect()}
+    b = {(r["query_id"], r["rank"]): (r["base_id"], round(r["score"], 9))
+         for r in pruned.collect()}
+    assert a == b
+
+
+def test_ivfpq_search_prunes_scan_and_keeps_recall(clustered):
+    """nprobe=2 of 8 cells: the scan shrinks ~4x while the query's own
+    cluster (and its shortlist) stays covered."""
+    from cross_modal_multivector_search_spark.operators import (brute_force,
+                                                                simsearch)
+    coarse = simsearch.train_codebook(clustered, k=8, iters=10,
+                                      sample_n=240)
+    book = quantize.ivfpq_train(clustered, coarse, m_sub=4, k=16,
+                                sample_n=240)
+    codes = quantize.ivfpq_encode(clustered, coarse, book).cache()
+    q = clustered.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "vec")
+    b = clustered.select(F.col("vec_id").alias("base_id"), "vec")
+    exact = brute_force.knn_exact_gemm(q, b, 10, metric="ip")
+    short = quantize.ivfpq_search(q, codes, coarse, book, nprobe=2, k=30)
+    assert _recall_at(short, exact, 10) >= 0.85
