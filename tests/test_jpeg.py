@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from cross_modal_multivector_search_spark.functions import jpeg
 from cross_modal_multivector_search_spark.operators import multimodal
@@ -98,3 +100,30 @@ def test_decode_image_dispatches_to_pure_codec():
     out = multimodal.decode_image(jpeg.encode_jpeg(img, quality=95))
     assert out.shape == img.shape
     assert _psnr(img, out) > 35
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40),
+       color=st.booleans(), sub420=st.booleans(),
+       base=st.integers(20, 235))
+def test_roundtrip_shape_and_error_invariants(h, w, color, sub420, base):
+    """Any dimensions (including < 8: pure padding/crop territory) must
+    round-trip with the exact input shape and, for near-flat content,
+    tightly bounded pixel error."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    grad = (yy + xx) / max(h + w - 2, 1) * 16 - 8     # gentle ramp
+    if color:
+        img = np.clip(np.round(
+            np.stack([base + grad, base - grad, base + 0.5 * grad], -1)),
+            0, 255).astype(np.uint8)
+        sub = "4:2:0" if sub420 else "4:4:4"
+    else:
+        img = np.clip(np.round(base + grad), 0, 255).astype(np.uint8)
+        sub = "4:4:4"
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=92,
+                                            subsampling=sub))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # smooth, low-amplitude content: error stays within a few levels
+    # (4:2:0 chroma averaging adds a little on the color channels)
+    tol = 14 if (color and sub == "4:2:0") else 8
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= tol
