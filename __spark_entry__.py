@@ -523,12 +523,26 @@ def q_chamfer_varcard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QSETS_CACHE: dict[tuple, list] = {}
 
 
+def _plan_print(q: DataFrame) -> str:
+    """Canonical-ish analyzed-plan fingerprint: expression ids (#123)
+    vary per instantiation and are stripped, so identical query
+    DEFINITIONS share a cache row while a changed definition (filter,
+    column, bound) misses instead of silently serving foreign data.
+    Caches still assume the parquet under sf_dir is immutable for the
+    process lifetime (true for the driver/bench protocol)."""
+    import re
+    txt = q._jdf.queryExecution().analyzed().toString()
+    txt = re.sub(r"#\d+", "", txt)
+    # lambda variable counters (x_6, y_12) vary per instantiation too
+    return re.sub(r"\b([a-z])_\d+\b", r"\1", txt)
+
+
 def _qsets(key: str, sf_dir: str, q: DataFrame) -> list:
     """Build-once query-side fetch (the reference loads its query fbin
     once and benchmarks search alone): cache fetch_grouped_sets per
-    (query family, sf) so repeated gemm searches skip the 2-3 Spark
-    jobs of the grouped Arrow fetch."""
-    ck = (key, sf_dir)
+    (query family, sf, plan fingerprint) so repeated gemm searches skip
+    the 2-3 Spark jobs of the grouped Arrow fetch."""
+    ck = (key, sf_dir, _plan_print(q))
     if ck not in _QSETS_CACHE:
         _QSETS_CACHE[ck] = set_search.fetch_grouped_sets(q)
     return _QSETS_CACHE[ck]
@@ -541,7 +555,7 @@ def _qvecs(key: str, sf_dir: str, q: DataFrame,
            id_col: str = "query_id") -> tuple:
     """Vector-level twin of _qsets: the (ids, matrix) tuple
     knn_exact_gemm accepts pre-fetched, cached per (family, sf)."""
-    ck = (key, sf_dir)
+    ck = (key, sf_dir, _plan_print(q))
     if ck not in _QVECS_CACHE:
         pdf = q.select(id_col, "vec").toPandas()
         ids = pdf[id_col].to_numpy(dtype=np.int64)

@@ -130,6 +130,29 @@ def sq_adc_topk(queries: DataFrame, base: DataFrame, dim: int, k: int,
 # --- product quantization -------------------------------------------
 
 
+def _train_subspace_books(X: np.ndarray, m_sub: int, k: int,
+                          iters: int, seed: int,
+                          what: str) -> np.ndarray:
+    """Per-subspace k-means++ + raw-L2 Lloyd's over a sample matrix —
+    the shared trainer behind pq_train (raw vectors) and ivfpq_train
+    (residuals). One rng schedule, one validation set: the two
+    quantizers cannot drift."""
+    from . import _kmeans
+    n, dim = X.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if n < k:
+        raise ValueError(f"{what}: sample ({n}) < k ({k})")
+    d_sub = dim // m_sub
+    book = np.empty((m_sub, k, d_sub))
+    for m in range(m_sub):
+        Xm = X[:, m * d_sub:(m + 1) * d_sub]
+        rng = np.random.default_rng([seed, k, m, n])
+        C = _kmeans.kmeanspp_init(Xm, k, rng)
+        book[m] = _kmeans.lloyd_l2(Xm, C, iters)
+    return book
+
+
 def pq_train(vecs: DataFrame, m_sub: int, k: int = 256,
              iters: int = 10, sample_n: int = 100_000, seed: int = 42,
              vec_col: str = "vec", id_col: str = "vec_id") -> np.ndarray:
@@ -148,19 +171,7 @@ def pq_train(vecs: DataFrame, m_sub: int, k: int = 256,
     from . import _kmeans
     X = _kmeans.seeded_sample_matrix(vecs, sample_n, seed, id_col,
                                      vec_col)
-    n, dim = X.shape
-    if dim % m_sub:
-        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
-    if n < k:
-        raise ValueError(f"pq_train: sample ({n}) < k ({k})")
-    d_sub = dim // m_sub
-    book = np.empty((m_sub, k, d_sub))
-    for m in range(m_sub):
-        Xm = X[:, m * d_sub:(m + 1) * d_sub]
-        rng = np.random.default_rng([seed, k, m, n])
-        C = _kmeans.kmeanspp_init(Xm, k, rng)
-        book[m] = _kmeans.lloyd_l2(Xm, C, iters)
-    return book
+    return _train_subspace_books(X, m_sub, k, iters, seed, "pq_train")
 
 
 def pq_encode(vecs: DataFrame, codebook: np.ndarray,
@@ -195,6 +206,29 @@ def pq_encode(vecs: DataFrame, codebook: np.ndarray,
                        vec_col).mapInPandas(encode, schema=schema)
 
 
+def _query_luts(queries: DataFrame, pq_book: np.ndarray,
+                coarse_book: np.ndarray | None = None,
+                query_id: str = "query_id", vec_col: str = "vec"):
+    """One Arrow fetch of the (small) query side -> (q_ids, LUT[,
+    qcell]): the shared prep of every ADC scorer. LUT[q, m, c] is the
+    partial dot of query q's m-th subvector against centroid c; qcell
+    (residual scorers only) is the (n_q, n_cells) coarse-dot matrix."""
+    m_sub, kc, d_sub = pq_book.shape
+    q_pdf = queries.select(F.col(query_id).cast("long"),
+                           vec_col).toPandas()
+    q_ids = q_pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    q_mat = (np.vstack(q_pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+             if len(q_pdf) else np.empty((0, m_sub * d_sub)))
+    lut = np.einsum("qmd,mcd->qmc",
+                    q_mat.reshape(len(q_ids), m_sub, d_sub), pq_book,
+                    optimize=True)
+    if coarse_book is None:
+        return q_ids, lut
+    qcell = q_mat @ np.ascontiguousarray(coarse_book,
+                                         dtype=np.float64).T
+    return q_ids, lut, qcell
+
+
 def pq_adc_topk(queries: DataFrame, codes: DataFrame,
                 codebook: np.ndarray, k: int,
                 query_id: str = "query_id", base_id: str = "base_id",
@@ -209,17 +243,7 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame,
     with the deterministic (score desc, id asc) tiebreak, global merge
     via WindowGroupLimit — the knn_exact_gemm shape with codes instead
     of vectors streaming through."""
-    m_sub, kc, d_sub = codebook.shape
-    book = codebook.copy()
-    q_pdf = queries.select(F.col(query_id).cast("long"),
-                           vec_col).toPandas()
-    q_ids = q_pdf.iloc[:, 0].to_numpy(dtype=np.int64)
-    q_mat = (np.vstack(q_pdf.iloc[:, 1].to_numpy()).astype(np.float64)
-             if len(q_pdf) else np.empty((0, m_sub * d_sub)))
-    # LUT[q, m, c] = q_sub(m) . centroid(m, c)
-    lut = np.einsum("qmd,mcd->qmc",
-                    q_mat.reshape(len(q_ids), m_sub, d_sub), book,
-                    optimize=True)
+    q_ids, lut = _query_luts(queries, codebook, None, query_id, vec_col)
     spark = codes.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, lut, k))
 
@@ -284,21 +308,9 @@ def ivfpq_train(vecs: DataFrame, coarse_book: np.ndarray, m_sub: int,
     from . import _kmeans
     X = _kmeans.seeded_sample_matrix(vecs, sample_n, seed, id_col,
                                      vec_col)
-    n, dim = X.shape
-    if dim % m_sub:
-        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
-    if n < k:
-        raise ValueError(f"ivfpq_train: sample ({n}) < k ({k})")
     C = np.ascontiguousarray(coarse_book, dtype=np.float64)
     R = X - C[np.argmax(X @ C.T, axis=1)]
-    d_sub = dim // m_sub
-    book = np.empty((m_sub, k, d_sub))
-    for m in range(m_sub):
-        Rm = R[:, m * d_sub:(m + 1) * d_sub]
-        rng = np.random.default_rng([seed, k, m, n])
-        Cm = _kmeans.kmeanspp_init(Rm, k, rng)
-        book[m] = _kmeans.lloyd_l2(Rm, Cm, iters)
-    return book
+    return _train_subspace_books(R, m_sub, k, iters, seed, "ivfpq_train")
 
 
 def ivfpq_encode(vecs: DataFrame, coarse_book: np.ndarray,
@@ -354,18 +366,8 @@ def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame,
     the scan stays pure table lookups. A cell-pruned variant (probe
     only the best coarse cells, IVF-style) falls out by pre-filtering
     ``codes`` on its `cell` column before calling this."""
-    m_sub, kc, d_sub = pq_book.shape
-    coarse = np.ascontiguousarray(coarse_book, dtype=np.float64)
-    book = pq_book.copy()
-    q_pdf = queries.select(F.col(query_id).cast("long"),
-                           vec_col).toPandas()
-    q_ids = q_pdf.iloc[:, 0].to_numpy(dtype=np.int64)
-    q_mat = (np.vstack(q_pdf.iloc[:, 1].to_numpy()).astype(np.float64)
-             if len(q_pdf) else np.empty((0, m_sub * d_sub)))
-    lut = np.einsum("qmd,mcd->qmc",
-                    q_mat.reshape(len(q_ids), m_sub, d_sub), book,
-                    optimize=True)
-    qcell = q_mat @ coarse.T                      # (n_q, n_cells)
+    q_ids, lut, qcell = _query_luts(queries, pq_book, coarse_book,
+                                    query_id, vec_col)
     spark = codes.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, lut, qcell, k))
 
@@ -430,19 +432,12 @@ def ivfpq_search(queries: DataFrame, codes: DataFrame,
     ``ivfpq_adc_topk`` at the recall cost of cells the router skipped
     (tests pin recall parity at saturating nprobe).
     """
-    m_sub, kc, d_sub = pq_book.shape
-    coarse = np.ascontiguousarray(coarse_book, dtype=np.float64)
-    book = pq_book.copy()
-    q_pdf = queries.select(F.col(query_id).cast("long"),
-                           vec_col).toPandas()
-    q_ids = q_pdf.iloc[:, 0].to_numpy(dtype=np.int64)
-    q_mat = (np.vstack(q_pdf.iloc[:, 1].to_numpy()).astype(np.float64)
-             if len(q_pdf) else np.empty((0, m_sub * d_sub)))
-    lut = np.einsum("qmd,mcd->qmc",
-                    q_mat.reshape(len(q_ids), m_sub, d_sub), book,
-                    optimize=True)
-    qcell = q_mat @ coarse.T
-    nprobe = min(nprobe, coarse.shape[0])
+    if nprobe < 1:
+        raise ValueError(f"ivfpq_search: nprobe must be >= 1, got "
+                         f"{nprobe} (0 would silently scan nothing)")
+    q_ids, lut, qcell = _query_luts(queries, pq_book, coarse_book,
+                                    query_id, vec_col)
+    nprobe = min(nprobe, coarse_book.shape[0])
     qpos = {int(q): i for i, q in enumerate(q_ids)}
     spark = codes.sparkSession
 

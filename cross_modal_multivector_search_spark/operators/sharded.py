@@ -190,12 +190,19 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
     from .brute_force import knn_exact_gemm
 
     # the count exists only to size the sliced fetch; callers that know
-    # the row count pass n_rows and skip this full pass over base
+    # the row count pass n_rows (must be EXACT — an undercount shrinks
+    # the group count and the sliced fetch overruns the byte budget)
     if n_rows is None:
         n_rows = base.count()
+    elif n_rows <= 0:
+        raise ValueError(f"shard_self_knn: n_rows hint must be positive"
+                         f", got {n_rows}")
     if n_rows == 0:
         raise ValueError("shard_self_knn: empty base table")
     first = base.select(vec_col).first()
+    if first is None:
+        raise ValueError("shard_self_knn: empty base table "
+                         "(n_rows hint disagreed with the data)")
     dim = len(first[0])
     est_bytes = n_rows * (dim * 8 + 24)
     n_groups = int(min(n_shards, max(1, -(-est_bytes // driver_bytes_budget))))
