@@ -257,24 +257,33 @@ def _local_label_rows(pdf) -> list:
     return [(int(v), int(find(v))) for v in parent]
 
 
-def _fetch_if_small(pairs: DataFrame, a_col: str, b_col: str,
-                    threshold: int):
-    """One Arrow fetch of up to threshold+1 raw pairs: the gate decision
-    and the local path's input in a single job (at the 5M-pair default
-    this is ~80 MB of int64 columns). Returns the frame, or None when
-    the pair list exceeds the gate."""
-    pdf = (pairs.select(F.col(a_col).cast("long"),
-                        F.col(b_col).cast("long"))
-           .limit(threshold + 1).toPandas())
-    return None if len(pdf) > threshold else pdf
+def _gate_pairs(pairs: DataFrame, a_col: str, b_col: str,
+                threshold: int):
+    """(pdf_or_None, checkpointed_pairs): the size-gate decision plus a
+    lineage-truncated 2-column pair frame both paths build on.
 
-
-def _symmetrized_edges(pairs: DataFrame, a_col: str,
-                       b_col: str) -> DataFrame:
-    edges = pairs.select(F.col(a_col).cast("long").alias("x"),
+    The pair lineage (shingle -> md5 -> groupBy -> bucket-explode) is
+    EXPENSIVE, and ``limit().toPandas()`` alone is a trap on it: Spark's
+    CollectLimit partition scale-up (1 -> 4 -> 16 ...) can re-execute
+    the whole chain several times inside one fetch. Eagerly
+    ``localCheckpoint()``-ing first runs the chain exactly once; the
+    gate fetch and whichever path wins then read the materialized
+    blocks. The distributed path needs the full pair set anyway (it
+    used to re-execute the lineage a second time under its
+    symmetrize+distinct), so the checkpoint is never wasted work."""
+    slim = (pairs.select(F.col(a_col).cast("long").alias("x"),
                          F.col(b_col).cast("long").alias("y"))
-    return edges.unionByName(
-        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))) \
+            .localCheckpoint())
+    if not threshold:
+        return None, slim
+    pdf = slim.limit(threshold + 1).toPandas()
+    return (None if len(pdf) > threshold else pdf), slim
+
+
+def _symmetrized_edges(slim: DataFrame) -> DataFrame:
+    """Symmetrize an already-checkpointed (x, y) edge frame."""
+    return slim.unionByName(
+        slim.select(F.col("y").alias("x"), F.col("x").alias("y"))) \
         .distinct().localCheckpoint()
 
 
@@ -309,14 +318,19 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     taste, set it to 0 to force the distributed path (what SCALE_PROBE
     exercises at 2.5M nodes / 3.5M edges).
     """
-    if local_threshold:
-        pdf = _fetch_if_small(pairs, a_col, b_col, local_threshold)
-        if pdf is not None:
-            rows = _local_label_rows(pdf)
-            return pairs.sparkSession.createDataFrame(
-                rows, "node long, component long")
-    return _components_distributed(
-        _symmetrized_edges(pairs, a_col, b_col), max_iter)
+    pdf, slim = _gate_pairs(pairs, a_col, b_col, local_threshold)
+    if pdf is not None:
+        import pandas as pd
+        rows = _local_label_rows(pdf)
+        rows.sort()
+        # Arrow-path createDataFrame (a pandas frame, not row tuples):
+        # per-row Pickle serialization is the slow path at the 5M-pair
+        # gate ceiling
+        out = pd.DataFrame(rows, columns=["node", "component"],
+                           dtype="int64")
+        return pairs.sparkSession.createDataFrame(
+            out, "node long, component long")
+    return _components_distributed(_symmetrized_edges(slim), max_iter)
 
 
 def _components_distributed(sym: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -378,19 +392,25 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a",
     groupBy+join over a driver-resident map would be two Spark jobs of
     pure overhead.
     """
-    if local_threshold:
-        pdf = _fetch_if_small(pairs, a_col, b_col, local_threshold)
-        if pdf is not None:
-            labels = _local_label_rows(pdf)
-            sizes: dict = {}
-            for _, comp in labels:
-                sizes[comp] = sizes.get(comp, 0) + 1
-            rows = [(node, comp, sizes[comp], node == comp)
-                    for node, comp in labels]
-            return pairs.sparkSession.createDataFrame(
-                rows, "doc_id long, cluster_id long, cluster_size long, "
-                      "is_canonical boolean")
-    comp = _components_distributed(_symmetrized_edges(pairs, a_col, b_col))
+    pdf, slim = _gate_pairs(pairs, a_col, b_col, local_threshold)
+    if pdf is not None:
+        import pandas as pd
+        labels = _local_label_rows(pdf)
+        labels.sort()
+        sizes: dict = {}
+        for _, comp in labels:
+            sizes[comp] = sizes.get(comp, 0) + 1
+        out = pd.DataFrame({
+            "doc_id": pd.array([n for n, _ in labels], dtype="int64"),
+            "cluster_id": pd.array([c for _, c in labels], dtype="int64"),
+            "cluster_size": pd.array([sizes[c] for _, c in labels],
+                                     dtype="int64"),
+            "is_canonical": [n == c for n, c in labels],
+        })
+        return pairs.sparkSession.createDataFrame(
+            out, "doc_id long, cluster_id long, cluster_size long, "
+                 "is_canonical boolean")
+    comp = _components_distributed(_symmetrized_edges(slim))
     sizes = comp.groupBy("component") \
         .agg(F.count("*").alias("cluster_size"))
     return (comp.join(sizes, "component")
