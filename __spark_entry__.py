@@ -533,8 +533,21 @@ def _plan_print(q: DataFrame) -> str:
     import re
     txt = q._jdf.queryExecution().analyzed().toString()
     txt = re.sub(r"#\d+", "", txt)
-    # lambda variable counters (x_6, y_12) vary per instantiation too
-    return re.sub(r"\b([a-z])_\d+\b", r"\1", txt)
+    # lambda variable counters (x_6, y_12) vary per instantiation too.
+    # RENUMBER by first appearance rather than strip: stripping would
+    # alias two genuinely different plans that differ only in such
+    # tokens (e.g. real columns x_1 vs x_2 used in the same position),
+    # while renumbering keeps every within-plan distinction and still
+    # canonicalizes the instantiation counter.
+    seen: dict = {}
+
+    def renum(m: "re.Match[str]") -> str:
+        tok = m.group(0)
+        if tok not in seen:
+            seen[tok] = f"{m.group(1)}_{len(seen)}"
+        return seen[tok]
+
+    return re.sub(r"\b([a-z])_\d+\b", renum, txt)
 
 
 def _qsets(key: str, sf_dir: str, q: DataFrame) -> list:
@@ -1790,7 +1803,8 @@ sc AS (SELECT pos, min(x) AS lo, max(x) AS hi,
                    ELSE (max(x) - min(x)) / 255.0 END AS s
        FROM u GROUP BY pos),
 dq AS (SELECT u.vec_id, u.pos,
-              sc.lo + LEAST(FLOOR((u.x - sc.lo) / sc.s + 0.5), 255.0)
+              sc.lo + GREATEST(LEAST(FLOOR((u.x - sc.lo) / sc.s + 0.5),
+                                     255.0), 0.0)
                       * sc.s AS xq
        FROM u JOIN sc USING (pos)),
 bq AS (SELECT vec_id AS base_id, list(xq ORDER BY pos) AS dqv

@@ -33,6 +33,10 @@ def seeded_sample_matrix(vecs: DataFrame, sample_n: int, seed: int,
             .orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))),
                      F.col(id_col))
             .limit(sample_n).toPandas())
+    if not len(samp):
+        # np.asarray([]) would be a 1-D (0,) array whose .shape unpack
+        # fails with an opaque error far from the cause — fail here
+        raise ValueError("seeded_sample_matrix: input has no rows")
     return np.asarray([np.asarray(v, dtype=np.float64)
                        for v in samp[vec_col]])
 

@@ -176,14 +176,34 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
 
 def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
                         threshold: float = 0.5, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        max_doc_freq: int | None = None) -> DataFrame:
     """(a, b, jaccard) for pairs above threshold, via shingle equi-join.
 
     inter = |A ∩ B| from the join; union = |A| + |B| - inter. Only pairs
     sharing >= 1 shingle ever materialize.
+
+    ``max_doc_freq`` (default off — exact Jaccard, oracle-checked):
+    drop shingles appearing in more than that many documents BEFORE the
+    self-join. A stop-word-like shingle shared by f documents
+    contributes f^2 join rows — the skew cliff every production
+    Jaccard/MinHash pipeline caps with a document-frequency bound. With
+    the cap on, both the intersection AND the per-doc sizes are
+    computed over the filtered shingle universe, so the reported value
+    is the exact Jaccard of the rare-shingle sets (a well-defined,
+    deterministic quantity), not a biased estimate of the uncapped one.
     """
     sh = shingles(docs, shingle_n, id_col, text_col) \
         .select(id_col, "shingle").distinct()
+    if max_doc_freq is not None:
+        if max_doc_freq < 1:
+            raise ValueError(f"ngram_jaccard_pairs: max_doc_freq must "
+                             f"be >= 1, got {max_doc_freq}")
+        rare = (sh.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_doc_freq)
+                .select("shingle"))
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")

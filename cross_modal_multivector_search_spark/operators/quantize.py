@@ -11,8 +11,9 @@ ever reconstructing the corpus.
 
 Spark shapes:
 
-  * ``sq_minmax`` — one JVM-side aggregation pass (2*dim min/max
-    expressions, map-side combined; no shuffle of vector rows).
+  * ``sq_minmax`` — one JVM-side aggregation pass (posexplode +
+    groupBy(pos), map-side combined to <= dim rows per partition; no
+    shuffle of vector rows, no dim-scaled codegen unit).
   * ``sq_encode`` / ``sq_dequantize_expr`` — pure column expressions
     (stay in whole-stage codegen); the per-dim (lo, scale) constants
     ride in the plan as literals.
@@ -52,18 +53,29 @@ from .topk import grouped_topk
 
 def sq_minmax(vecs: DataFrame, dim: int,
               vec_col: str = "vec") -> tuple[list[float], list[float]]:
-    """Per-dimension (lo, hi) over the corpus in ONE aggregation pass.
+    """Per-dimension (lo, hi) over the corpus in one shuffle of ``dim``
+    tiny rows.
 
-    2*dim scalar min/max aggregates — map-side combined, so the only
-    thing that moves is one partial row per partition. Driver output is
-    O(dim), corpus-independent.
+    posexplode + groupBy(pos): partial aggregation runs map-side, so
+    each partition emits at most ``dim`` (pos, lo, hi) rows into the
+    shuffle regardless of corpus size — O(dim * partitions) bytes
+    total. The previous shape (2*dim scalar aggregates in one agg call)
+    moved even less but emitted a 2*dim-expression codegen unit — a
+    1000+-expression method at dim 512, which blows the JIT's 8 KB
+    inlining budget and can fail codegen outright. Driver output is
+    O(dim) either way.
     """
-    row = vecs.agg(*(
-        [F.min(F.col(vec_col)[i]).alias(f"lo{i}") for i in range(dim)]
-        + [F.max(F.col(vec_col)[i]).alias(f"hi{i}") for i in range(dim)]
-    )).first()
-    lo = [float(row[f"lo{i}"]) for i in range(dim)]
-    hi = [float(row[f"hi{i}"]) for i in range(dim)]
+    rows = (vecs.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+            .collect())
+    if len(rows) != dim:
+        raise ValueError(
+            f"sq_minmax: expected {dim} dimensions, found {len(rows)} "
+            "distinct positions (empty input or ragged vectors)")
+    by_pos = {r["pos"]: (float(r["lo"]), float(r["hi"])) for r in rows}
+    lo = [by_pos[i][0] for i in range(dim)]
+    hi = [by_pos[i][1] for i in range(dim)]
     return lo, hi
 
 
@@ -75,17 +87,23 @@ def _sq_scales(lo: list[float], hi: list[float]) -> list[float]:
 
 def sq_encode(vecs: DataFrame, lo: list[float], hi: list[float],
               vec_col: str = "vec", out_col: str = "codes") -> DataFrame:
-    """uint8 codes: code_i = min(floor((x_i - lo_i)/scale_i + 0.5), 255).
+    """uint8 codes: code_i = clamp(floor((x_i - lo_i)/scale_i + 0.5),
+    0, 255).
 
     Pure column expressions (no UDF): the (lo, scale) constants fold
     into the plan, the array stays in codegen. The expression shape
-    (subtract, divide, +0.5, floor, least) is mirrored verbatim by the
-    ANSI oracle so codes are bit-reproducible across engines.
+    (subtract, divide, +0.5, floor, greatest, least) is mirrored
+    verbatim by the ANSI oracle so codes are bit-reproducible across
+    engines. Both clamps matter for the build-once/encode-later use:
+    vectors outside the trained [lo, hi] (new/streaming data against a
+    stored scale) must saturate at 0/255, not wrap into negative codes.
     """
     s = _sq_scales(lo, hi)
     codes = F.array(*[
-        F.least(F.floor((F.col(vec_col)[i] - F.lit(lo[i])) / F.lit(s[i])
-                        + F.lit(0.5)), F.lit(255)).cast("int")
+        F.greatest(
+            F.least(F.floor((F.col(vec_col)[i] - F.lit(lo[i])) / F.lit(s[i])
+                            + F.lit(0.5)), F.lit(255)),
+            F.lit(0)).cast("int")
         for i in range(len(lo))
     ])
     return vecs.withColumn(out_col, codes)

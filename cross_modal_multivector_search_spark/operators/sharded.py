@@ -529,6 +529,13 @@ def route_query_sets(query_vecs: DataFrame, codebook: np.ndarray,
     (small) query side only: |Q| x k dots, the IVF probe rule lifted to
     vector sets.
     """
+    if nprobe < 1:
+        # nprobe=0 would yield empty frozensets that search_sharded's
+        # missing-key check happily accepts — and then silently return
+        # zero rows; negative values slice [:n] to nearly-all shards,
+        # silently defeating pruning (mirrors ivfpq_search's guard)
+        raise ValueError(f"route_query_sets: nprobe must be >= 1, got "
+                         f"{nprobe}")
     q_pdf = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
              .agg(F.collect_list(vec_col).alias("mats"))
              .toPandas())

@@ -582,3 +582,29 @@ def test_curate_corpus_decontaminates(spark):
             curation.curate_corpus(d, quality_threshold=0.3,
                                    benchmark_docs=bench).collect()}
     assert kept == {2}   # doc 1 shares the 3-gram "the quick brown"
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A planted stop-shingle shared by every doc must not drive f^2
+    join rows when max_doc_freq is set: pairs sharing ONLY the hot
+    shingle disappear, and surviving pairs report the exact Jaccard of
+    the rare-shingle universe."""
+    stop = "the end of it"          # 4 tokens -> 2 trigram shingles
+    rows = [(i, f"unique{i} token{i} filler{i} " + stop)
+            for i in range(6)]
+    rows.append((100, "alpha beta gamma delta " + stop))
+    rows.append((101, "alpha beta gamma delta " + stop))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.01)
+    capped = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.01,
+                                       max_doc_freq=3)
+    # uncapped: every doc pairs with every other through the stop shingles
+    assert uncapped.count() == 8 * 7 // 2
+    got = {(r["a"], r["b"]): r["jaccard"] for r in capped.collect()}
+    # only the genuinely-similar pair survives the frequency cap...
+    assert set(got) == {(100, 101)}
+    # ...and its jaccard is exact over the filtered (rare) universe:
+    # both docs share all their rare shingles -> 1.0
+    assert got[(100, 101)] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        dedup.ngram_jaccard_pairs(docs, max_doc_freq=0)

@@ -196,3 +196,16 @@ def test_routed_nprobe1_matches_exact_on_separated_clusters(
         res.select("query_set_id", "data_set_id"), gt, 5
     ).collect()[0]["mean_recall"]
     assert mr >= 0.95
+
+
+def test_route_query_sets_rejects_bad_nprobe(spark, clustered_corpus):
+    """nprobe=0 would route every set to NO shard (empty frozensets pass
+    search_sharded's missing-key check and silently return zero rows);
+    negative values slice to nearly-all shards, silently defeating
+    pruning. Both must fail loudly (ADVICE r4)."""
+    v, book, sb, g, work = clustered_corpus
+    q = v.filter(F.col("set_id") < 2)
+    with pytest.raises(ValueError, match="nprobe"):
+        sharded.route_query_sets(q, book, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        sharded.route_query_sets(q, book, nprobe=-3)
