@@ -160,75 +160,90 @@ def _shard_expr(col: str, n_shards: int):
 def shard_self_knn(base: DataFrame, n_shards: int, k: int,
                    id_col: str = "vec_id",
                    vec_col: str = "vec",
-                   driver_bytes_budget: int = 2_000_000_000,
-                   n_rows: int | None = None) -> DataFrame:
+                   block_bytes: int = 200_000_000) -> DataFrame:
     """Within-shard exact kNN as a distributed table: (query_id, rank,
     base_id, score), self excluded, both sides in the same hash shard.
 
     This is the reference's build-input kNN file
-    (`/root/reference/src/index_bipartite.cpp:3111-3150`) re-expressed as
-    a first-class stage: each shard's queries run through the blocked
-    GEMM operator against that shard's bases, so the O(n_shard^2 * d)
-    kNN compute spreads over the whole cluster in bounded-memory batches
-    instead of running single-threaded inside each build task.
+    (`/root/reference/src/index_bipartite.cpp:3111-3150`) re-expressed
+    as a first-class stage in ONE pass: the base scans once, shuffles
+    once on ``repartition(n_shards, shard)``, and each task runs its
+    shard's self-kNN with a blocked GEMM whose queries are the
+    partition's own rows — no per-shard jobs, no driver round-trip of
+    the corpus (the r4 shape launched n_shards filtered scans and
+    fetched every vector through the driver; at 640 shards that was
+    640 base scans plus a serial corpus hop).
 
-    The kernel masks self matches (``exclude_self``) — exact-k output
-    with no post-filter re-rank, identical to the in-task fill_diagonal
-    path even under duplicate vectors.
-
-    Driver memory is BOUNDED, not corpus-sized: the query-side Arrow
-    fetch is sliced into ceil(corpus_bytes / driver_bytes_budget) shard
-    groups, each fetched (one filtered scan) and released before the
-    next — the broadcast bytes a group produces live in Spark's block
-    store, not the Python heap. Small inputs take one fetch, so the
-    extra scans only appear exactly when a single fetch would not fit.
+    Memory per task is O(blk * n_shard) sims, bounded by
+    ``block_bytes``; self matches are masked inside the kernel (the
+    reference's fill-diagonal), and per-query output is
+    min(k, n_shard - 1) rows with the deterministic (score desc, id
+    asc) order every top-k in the engine uses.
     """
-    import numpy as np
-
-    from functools import reduce
-
-    from .brute_force import knn_exact_gemm
-
-    # the count exists only to size the sliced fetch; callers that know
-    # the row count pass n_rows (must be EXACT — an undercount shrinks
-    # the group count and the sliced fetch overruns the byte budget)
-    if n_rows is None:
-        n_rows = base.count()
-    elif n_rows <= 0:
-        raise ValueError(f"shard_self_knn: n_rows hint must be positive"
-                         f", got {n_rows}")
-    if n_rows == 0:
+    if base.select(vec_col).first() is None:
         raise ValueError("shard_self_knn: empty base table")
-    first = base.select(vec_col).first()
-    if first is None:
-        raise ValueError("shard_self_knn: empty base table "
-                         "(n_rows hint disagreed with the data)")
-    dim = len(first[0])
-    est_bytes = n_rows * (dim * 8 + 24)
-    n_groups = int(min(n_shards, max(1, -(-est_bytes // driver_bytes_budget))))
-    shard_of = _shard_expr(id_col, n_shards)
-    parts = []
-    for g in range(n_groups):
-        pdf = (base.select(F.col(id_col), vec_col, shard_of.alias("_shard"))
-               .filter(F.pmod(shard_of, F.lit(n_groups)) == g)
-               .toPandas())
-        if not len(pdf):
-            continue
-        ids_all = pdf[id_col].to_numpy(dtype=np.int64)
-        shards_all = pdf["_shard"].to_numpy()
-        mat_all = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-        for s in range(g, n_shards, n_groups):
-            sel = shards_all == s
-            if not sel.any():
-                continue
-            sub = base.filter(_shard_expr(id_col, n_shards) == s)
-            parts.append(knn_exact_gemm(
-                (ids_all[sel], mat_all[sel]),
-                sub.select(F.col(id_col).alias("base_id"), vec_col),
-                k, metric="ip", exclude_self=True))
-    if not parts:
-        raise ValueError("shard_self_knn: no non-empty shards")
-    return reduce(DataFrame.unionByName, parts)
+    kk_cap = int(k)
+    if kk_cap < 1:
+        raise ValueError(f"shard_self_knn: k must be >= 1, got {k}")
+    schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("rank", IntegerType()),
+        StructField("base_id", LongType()),
+        StructField("score", DoubleType()),
+    ])
+
+    def per_shard(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive grouped+sorted by shard (repartition +
+        # sortWithinPartitions); accumulate one shard at a time — the
+        # same streaming pattern as build_sharded
+        cur, ids_acc, vec_acc = None, [], []
+
+        def emit():
+            ids = np.array(ids_acc, dtype=np.int64)
+            n = len(ids)
+            kk = min(kk_cap, n - 1)
+            if kk <= 0:
+                return None
+            mat = np.vstack(vec_acc).astype(np.float64)
+            blk = max(1, int(block_bytes / (8 * n)))
+            frames = []
+            for s in range(0, n, blk):
+                sims = mat[s:s + blk] @ mat.T
+                sims[ids[s:s + blk, None] == ids[None, :]] = -np.inf
+                order = np.lexsort((np.broadcast_to(ids, sims.shape),
+                                    -sims), axis=1)[:, :kk]
+                rows = np.repeat(np.arange(sims.shape[0]), kk)
+                cols = order.ravel()
+                frames.append(pd.DataFrame({
+                    "query_id": ids[s:s + blk][rows],
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32),
+                                    sims.shape[0]),
+                    "base_id": ids[cols],
+                    "score": sims[rows, cols],
+                }))
+            return pd.concat(frames) if frames else None
+
+        for pdf in it:
+            for shard, vid, vec in zip(pdf["_shard"], pdf[id_col],
+                                       pdf[vec_col]):
+                if cur is not None and shard != cur:
+                    out = emit()
+                    if out is not None:
+                        yield out
+                    ids_acc, vec_acc = [], []
+                cur = shard
+                ids_acc.append(int(vid))
+                vec_acc.append(np.asarray(vec, dtype=np.float64))
+        if ids_acc:
+            out = emit()
+            if out is not None:
+                yield out
+
+    return (base.select(F.col(id_col), vec_col,
+                        _shard_expr(id_col, n_shards).alias("_shard"))
+            .repartition(n_shards, "_shard")
+            .sortWithinPartitions("_shard", id_col)
+            .mapInPandas(per_shard, schema=schema))
 
 
 def build_sharded(base: DataFrame, n_shards: int,

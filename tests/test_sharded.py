@@ -86,17 +86,50 @@ def test_sharded_search_recall(spark, shard_graph):
     assert mr >= 0.95, f"sharded recall {mr}"
 
 
-def test_shard_self_knn_grouped_fetch_equivalence(spark):
-    """A tiny driver_bytes_budget forces the multi-group sliced fetch;
-    output must equal the single-fetch fast path, and empty input must
-    raise loudly instead of TypeError-ing inside reduce()."""
+def test_shard_self_knn_single_pass_matches_per_shard_exact(spark):
+    """The single-pass shape (one scan -> repartition by shard ->
+    in-task blocked self-GEMM) must equal the per-shard exact kNN
+    computed the slow way, a tiny block size must not change output,
+    the plan must scan the base exactly once, and empty input must
+    raise loudly."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from cross_modal_multivector_search_spark.operators import brute_force
+    from cross_modal_multivector_search_spark.plans.audit import plan_text
+
     vecs = TD.embeddings_norm(spark, SF_SMOKE)
     base = vecs.select("vec_id", "vec")
-    one = sharded.shard_self_knn(base, N_SHARDS, 5).collect()
-    grouped = sharded.shard_self_knn(
-        base, N_SHARDS, 5, driver_bytes_budget=10_000).collect()
+    out = sharded.shard_self_knn(base, N_SHARDS, 5)
+    parts = []
+    for s in range(N_SHARDS):
+        sub = base.filter(
+            F.pmod(F.hash(F.col("vec_id")), F.lit(N_SHARDS)).cast("int")
+            == s)
+        parts.append(brute_force.knn_exact_gemm(
+            sub.select(F.col("vec_id").alias("query_id"), "vec"),
+            sub.select(F.col("vec_id").alias("base_id"), "vec"),
+            5, metric="ip", exclude_self=True))
+    ref = reduce(DataFrame.unionByName, parts).collect()
     key = lambda r: (r["query_id"], r["rank"])
-    assert sorted(one, key=key) == sorted(grouped, key=key)
+    assert sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[1])) \
+        == sorted((tuple(r) for r in ref), key=lambda t: (t[0], t[1]))
+    # a tiny block size changes only the BLAS kernel shape: identical
+    # (query, rank, base) structure, scores equal to float tolerance
+    # (sub-ulp kernel differences for skinny GEMM blocks)
+    blocked = sorted(sharded.shard_self_knn(
+        base, N_SHARDS, 5, block_bytes=8 * 64 * 3).collect(), key=key)
+    full = sorted(out.collect(), key=key)
+    assert [(r["query_id"], r["rank"], r["base_id"]) for r in blocked] \
+        == [(r["query_id"], r["rank"], r["base_id"]) for r in full]
+    assert np.allclose([r["score"] for r in blocked],
+                       [r["score"] for r in full], rtol=0, atol=1e-12)
+    # one base scan: the r4 shape launched n_shards filtered scans.
+    # (simple mode, final-plan section only — formatted mode repeats
+    # each node in its detail listing and AQE appends the initial plan)
+    simple = plan_text(out, "simple").split("== Initial Plan ==")[0]
+    assert simple.lower().count("scan parquet") == 1
     with pytest.raises(ValueError, match="empty"):
         sharded.shard_self_knn(base.filter(F.col("vec_id") < 0),
                                N_SHARDS, 5)
