@@ -1,22 +1,27 @@
-"""Pure-NumPy baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman).
+"""Pure-NumPy JPEG codec (ITU-T T.81): baseline AND progressive Huffman.
 
 In-container REAL compressed-image decode with no external codec
-library: the decoder handles baseline (SOF0/SOF1) 8-bit JPEG — gray or
-YCbCr, arbitrary integer sampling factors (4:4:4, 4:2:0, 4:2:2, ...),
-restart intervals — and raises ``NotImplementedError`` for the modes
-that genuinely need a richer codec (progressive SOF2, hierarchical,
-arithmetic coding, 12-bit), which ``operators.multimodal`` then routes
+library: the decoder handles 8-bit Huffman JPEG — baseline (SOF0/SOF1,
+single- or multi-scan) and PROGRESSIVE (SOF2: spectral selection +
+successive approximation, DC/AC first and refinement scans, EOB runs)
+— gray or YCbCr, arbitrary integer sampling factors (4:4:4, 4:2:0,
+4:2:2, ...), restart intervals. It raises ``NotImplementedError`` only
+for the modes that genuinely need a richer codec (arithmetic coding,
+hierarchical, 12-bit), which ``operators.multimodal`` then routes
 through the import-guarded PIL/cv2 seam.
 
 The encoder is the fixture/round-trip partner: Annex-K quantization +
 Huffman tables (scaled by the libjpeg quality formula), 4:4:4 or 4:2:0
-chroma subsampling, optional restart intervals. Both sides batch the
+chroma subsampling, optional restart intervals, and a progressive mode
+(``encode_jpeg(..., progressive=True)``) emitting the standard
+DC-first/AC-first/AC-refine/DC-refine scan script so every progressive
+decode path is round-trip-tested in-container. Both sides batch the
 8x8 DCT/IDCT as one einsum over all blocks — the per-symbol Huffman
 loop is the only scalar part.
 
 Reference analog: the reference's data prep decodes real media before
-CLIP embedding (`/root/reference/python/prepare_for_clip_webvid.py`);
-this module makes that stage real for baseline JPEG inside the Spark
+CLIP embedding (`/root/reference/prepare_for_clip_webvid.py`);
+this module makes that stage real for JPEG inside the Spark
 `mapInPandas` decode UDFs (operators/multimodal.py).
 """
 
@@ -289,10 +294,157 @@ def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
+# Progressive AC scans need EOBn symbols (0x10..0xE0) that the Annex-K
+# sequential AC tables do not contain. A flat canonical table carrying
+# every RRRRSSSS symbol (255 codes at 9 bits + 1 at 10) is valid for
+# any progressive AC scan; compression is slightly worse than a tuned
+# table, which is irrelevant for the fixture/round-trip role.
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+AC_PROG_VALS = list(range(256))
+
+
+def _emit_eobrun(bw: _BitWriter, actab: dict, eobrun: int,
+                 pending_bits: list) -> int:
+    """Flush a pending EOBn run (plus the correction bits buffered for
+    its blocks, AC refinement only). Returns 0 for caller reset."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        hc, hl = actab[r << 4]
+        bw.write(hc, hl)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+    for b in pending_bits:
+        bw.write(b, 1)
+    pending_bits.clear()
+    return 0
+
+
+def _comp_zz_iter(blocks: np.ndarray, ch: int, cw: int):
+    """Raster iterator over a component's ACTUAL blocks (the padded MCU
+    grid's extra blocks are not entropy-coded in non-interleaved
+    scans)."""
+    for by in range(ch):
+        for bx in range(cw):
+            yield blocks[by, bx]
+
+
+def _enc_dc_scan(bw: _BitWriter, comp_blocks: list, samp: list,
+                 dc_tabs: list, tabsel: list, mcus_y: int, mcus_x: int,
+                 al: int, refine: bool) -> None:
+    preds = [0] * len(comp_blocks)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(comp_blocks[ci][my * sv + by,
+                                                 mx * sh + bx][0])
+                        if refine:
+                            bw.write((dc >> al) & 1, 1)
+                            continue
+                        v = dc >> al          # DC point transform is an
+                        s, code = _magnitude(v - preds[ci])  # arith shift
+                        preds[ci] = v
+                        hc, hl = dc_tabs[tabsel[ci]][s]
+                        bw.write(hc, hl)
+                        bw.write(code, s)
+
+
+def _enc_ac_first(bw: _BitWriter, zzs, actab: dict, ss: int, se: int,
+                  al: int) -> None:
+    """AC first scan: point transform is integer division toward zero
+    (T.81 G.1.2.1 — unlike DC's arithmetic shift), EOBn batching."""
+    eobrun = 0
+    for zz in zzs:
+        band = [int(v) for v in zz[ss:se + 1]]
+        vals = [(v >> al) if v >= 0 else -((-v) >> al) for v in band]
+        nz = [idx for idx, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 32767:
+                eobrun = _emit_eobrun(bw, actab, eobrun, [])
+            continue
+        eobrun = _emit_eobrun(bw, actab, eobrun, [])
+        run = 0
+        for idx in range(nz[-1] + 1):
+            v = vals[idx]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                hc, hl = actab[0xF0]
+                bw.write(hc, hl)
+                run -= 16
+            s, code = _magnitude(v)
+            hc, hl = actab[(run << 4) | s]
+            bw.write(hc, hl)
+            bw.write(code, s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 32767:
+                eobrun = _emit_eobrun(bw, actab, eobrun, [])
+    _emit_eobrun(bw, actab, eobrun, [])
+
+
+def _enc_ac_refine(bw: _BitWriter, zzs, actab: dict, ss: int, se: int,
+                   al: int) -> None:
+    """AC refinement scan (libjpeg jcphuff encode_mcu_AC_refine shape):
+    zero-history runs + ±1 for newly significant coefficients, one
+    buffered correction bit per already-nonzero coefficient crossed,
+    EOB runs carrying their blocks' buffered bits."""
+    eobrun = 0
+    pend: list = []            # correction bits owed to the pending run
+    for zz in zzs:
+        band = [int(v) for v in zz[ss:se + 1]]
+        temp = [(abs(v) >> al) for v in band]
+        eobpos = -1
+        for idx, t in enumerate(temp):
+            if t == 1:
+                eobpos = idx   # last newly-significant position
+        run, cur = 0, []
+        for idx, t in enumerate(temp):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and idx <= eobpos:
+                eobrun = _emit_eobrun(bw, actab, eobrun, pend)
+                hc, hl = actab[0xF0]
+                bw.write(hc, hl)
+                run -= 16
+                for b in cur:
+                    bw.write(b, 1)
+                cur = []
+            if t > 1:          # previously significant: correction bit
+                cur.append(t & 1)
+                continue
+            eobrun = _emit_eobrun(bw, actab, eobrun, pend)
+            hc, hl = actab[(run << 4) | 1]
+            bw.write(hc, hl)
+            bw.write(1 if band[idx] > 0 else 0, 1)
+            for b in cur:
+                bw.write(b, 1)
+            cur = []
+            run = 0
+        if run > 0 or cur:
+            eobrun += 1
+            pend.extend(cur)
+            if eobrun == 32767:
+                eobrun = _emit_eobrun(bw, actab, eobrun, pend)
+    _emit_eobrun(bw, actab, eobrun, pend)
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """Encode a uint8 gray (H,W) or RGB (H,W,3) array as baseline JPEG."""
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Encode a uint8 gray (H,W) or RGB (H,W,3) array as JPEG.
+
+    ``progressive=True`` emits an SOF2 frame with the standard simple
+    scan script — DC first (Al=1), per-component AC first (Ss=1..63,
+    Al=1), per-component AC refinement (Ah=1, Al=0), DC refinement —
+    exercising every progressive decode path; restart intervals apply
+    to baseline mode only."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 pixels")
@@ -334,6 +486,82 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
     ac_tabs = [_canonical_codes(AC_LUM_BITS, AC_LUM_VALS),
                _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)]
+    ncomp = len(planes)
+    tabsel = [0] + [1] * (ncomp - 1)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(ql.reshape(64)[ZIGZAG].tolist()))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].tolist()))
+    sof = bytearray((8).to_bytes(1, "big"))
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes((ci + 1, (sh << 4) | sv, qsel[ci]))
+    out += seg(0xC2 if progressive else 0xC0, bytes(sof))
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "restart_interval is not supported with progressive=True")
+        for cls, tid, bits, vals in (
+                (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+                (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+                (1, 0, AC_PROG_BITS, AC_PROG_VALS)):
+            if gray and tid == 1:
+                continue
+            out += seg(0xC4, bytes(((cls << 4) | tid,)) + bytes(bits)
+                       + bytes(vals))
+        ac_prog = _canonical_codes(AC_PROG_BITS, AC_PROG_VALS)
+        # actual per-component block dims (non-interleaved AC scans
+        # code only these, not the MCU-padded grid)
+        dims = []
+        for sh, sv in samp:
+            comp_w = -(-w * sh // hmax)
+            comp_h = -(-h * sv // vmax)
+            dims.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+        def sos_hdr(comp_ids: list, ss: int, se: int, ah: int,
+                    al: int) -> bytes:
+            body = bytearray([len(comp_ids)])
+            for ci in comp_ids:
+                body += bytes((ci + 1, (tabsel[ci] << 4) | 0))
+            body += bytes((ss, se, (ah << 4) | al))
+            return seg(0xDA, bytes(body))
+
+        def entropy(fn, *args) -> bytes:
+            bw = _BitWriter()
+            fn(bw, *args)
+            bw.pad_to_byte()
+            return bytes(bw.buf)
+
+        all_ids = list(range(ncomp))
+        out += sos_hdr(all_ids, 0, 0, 0, 1)
+        out += entropy(_enc_dc_scan, comp_blocks, samp, dc_tabs, tabsel,
+                       mcus_y, mcus_x, 1, False)
+        for ci in all_ids:
+            ch_, cw_ = dims[ci]
+            out += sos_hdr([ci], 1, 63, 0, 1)
+            out += entropy(_enc_ac_first,
+                           _comp_zz_iter(comp_blocks[ci], ch_, cw_),
+                           ac_prog, 1, 63, 1)
+        for ci in all_ids:
+            ch_, cw_ = dims[ci]
+            out += sos_hdr([ci], 1, 63, 1, 0)
+            out += entropy(_enc_ac_refine,
+                           _comp_zz_iter(comp_blocks[ci], ch_, cw_),
+                           ac_prog, 1, 63, 0)
+        out += sos_hdr(all_ids, 0, 0, 1, 0)
+        out += entropy(_enc_dc_scan, comp_blocks, samp, dc_tabs, tabsel,
+                       mcus_y, mcus_x, 0, True)
+        out += b"\xff\xd9"                             # EOI
+        return bytes(out)
 
     bw = _BitWriter()
     preds = [0] * len(planes)
@@ -342,7 +570,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for ci, (sh, sv) in enumerate(samp):
-                hsel = 0 if ci == 0 else 1
+                hsel = tabsel[ci]
                 for by in range(sv):
                     for bx in range(sh):
                         zz = comp_blocks[ci][my * sv + by, mx * sh + bx]
@@ -357,23 +585,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                 preds = [0] * len(planes)
     bw.pad_to_byte()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") \
-            + body
-
-    out = bytearray(b"\xff\xd8")                      # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(ql.reshape(64)[ZIGZAG].tolist()))
-    if not gray:
-        out += seg(0xDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].tolist()))
-    ncomp = 1 if gray else 3
-    sof = bytearray((8).to_bytes(1, "big"))
-    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    sof.append(ncomp)
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        sof += bytes((ci + 1, (sh << 4) | sv, qsel[ci]))
-    out += seg(0xC0, bytes(sof))
     for cls, tid, bits, vals in (
             (0, 0, DC_LUM_BITS, DC_LUM_VALS),
             (1, 0, AC_LUM_BITS, AC_LUM_VALS),
@@ -387,7 +598,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
     sos = bytearray([ncomp])
     for ci in range(ncomp):
-        tsel = 0 if ci == 0 else 1
+        tsel = tabsel[ci]
         sos += bytes((ci + 1, (tsel << 4) | tsel))
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, bytes(sos))
@@ -399,11 +610,221 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 # --- decoder ---------------------------------------------------------
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to uint8 (H,W) gray or (H,W,3) RGB.
+def _expect_restart(br: _BitReader) -> None:
+    """Byte-align and consume one RSTn marker (optional fill FFs)."""
+    d = br.d
+    br.align()
+    while (br.i + 1 < len(d) and d[br.i] == 0xFF
+           and d[br.i + 1] == 0xFF):
+        br.i += 1
+    if not (br.i + 1 < len(d) and d[br.i] == 0xFF
+            and 0xD0 <= d[br.i + 1] <= 0xD7):
+        raise ValueError("expected restart marker")
+    br.i += 2
 
-    Raises NotImplementedError for non-baseline modes (progressive,
-    arithmetic, hierarchical, 12-bit) so the caller can dispatch to an
+
+def _skip_to_marker(d: bytes, i: int) -> int:
+    """Advance past entropy pad bytes/stuffing to the next marker."""
+    while i + 1 < len(d):
+        if d[i] == 0xFF and d[i + 1] != 0x00:
+            return i
+        i += 1
+    raise ValueError("JPEG truncated: no terminating marker after scan")
+
+
+def _scan_units(frame: dict, comps: list):
+    """Yield entropy-coded units: interleaved MCUs when the scan has
+    several components (each unit = every component's v*h blocks), one
+    block per unit in component raster order (ACTUAL block dims cw*ch,
+    not the MCU-padded grid) for single-component scans — T.81 A.2."""
+    if len(comps) > 1:
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                unit = []
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append((c, my * c["v"] + by,
+                                         mx * c["h"] + bx))
+                yield unit
+    else:
+        c = comps[0]
+        for by in range(c["ch"]):
+            for bx in range(c["cw"]):
+                yield [(c, by, bx)]
+
+
+def _scan_sequential(br: _BitReader, frame: dict, comps: list,
+                     hdc: dict, hac: dict, ri: int) -> None:
+    """One baseline (DC+AC full-band) scan, interleaved or not."""
+    preds = {c["id"]: 0 for c in comps}
+    for u_i, unit in enumerate(_scan_units(frame, comps)):
+        if ri and u_i and u_i % ri == 0:
+            _expect_restart(br)
+            preds = {c["id"]: 0 for c in comps}
+        for c, by, bx in unit:
+            dctab, actab = hdc.get(c["dc"]), hac.get(c["ac"])
+            if dctab is None or actab is None:
+                raise ValueError("scan uses undefined Huffman table")
+            zz = c["zz"][by, bx]
+            s = _decode_huff(br, dctab)
+            diff = _extend(br.bits(s), s)
+            preds[c["id"]] += diff
+            zz[0] = preds[c["id"]]
+            k = 1
+            while k < 64:
+                rs = _decode_huff(br, actab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break                             # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zz[k] = _extend(br.bits(s), s)
+                k += 1
+
+
+def _scan_dc_first(br: _BitReader, frame: dict, comps: list,
+                   hdc: dict, ri: int, al: int) -> None:
+    """Progressive DC first scan: diffs of the point-transformed
+    (arithmetic-shifted) DC values, stored pre-shifted back by Al."""
+    preds = {c["id"]: 0 for c in comps}
+    for u_i, unit in enumerate(_scan_units(frame, comps)):
+        if ri and u_i and u_i % ri == 0:
+            _expect_restart(br)
+            preds = {c["id"]: 0 for c in comps}
+        for c, by, bx in unit:
+            dctab = hdc.get(c["dc"])
+            if dctab is None:
+                raise ValueError("scan uses undefined Huffman table")
+            s = _decode_huff(br, dctab)
+            preds[c["id"]] += _extend(br.bits(s), s)
+            c["zz"][by, bx][0] = preds[c["id"]] << al
+
+
+def _scan_dc_refine(br: _BitReader, frame: dict, comps: list,
+                    ri: int, al: int) -> None:
+    """Progressive DC refinement: one appended bit per block (no
+    Huffman coding), ORed in at position Al — exact for negative DCs
+    under two's complement."""
+    p1 = 1 << al
+    for u_i, unit in enumerate(_scan_units(frame, comps)):
+        if ri and u_i and u_i % ri == 0:
+            _expect_restart(br)
+        for c, by, bx in unit:
+            if br.bit():
+                c["zz"][by, bx][0] |= p1
+
+
+def _scan_ac_first(br: _BitReader, c: dict, hac: dict, ri: int,
+                   ss: int, se: int, al: int) -> None:
+    """Progressive AC first scan over one component's band [Ss, Se]:
+    run/size symbols with EOBn run-length codes (T.81 G.1.2.2)."""
+    actab = hac.get(c["ac"])
+    if actab is None:
+        raise ValueError("scan uses undefined Huffman table")
+    eobrun = 0
+    u_i = 0
+    for by in range(c["ch"]):
+        for bx in range(c["cw"]):
+            if ri and u_i and u_i % ri == 0:
+                _expect_restart(br)
+                eobrun = 0
+            u_i += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            zz = c["zz"][by, bx]
+            k = ss
+            while k <= se:
+                rs = _decode_huff(br, actab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:                        # EOBn
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += 16                           # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                zz[k] = _extend(br.bits(s), s) << al
+                k += 1
+
+
+def _scan_ac_refine(br: _BitReader, c: dict, hac: dict, ri: int,
+                    ss: int, se: int, al: int) -> None:
+    """Progressive AC refinement (T.81 G.1.2.3 / figure G.7): newly
+    significant coefficients arrive as ±1<<Al with zero-history run
+    lengths; every already-nonzero coefficient crossed appends one
+    correction bit; EOBn runs carry the correction bits for the
+    remainder of each block in the run."""
+    actab = hac.get(c["ac"])
+    if actab is None:
+        raise ValueError("scan uses undefined Huffman table")
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    u_i = 0
+    for by in range(c["ch"]):
+        for bx in range(c["cw"]):
+            if ri and u_i and u_i % ri == 0:
+                _expect_restart(br)
+                eobrun = 0
+            u_i += 1
+            zz = c["zz"][by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_huff(br, actab)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r < 15:                    # EOBn (this block
+                            eobrun = 1 << r           # included in run)
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # r == 15: ZRL — skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid magnitude in AC refinement")
+                        val = p1 if br.bit() else m1
+                    # advance over r zero-history coefficients,
+                    # correcting already-nonzero ones along the way
+                    while k <= se:
+                        if zz[k] != 0:
+                            if br.bit() and (int(zz[k]) & p1) == 0:
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                # within an EOB run only correction bits appear
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.bit() and (int(zz[k]) & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode Huffman JPEG bytes to uint8 (H,W) gray or (H,W,3) RGB.
+
+    Handles baseline (SOF0/SOF1, single- or multi-scan) AND progressive
+    (SOF2) frames. Raises NotImplementedError for arithmetic,
+    hierarchical, and 12-bit modes so the caller can dispatch to an
     external codec; malformed data raises ValueError.
     """
     d = payload
@@ -415,20 +836,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     hac: dict[int, dict] = {}
     ri = 0
     frame = None
-    scan = None
+    progressive = False
+    saw_scan = False
     while True:
         if i + 1 >= len(d):
-            raise ValueError("JPEG truncated before SOS")
+            raise ValueError("JPEG truncated before EOI")
         if d[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
         # optional 0xFF fill bytes before any marker (T.81 B.1.1.2)
         while i + 1 < len(d) and d[i + 1] == 0xFF:
             i += 1
         if i + 1 >= len(d):
-            raise ValueError("JPEG truncated before SOS")
+            raise ValueError("JPEG truncated before EOI")
         m = d[i + 1]
         i += 2
-        if m in (0x01,) or 0xD0 <= m <= 0xD9:
+        if m == 0xD9:                                  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD8:
             continue
         if i + 2 > len(d):
             raise ValueError("JPEG segment truncated")
@@ -460,7 +884,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 j += 17 + nv
         elif m == 0xDD:                                # DRI
             ri = int.from_bytes(body[:2], "big")
-        elif m in (0xC0, 0xC1):                        # baseline SOF
+        elif m in (0xC0, 0xC1, 0xC2):                  # SOF0/1/2
+            progressive = (m == 0xC2)
             if body[0] != 8:
                 raise NotImplementedError(f"{body[0]}-bit JPEG precision")
             fh = int.from_bytes(body[1:3], "big")
@@ -471,87 +896,69 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, sf, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 15,
                               "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            if nc == 1:
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "hmax": hmax, "vmax": vmax,
+                     "mcus_x": -(-fw // (8 * hmax)),
+                     "mcus_y": -(-fh // (8 * vmax))}
+            for c in comps:
+                c["bx"] = frame["mcus_x"] * c["h"]
+                c["by"] = frame["mcus_y"] * c["v"]
+                # actual (non-padded) block dims, for non-interleaved
+                # scans (T.81 A.1.1): ceil(ceil(dim * sf / sfmax) / 8)
+                comp_w = -(-fw * c["h"] // hmax)
+                comp_h = -(-fh * c["v"] // vmax)
+                c["cw"] = -(-comp_w // 8)
+                c["ch"] = -(-comp_h // 8)
+                c["zz"] = np.zeros((c["by"], c["bx"], 64), dtype=np.int64)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame type 0xFF{m:02X}")
         elif m == 0xDA:                                # SOS
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
             nc = body[0]
-            scan = []
+            by_id = {c["id"]: c for c in frame["comps"]}
+            scan_comps = []
             for c in range(nc):
                 cid, tsel = body[1 + 2 * c:3 + 2 * c]
-                scan.append({"id": cid, "dc": tsel >> 4, "ac": tsel & 15})
-            break
+                if cid not in by_id:
+                    raise ValueError("scan references unknown component")
+                by_id[cid].update(dc=tsel >> 4, ac=tsel & 15)
+                scan_comps.append(by_id[cid])
+            ss, se, ahal = body[1 + 2 * nc:4 + 2 * nc]
+            ah, al = ahal >> 4, ahal & 15
+            br = _BitReader(d, i)
+            if not progressive:
+                _scan_sequential(br, frame, scan_comps, hdc, hac, ri)
+            elif ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan with Se != 0")
+                if ah == 0:
+                    _scan_dc_first(br, frame, scan_comps, hdc, ri, al)
+                else:
+                    _scan_dc_refine(br, frame, scan_comps, ri, al)
+            else:
+                if len(scan_comps) != 1:
+                    raise ValueError(
+                        "progressive AC scan with several components")
+                if ah == 0:
+                    _scan_ac_first(br, scan_comps[0], hac, ri, ss, se, al)
+                else:
+                    _scan_ac_refine(br, scan_comps[0], hac, ri, ss, se,
+                                    al)
+            saw_scan = True
+            i = _skip_to_marker(d, br.i)
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG has no frame/scan")
     comps = frame["comps"]
-    if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan JPEG")
-    by_id = {c["id"]: c for c in comps}
-    for s in scan:
-        if s["id"] not in by_id:
-            raise ValueError("scan references unknown component")
-        by_id[s["id"]].update(dc=s["dc"], ac=s["ac"])
-    if len(comps) == 1:
-        comps[0]["h"] = comps[0]["v"] = 1
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
+    hmax, vmax = frame["hmax"], frame["vmax"]
     h, w = frame["h"], frame["w"]
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    for c in comps:
-        c["bx"] = mcus_x * c["h"]
-        c["by"] = mcus_y * c["v"]
-        c["zz"] = np.zeros((c["by"], c["bx"], 64), dtype=np.int64)
-
-    br = _BitReader(d, i)
-    preds = {c["id"]: 0 for c in comps}
-    n_mcus = mcus_x * mcus_y
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if ri and mcu_i and mcu_i % ri == 0:
-                br.align()
-                # skip optional 0xFF fill bytes before the RST marker
-                while (br.i + 1 < len(d) and d[br.i] == 0xFF
-                       and d[br.i + 1] == 0xFF):
-                    br.i += 1
-                if not (br.i + 1 < len(d) and d[br.i] == 0xFF
-                        and 0xD0 <= d[br.i + 1] <= 0xD7):
-                    raise ValueError("expected restart marker")
-                br.i += 2
-                preds = {c["id"]: 0 for c in comps}
-            for c in comps:
-                dctab, actab = hdc.get(c["dc"]), hac.get(c["ac"])
-                if dctab is None or actab is None:
-                    raise ValueError("scan uses undefined Huffman table")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = c["zz"][my * c["v"] + by, mx * c["h"] + bx]
-                        s = _decode_huff(br, dctab)
-                        diff = _extend(br.bits(s), s)
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, actab)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break                     # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "AC run past end of block")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-            mcu_i += 1
 
     planes = []
     for c in comps:

@@ -220,11 +220,11 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     In-container (no external library): binary netpbm P5/P6,
     uncompressed 24/32-bit BMP, REAL 8-bit PNG (stdlib zlib inflate +
-    NumPy unfilter), and REAL baseline JPEG (pure-NumPy Huffman+IDCT,
-    ``functions.jpeg``). Non-baseline JPEG modes (progressive SOF2,
-    arithmetic, 12-bit) and WebP route through the import-guarded
-    PIL/cv2 dispatch and raise NotImplementedError only when neither
-    is installed.
+    NumPy unfilter), and REAL Huffman JPEG — baseline AND progressive
+    SOF2 (pure-NumPy Huffman+IDCT, ``functions.jpeg``). The residual
+    JPEG modes (arithmetic coding, hierarchical, 12-bit) and WebP
+    route through the import-guarded PIL/cv2 dispatch and raise
+    NotImplementedError only when neither is installed.
     """
     if payload[:2] in (b"P5", b"P6"):
         return _decode_netpbm(payload)
@@ -241,7 +241,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         try:
             return _jpeg.decode_jpeg(payload)
         except NotImplementedError:
-            # progressive/arithmetic/12-bit: needs a full codec library
+            # arithmetic/hierarchical/12-bit: needs a full codec library
             return _decode_with_library(payload, "JPEG")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return _decode_with_library(payload, "WebP")

@@ -1,9 +1,13 @@
-"""Round-trip tests for the pure-NumPy baseline JPEG codec.
+"""Round-trip tests for the pure-NumPy JPEG codec (baseline +
+progressive).
 
 The codec is self-contained (stdlib + NumPy), so correctness is pinned
 by encode->decode round trips at several shapes/modes: the decoder
 exercises real Huffman streams, MCU interleave, subsampled chroma,
-restart markers, and the quantization/IDCT pipeline end-to-end.
+restart markers, and the quantization/IDCT pipeline end-to-end. The
+progressive tests pin BIT-equality against the baseline decode — the
+scan script (DC/AC first + refinement, EOB runs, ZRL interleaving)
+reconstructs the identical quantized coefficients by construction.
 """
 
 from __future__ import annotations
@@ -76,14 +80,75 @@ def test_quality_monotonic():
     assert p_hi > p_lo
 
 
-def test_progressive_raises_not_implemented():
+def test_arithmetic_raises_not_implemented():
     img = _smooth_rgb(16, 16)
     data = bytearray(jpeg.encode_jpeg(img))
-    # flip the SOF0 marker (FFC0) to SOF2 (FFC2): progressive
+    # flip the SOF0 marker (FFC0) to SOF9 (FFC9): arithmetic coding
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    data[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="0xFFC9"):
         jpeg.decode_jpeg(bytes(data))
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """The progressive scan script reconstructs the SAME quantized
+    coefficients as the sequential encoding, so progressive decode must
+    be bit-identical to baseline decode at the same quality."""
+    rng = np.random.default_rng(3)
+    for shape, sub in [((17, 23, 3), "4:4:4"), ((40, 56, 3), "4:2:0"),
+                       ((33, 41, 3), "4:2:0"), ((16, 24), "4:4:4")]:
+        base = np.linspace(0, 255, num=int(np.prod(shape))).reshape(shape)
+        img = np.clip(base + rng.integers(-20, 20, shape), 0,
+                      255).astype(np.uint8)
+        for q in (85, 50):
+            seq = jpeg.decode_jpeg(jpeg.encode_jpeg(
+                img, quality=q, subsampling=sub))
+            prog = jpeg.decode_jpeg(jpeg.encode_jpeg(
+                img, quality=q, subsampling=sub, progressive=True))
+            assert np.array_equal(seq, prog), (shape, sub, q)
+
+
+def test_progressive_flat_image_long_eob_runs():
+    """A near-flat image makes every AC block empty: the encoder emits
+    batched EOBn runs (r > 0, the appended-bits path) and the decoder's
+    eobrun fast path must skip whole blocks in both AC scan types."""
+    img = np.full((64, 64), 128, dtype=np.uint8)
+    img[0, 0] = 140                         # one non-flat corner block
+    seq = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85,
+                                             progressive=True))
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_sparse_highfreq_exercises_zrl_paths():
+    """Isolated saturated pixels produce large sparse AC coefficients:
+    long zero runs inside blocks force ZRL symbols in both the AC first
+    scan and (with already-significant neighbors) the refinement scan's
+    correction-bit interleaving."""
+    rng = np.random.default_rng(11)
+    img = np.full((48, 48, 3), 127, dtype=np.uint8)
+    xs = rng.integers(0, 48, 40)
+    ys = rng.integers(0, 48, 40)
+    img[ys, xs] = rng.integers(0, 256, (40, 3))
+    for q in (92, 40):
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q,
+                                                 progressive=True))
+        assert np.array_equal(seq, prog)
+
+
+def test_progressive_rejects_restart_interval():
+    with pytest.raises(ValueError, match="restart_interval"):
+        jpeg.encode_jpeg(_smooth_rgb(16, 16), progressive=True,
+                         restart_interval=4)
+
+
+def test_decode_image_dispatches_progressive():
+    img = _smooth_rgb(24, 24)
+    payload = jpeg.encode_jpeg(img, quality=95, progressive=True)
+    out = multimodal.decode_image(payload)
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 35
 
 
 def test_malformed_raises_value_error():
@@ -127,3 +192,22 @@ def test_roundtrip_shape_and_error_invariants(h, w, color, sub420, base):
     # (4:2:0 chroma averaging adds a little on the color channels)
     tol = 14 if (color and sub == "4:2:0") else 8
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= tol
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40),
+       color=st.booleans(), sub420=st.booleans(), seed=st.integers(0, 99))
+def test_progressive_equals_baseline_property(h, w, color, sub420, seed):
+    """Property form of the bit-equality invariant: for ANY dims (incl.
+    < 8), color mode, and subsampling, progressive decode == baseline
+    decode at the same quality."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    sub = "4:2:0" if (color and sub420) else "4:4:4"
+    seq = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=75,
+                                            subsampling=sub))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=75,
+                                             subsampling=sub,
+                                             progressive=True))
+    assert np.array_equal(seq, prog)
