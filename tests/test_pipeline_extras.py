@@ -461,13 +461,19 @@ def test_decode_real_formats_roundtrip():
 def test_image_extractor_over_spark_pipeline(spark):
     """The extractor contract exercised with REAL image bytes through
     the mapInPandas stage: decode -> featurize -> unit-norm vectors."""
+    from cross_modal_multivector_search_spark.functions import jpeg
+
     rng = np.random.default_rng(9)
     rows = []
     for i in range(12):
         img = rng.integers(0, 256, size=(6 + i, 8, 3), dtype=np.uint8)
-        payload = _ppm_bytes(img) if i % 2 == 0 else _bmp_bytes(img)
-        rows.append((i, "image", bytearray(payload), "ppm" if i % 2 == 0
-                     else "bmp", 8, 6 + i, None))
+        enc = (_ppm_bytes, _bmp_bytes,
+               lambda x: jpeg.encode_jpeg(x, quality=95),
+               lambda x: jpeg.encode_jpeg(x, quality=95,
+                                          progressive=True))[i % 4]
+        fmt = ("ppm", "bmp", "jpeg", "jpeg-prog")[i % 4]
+        rows.append((i, "image", bytearray(enc(img)), fmt, 8, 6 + i,
+                     None))
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     feats = multimodal.extract_features(
         media, extractor=multimodal.image_feature_extractor(12), dim=12)
