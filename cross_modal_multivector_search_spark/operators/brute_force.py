@@ -43,6 +43,39 @@ _SQL_METRICS = {
 }
 
 
+def topk_cols_ascending(sims: np.ndarray, bids: np.ndarray,
+                        kk: int) -> np.ndarray:
+    """(n_rows, kk) column indices of each row's kk smallest values,
+    ordered by (value asc, id asc) — BIT-deterministic.
+
+    Fast path: argpartition to the kk smallest, then sort only those —
+    O(n + k log k) per row instead of the O(n log n) full-row lexsort
+    that dominated shard-sized kernels (a 15k-node shard spends more
+    time sorting than in the GEMM). Boundary ties (several columns
+    sharing the kk-th value, e.g. duplicate vectors) fall back to the
+    full lexsort for just those rows, so the (value, id) order is
+    always exactly the one the full sort would produce.
+    """
+    n = sims.shape[1]
+    ids_b = np.broadcast_to(bids, sims.shape)
+    if kk >= n:
+        return np.lexsort((ids_b, sims), axis=1)[:, :kk]
+    part = np.argpartition(sims, kk - 1, axis=1)[:, :kk]
+    rr = np.arange(sims.shape[0])[:, None]
+    sub_vals = sims[rr, part]
+    vk = sub_vals.max(axis=1)
+    sub_order = np.lexsort((bids[part], sub_vals), axis=1)
+    out = part[rr, sub_order]
+    # a row where more than kk columns are <= its kk-th value has a
+    # tie straddling the partition boundary: the id-tiebreak may need
+    # a column argpartition dropped
+    ties = (sims <= vk[:, None]).sum(axis=1) != kk
+    if ties.any():
+        out[ties] = np.lexsort(
+            (ids_b[ties], sims[ties]), axis=1)[:, :kk]
+    return out
+
+
 def knn_exact_sql(queries: DataFrame, base: DataFrame, k: int,
                   metric: str = "ip",
                   query_id: str = "query_id", base_id: str = "base_id",
@@ -127,9 +160,10 @@ def knn_exact_gemm(queries, base: DataFrame, k: int,
             # per-batch partial top-k with the SAME deterministic
             # tiebreak as the global merge (dist asc, id asc) — a bare
             # argpartition drops an arbitrary member of a tie straddling
-            # the k-th boundary, which the merge can never recover
-            order = np.lexsort((np.broadcast_to(bids, sims.shape),
-                                sims), axis=1)[:, :kk_eff]
+            # the k-th boundary, which the merge can never recover;
+            # topk_cols_ascending partitions fast and falls back to the
+            # full lexsort exactly on tie rows
+            order = topk_cols_ascending(sims, bids, kk_eff)
             rows = np.repeat(np.arange(sims.shape[0]), kk_eff)
             cols = order.ravel()
             out_scores = sims[rows, cols] * sign

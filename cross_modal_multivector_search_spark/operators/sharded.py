@@ -199,6 +199,8 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
         cur, ids_acc, vec_acc = None, [], []
 
         def emit():
+            from .brute_force import topk_cols_ascending
+
             ids = np.array(ids_acc, dtype=np.int64)
             n = len(ids)
             kk = min(kk_cap, n - 1)
@@ -208,10 +210,12 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
             blk = max(1, int(block_bytes / (8 * n)))
             frames = []
             for s in range(0, n, blk):
-                sims = mat[s:s + blk] @ mat.T
-                sims[ids[s:s + blk, None] == ids[None, :]] = -np.inf
-                order = np.lexsort((np.broadcast_to(ids, sims.shape),
-                                    -sims), axis=1)[:, :kk]
+                # negated IP, ascending = closest — the same sign dance
+                # as knn_exact_gemm, so scores are bit-identical to the
+                # per-shard exact kernel
+                sims = -(mat[s:s + blk] @ mat.T)
+                sims[ids[s:s + blk, None] == ids[None, :]] = np.inf
+                order = topk_cols_ascending(sims, ids, kk)
                 rows = np.repeat(np.arange(sims.shape[0]), kk)
                 cols = order.ravel()
                 frames.append(pd.DataFrame({
@@ -219,7 +223,7 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
                     "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32),
                                     sims.shape[0]),
                     "base_id": ids[cols],
-                    "score": sims[rows, cols],
+                    "score": -sims[rows, cols],
                 }))
             return pd.concat(frames) if frames else None
 
@@ -239,9 +243,11 @@ def shard_self_knn(base: DataFrame, n_shards: int, k: int,
             if out is not None:
                 yield out
 
-    return (base.select(F.col(id_col), vec_col,
-                        _shard_expr(id_col, n_shards).alias("_shard"))
-            .repartition(n_shards, "_shard")
+    from .partitioning import repartition_by_shard
+
+    sel = base.select(F.col(id_col), vec_col,
+                      _shard_expr(id_col, n_shards).alias("_shard"))
+    return (repartition_by_shard(sel, n_shards, "_shard")
             .sortWithinPartitions("_shard", id_col)
             .mapInPandas(per_shard, schema=schema))
 
@@ -326,7 +332,9 @@ def build_sharded(base: DataFrame, n_shards: int,
                      F.struct("rank", "base_id"))).alias("l"))
                  .select(id_col, F.col("l.base_id").alias("_nn")))
         sharded = sharded.join(lists, id_col, "left")
-    return (sharded.repartition(n_shards, "shard")
+    from .partitioning import repartition_by_shard
+
+    return (repartition_by_shard(sharded, n_shards, "shard")
             .sortWithinPartitions("shard", id_col)
             .mapInPandas(build, schema=_SHARD_GRAPH_SCHEMA))
 
@@ -357,12 +365,14 @@ def prepare_search_work(shard_graph: DataFrame, base: DataFrame,
         vecs_sharded = base.withColumn(
             "shard",
             F.pmod(F.hash(F.col(vec_id)), F.lit(n_shards)).cast("int"))
-    return (shard_graph
-            .join(vecs_sharded.select(
-                "shard", F.col(vec_id).alias("src"),
-                F.col(vec_col).alias("v")), ["shard", "src"])
-            .repartition(n_shards, "shard")
-            .sortWithinPartitions("shard", "src"))
+    from .partitioning import repartition_by_shard
+
+    joined = shard_graph.join(
+        vecs_sharded.select("shard", F.col(vec_id).alias("src"),
+                            F.col(vec_col).alias("v")),
+        ["shard", "src"])
+    return repartition_by_shard(joined, n_shards, "shard") \
+        .sortWithinPartitions("shard", "src")
 
 
 def search_sharded(shard_graph: DataFrame, base: DataFrame,

@@ -122,3 +122,30 @@ def test_set_topk_gemm_prefetched_queries_equivalent(spark):
     key = ["query_set_id", "rank"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_topk_cols_ascending_tie_exactness():
+    """The argpartition fast path must fall back to the full lexsort on
+    boundary ties: planted duplicate values straddling k must resolve
+    by id, identically to the full sort."""
+    import numpy as np
+
+    from cross_modal_multivector_search_spark.operators.brute_force import (
+        topk_cols_ascending,
+    )
+    rng = np.random.default_rng(5)
+    for trial in range(30):
+        n = int(rng.integers(5, 40))
+        k = int(rng.integers(1, n))
+        sims = rng.integers(0, 6, size=(4, n)).astype(np.float64)  # ties!
+        bids = rng.permutation(n).astype(np.int64) * 7
+        fast = topk_cols_ascending(sims, bids, k)
+        full = np.lexsort((np.broadcast_to(bids, sims.shape), sims),
+                          axis=1)[:, :k]
+        assert np.array_equal(fast, full), (trial, n, k)
+    # masked-self inf values never enter the top-k when k <= n-1
+    sims = rng.standard_normal((3, 8))
+    sims[np.arange(3), [1, 4, 6]] = np.inf
+    bids = np.arange(8, dtype=np.int64)
+    out = topk_cols_ascending(sims, bids, 7)
+    assert np.isfinite(sims[np.arange(3)[:, None], out]).all()

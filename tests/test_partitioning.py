@@ -89,3 +89,25 @@ def test_ensure_parallelism_decisions(spark, tmp_path):
     if sz >= 2 * partitioning._BYTES_PER_TASK_WORTH_SPLITTING:
         rp = partitioning.ensure_parallelism(spark.read.parquet(p))
         assert "RoundRobin" in plan_text(rp, "simple")
+
+
+def test_repartition_by_shard_is_bijective(spark):
+    """repartition(n, shard) hashes shard ids into partitions — ~1/e of
+    partitions empty, worst partition O(log n) shards (the 10M-build
+    straggler). repartition_by_shard must place every shard in its OWN
+    partition."""
+    n = 64
+    df = spark.range(n * 50).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(n)).cast("int")
+        .alias("shard"))
+    out = partitioning.repartition_by_shard(df, n, "shard")
+    assert "__pkey" not in out.columns
+    per_part = (out.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .agg(F.countDistinct("shard").alias("n_shards"))
+                .collect())
+    assert len(per_part) == n                      # every partition used
+    assert max(r["n_shards"] for r in per_part) == 1
+    # keys are found and cached per shard count
+    assert len(partitioning._collision_free_keys(spark, n)) == n
+    assert n in partitioning._SHARD_KEY_CACHE
