@@ -532,8 +532,9 @@ def spatial_shards(base: DataFrame, codebook: np.ndarray,
     ``route_query_sets``: spatial sub-indexes are the fix for the
     uniform-fan-out budget dilution measured at 640 hash shards
     (SCALE_PROBE 10M section). Shard sizes follow the data's cluster
-    structure; at 100 TB, pair with a codebook trained to balance cell
-    populations (or split oversized cells) if skew matters.
+    structure; when that skew matters (per-shard build work is
+    quadratic in population), ``spatial_shards_balanced`` splits
+    oversized cells into sub-shards with cell-level routing preserved.
     """
     from .simsearch import assign_cells
 
@@ -542,9 +543,63 @@ def spatial_shards(base: DataFrame, codebook: np.ndarray,
     return out.withColumn("shard", F.col("cell").cast("int")).drop("cell")
 
 
+def spatial_shards_balanced(base: DataFrame, codebook: np.ndarray,
+                            max_pop: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "vec"
+                            ) -> tuple[DataFrame, dict[int, tuple], int]:
+    """Spatial shards with over-populated cells SPLIT into sub-shards:
+    (base + ``shard`` column, cell -> its shard ids, total shard count).
+
+    Plain ``spatial_shards`` inherits the data's cluster-size skew, and
+    per-shard build work is quadratic in shard population — the 10M
+    probe's residual critical path was the largest codebook cell at
+    ~2x the mean (ANN_PROTOCOL 10M section). Here a cell with
+    population p becomes ceil(p / max_pop) sub-shards (members split
+    by a deterministic id hash), bounding every build task at
+    ~max_pop^2 work while routing stays cell-level: pass the returned
+    mapping to ``route_query_sets(cell_to_shards=...)`` so a query
+    routed to a cell probes ALL its sub-shards — recall is unchanged
+    relative to the unsplit cell, only the work parallelizes.
+
+    Cost over ``spatial_shards``: one count-per-cell aggregation
+    (n_cells rows to the driver) — corpus scans stay map-only.
+    """
+    from .simsearch import assign_cells
+
+    if max_pop < 1:
+        raise ValueError(f"spatial_shards_balanced: max_pop must be "
+                         f">= 1, got {max_pop}")
+    assigned = assign_cells(base, codebook, id_col=id_col,
+                            vec_col=vec_col, keep_vec=True)
+    counts = {int(r["cell"]): int(r["n"]) for r in
+              assigned.groupBy("cell").agg(F.count("*").alias("n"))
+              .collect()}
+    n_cells = codebook.shape[0]
+    cell_to_shards: dict[int, tuple] = {}
+    offsets = np.zeros(n_cells, dtype=np.int64)
+    splits = np.ones(n_cells, dtype=np.int64)
+    total = 0
+    for c in range(n_cells):
+        k = max(1, -(-counts.get(c, 0) // max_pop))
+        offsets[c], splits[c] = total, k
+        cell_to_shards[c] = tuple(range(total, total + k))
+        total += k
+    off_arr = F.array(*[F.lit(int(x)) for x in offsets])
+    spl_arr = F.array(*[F.lit(int(x)) for x in splits])
+    cell1 = F.col("cell").cast("int") + 1
+    shard = (F.element_at(off_arr, cell1)
+             + F.pmod(F.hash(F.col(id_col).cast("long")),
+                      F.element_at(spl_arr, cell1)))
+    out = assigned.withColumn("shard", shard.cast("int")).drop("cell")
+    return out, cell_to_shards, total
+
+
 def route_query_sets(query_vecs: DataFrame, codebook: np.ndarray,
                      nprobe: int, set_id: str = "set_id",
-                     vec_col: str = "vec") -> dict[int, frozenset]:
+                     vec_col: str = "vec",
+                     cell_to_shards: dict[int, tuple] | None = None
+                     ) -> dict[int, frozenset]:
     """query_set_id -> its ``nprobe`` most promising spatial shards.
 
     A set's affinity to a shard is the max member-vector dot against
@@ -553,6 +608,10 @@ def route_query_sets(query_vecs: DataFrame, codebook: np.ndarray,
     always routes to that vector's shard. Driver-side NumPy on the
     (small) query side only: |Q| x k dots, the IVF probe rule lifted to
     vector sets.
+
+    ``cell_to_shards`` (from ``spatial_shards_balanced``) expands each
+    routed CELL to all its sub-shards: nprobe keeps meaning "cells
+    probed" and recall is unaffected by the balancing split.
     """
     if nprobe < 1:
         # nprobe=0 would yield empty frozensets that search_sharded's
@@ -571,5 +630,9 @@ def route_query_sets(query_vecs: DataFrame, codebook: np.ndarray,
         M = np.asarray([np.asarray(v, dtype=np.float64) for v in mats])
         affinity = (M @ C).max(axis=0)            # best member per cell
         top = np.argsort(-affinity, kind="stable")[:nprobe]
-        routes[int(qsid)] = frozenset(int(s) for s in top)
+        if cell_to_shards is None:
+            routes[int(qsid)] = frozenset(int(s) for s in top)
+        else:
+            routes[int(qsid)] = frozenset(
+                int(s) for c in top for s in cell_to_shards[int(c)])
     return routes

@@ -242,3 +242,55 @@ def test_route_query_sets_rejects_bad_nprobe(spark, clustered_corpus):
         sharded.route_query_sets(q, book, nprobe=0)
     with pytest.raises(ValueError, match="nprobe"):
         sharded.route_query_sets(q, book, nprobe=-3)
+
+
+def test_balanced_spatial_shards(spark, clustered_corpus):
+    """spatial_shards_balanced must (a) reduce to plain spatial_shards
+    at a saturating max_pop, (b) split over-populated cells into
+    sub-shards whose populations land near max_pop (hash split:
+    probabilistic, not exact), and (c) keep routed-search results
+    IDENTICAL to the unrouted fan-out when every cell is probed —
+    balancing parallelizes work, never changes reachability."""
+    v, book, sb, g, work = clustered_corpus
+    base = v.select("vec_id", "vec")
+    plain = {r["vec_id"]: r["shard"] for r in sb.collect()}
+
+    big, c2s, tot = sharded.spatial_shards_balanced(base, book,
+                                                    max_pop=10 ** 9)
+    assert tot == N_SHARDS
+    assert all(c2s[c] == (c,) for c in range(N_SHARDS))
+    assert {r["vec_id"]: r["shard"] for r in big.collect()} == plain
+
+    pops = {r["shard"]: r["n"] for r in
+            sb.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    cap = max(pops.values()) // 2
+    bal, c2s, tot = sharded.spatial_shards_balanced(base, book,
+                                                    max_pop=cap)
+    import numpy as np
+    exp = sum(-(-pops.get(c, 0) // cap) if c in pops else 1
+              for c in range(N_SHARDS))
+    assert tot == exp > N_SHARDS
+    bal_pops = [r["n"] for r in bal.groupBy("shard")
+                .agg(F.count("*").alias("n")).collect()]
+    # hash split: bound by cap + a generous variance allowance
+    assert max(bal_pops) <= cap + 4 * int(np.sqrt(cap)) + 1
+
+    p = graph_build.RoarGraphParams(m_sq=20, m_pjbp=12, l_pjpq=40)
+    gb = sharded.build_sharded(bal, tot, p, shard_col="shard").cache()
+    wb = sharded.prepare_search_work(gb, bal, tot,
+                                     shard_col="shard").cache()
+    q = v.filter(F.col("set_id") < 5)
+    routes = sharded.route_query_sets(q, book, nprobe=N_SHARDS,
+                                      cell_to_shards=c2s)
+    assert all(len(s) == tot for s in routes.values())
+    full = sharded.search_sharded(None, bal.select("vec_id", "vec"), q,
+                                  min_pq=5, max_pq=50, budget=50,
+                                  n_shards=tot, work=wb)
+    routed = sharded.search_sharded(None, bal.select("vec_id", "vec"), q,
+                                    min_pq=5, max_pq=50, budget=50,
+                                    n_shards=tot, work=wb, routes=routes)
+    key = ["query_set_id", "member_pos", "base_vec_id", "dist"]
+    assert sorted(map(tuple, full.select(key).collect())) \
+        == sorted(map(tuple, routed.select(key).collect()))
+    with pytest.raises(ValueError, match="max_pop"):
+        sharded.spatial_shards_balanced(base, book, max_pop=0)
