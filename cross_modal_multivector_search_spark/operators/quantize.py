@@ -499,9 +499,17 @@ def ivfpq_search(queries: DataFrame, codes: DataFrame,
             if len(pdf):
                 yield emit(pdf)
 
-    probed = codes.select(F.col(codes_id).cast("long").alias("__bid"),
-                          "cell", "codes") \
-        .join(F.broadcast(route_df), "cell")
+    # the probed-cell union is driver-known, so push it as a STATIC
+    # filter before the join: with codes stored partitioned by `cell`
+    # the scan partition-prunes to nprobe cells per query batch
+    # (PartitionFilters in the plan — no reliance on runtime DPP); the
+    # broadcast join then keeps only each query's own cells. Pure
+    # pruning: the join is already an inner join on cell.
+    probed_cells = sorted({c for _, c in pairs})
+    probed = (codes.select(F.col(codes_id).cast("long").alias("__bid"),
+                           "cell", "codes")
+              .filter(F.col("cell").isin(probed_cells))
+              .join(F.broadcast(route_df), "cell"))
     partials = probed.mapInPandas(score, schema=schema)
     out = grouped_topk(
         partials, ["query_id"],

@@ -283,3 +283,30 @@ def test_train_subspace_books_empty_sample_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, vec array<double>")
     with pytest.raises(ValueError, match="no rows"):
         quantize.pq_train(empty, m_sub=2, k=4, sample_n=10)
+
+
+def test_ivfpq_search_partition_prunes_at_rest(spark, clustered, tmp_path):
+    """With codes stored partitioned by `cell`, the probed-cell union
+    (driver-known from the routing rule) must reach the scan as a
+    STATIC partition filter — the storage layer skips unprobed cells
+    entirely — and results must equal the unpartitioned search."""
+    from cross_modal_multivector_search_spark.plans.audit import plan_text
+
+    coarse = quantize.pq_train(clustered, m_sub=1, k=8, sample_n=240,
+                               seed=3)[0]
+    book = quantize.ivfpq_train(clustered, coarse, m_sub=4, k=16,
+                                sample_n=240)
+    codes = quantize.ivfpq_encode(clustered, coarse, book)
+    p = str(tmp_path / "codes")
+    codes.write.partitionBy("cell").parquet(p)
+    stored = spark.read.parquet(p)
+    q = clustered.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "vec")
+    out = quantize.ivfpq_search(q, stored, coarse, book, nprobe=2, k=5)
+    txt = plan_text(out)
+    assert "PartitionFilters: [" in txt
+    assert "cell" in txt.split("PartitionFilters: [", 1)[1][:200]
+    ref = quantize.ivfpq_search(q, codes, coarse, book, nprobe=2, k=5)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, ref.collect()))
