@@ -624,12 +624,14 @@ def _expect_restart(br: _BitReader) -> None:
 
 
 def _skip_to_marker(d: bytes, i: int) -> int:
-    """Advance past entropy pad bytes/stuffing to the next marker."""
+    """Advance past entropy pad bytes/stuffing to the next marker; at
+    end-of-data returns len(d) (decode_jpeg treats exhausted input
+    after a complete scan as an implicit EOI)."""
     while i + 1 < len(d):
         if d[i] == 0xFF and d[i + 1] != 0x00:
             return i
         i += 1
-    raise ValueError("JPEG truncated: no terminating marker after scan")
+    return len(d)
 
 
 def _scan_units(frame: dict, comps: list):
@@ -840,6 +842,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     saw_scan = False
     while True:
         if i + 1 >= len(d):
+            # scan data complete but trailing EOI missing — a common
+            # real-world truncation. With ≥1 decoded scan the frame is
+            # whole; degrade to returning it instead of raising.
+            if saw_scan:
+                break
             raise ValueError("JPEG truncated before EOI")
         if d[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
@@ -847,6 +854,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         while i + 1 < len(d) and d[i + 1] == 0xFF:
             i += 1
         if i + 1 >= len(d):
+            if saw_scan:
+                break
             raise ValueError("JPEG truncated before EOI")
         m = d[i + 1]
         i += 2

@@ -30,26 +30,84 @@ from pyspark.sql import functions as F
 _BYTES_PER_TASK_WORTH_SPLITTING = 4 << 20
 
 
-def _input_footprint(df: DataFrame) -> tuple[int, int] | None:
-    """(total_bytes, n_files) of the frame's source files via the
+#: compression suffixes Spark cannot byte-range split — one task per
+#: file no matter the size (gzip/zstd/lz4/snappy text, zip archives).
+_NON_SPLITTABLE_EXTS = (".gz", ".gzip", ".zip", ".zst", ".zstd",
+                        ".lz4", ".snappy", ".deflate", ".br")
+
+#: leaf nodes that are NOT file scans; a plan containing any of these
+#: has input the file footprint cannot see (in-memory relations,
+#: parallelized RDDs, range generators), so the footprint is a lie.
+_NON_FILE_LEAVES = ("LocalRelation", "LogicalRDD", "ExternalRDD",
+                    "OneRowRelation", "Range ")
+
+#: cap on driver-side parquet-footer probes per call; past this many
+#: files the file count alone already supplies parallelism.
+_MAX_FOOTER_PROBES = 64
+
+
+def _analyzed_plan(df: DataFrame) -> str:
+    try:
+        return df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return ""
+
+
+def _file_splits(path: str, size: int, mpb: int) -> int:
+    """Effective scan tasks one source file can yield.
+
+    Byte-range splittable formats give ceil(size / maxPartitionBytes).
+    Non-splittable compressed files give exactly 1 regardless of size —
+    the case where a naive size/mpb estimate overstates parallelism and
+    a CPU-heavy map stage silently serializes onto one task. Parquet is
+    range-splittable only down to row-group granularity, so a huge
+    single-row-group file is also 1 task; the footer holds the row-group
+    count and reading it is a few driver-side ms.
+    """
+    low = path.lower()
+    if low.endswith(_NON_SPLITTABLE_EXTS):
+        return 1
+    by_size = max(1, -(-size // mpb))
+    if low.endswith((".parquet", ".pq")) and by_size > 1:
+        try:
+            import pyarrow.parquet as pq
+            return max(1, min(by_size, pq.ParquetFile(path).metadata
+                              .num_row_groups))
+        except Exception:
+            return by_size
+    return by_size
+
+
+def _input_footprint(df: DataFrame,
+                     mpb: int) -> tuple[int, int] | None:
+    """(total_bytes, est_scan_tasks) of the frame's source files via the
     driver-side file index — no Spark job, no RDD materialization.
     None when any source is not a stat-able local file (object stores,
-    in-memory relations): callers fall back to a conservative probe."""
+    in-memory relations) or the plan mixes file scans with non-file
+    leaves (a join/union with a LocalRelation would under-report):
+    callers fall back to a conservative probe."""
     import os
+    plan = _analyzed_plan(df)
+    if any(tok in plan for tok in _NON_FILE_LEAVES):
+        return None
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
-    total = 0
+    total, est_parts = 0, 0
+    probe_footers = len(files) <= _MAX_FOOTER_PROBES
     for f in files:
         path = f.removeprefix("file://").removeprefix("file:")
         try:
-            total += os.path.getsize(path)
+            size = os.path.getsize(path)
         except OSError:
             return None
-    return total, len(files)
+        total += size
+        est_parts += (_file_splits(path, size, mpb) if probe_footers
+                      else max(1, -(-size // mpb)))
+    return total, est_parts
 
 
 _SIZE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
@@ -88,29 +146,49 @@ def ensure_parallelism(df: DataFrame,
     splits and this returns the input untouched.
 
     The decision comes from the driver-side file footprint (a few
-    stat calls on the source files) — no ``df.rdd`` plan
-    materialization, no per-call Spark job. Non-file sources (cloud
-    object stores where stat is unavailable, local relations) fall
-    back to the RDD-partition probe.
+    stat calls on the source files, plus parquet-footer row-group
+    counts and compression-suffix splittability so non-splittable
+    inputs are not credited with byte-range parallelism they cannot
+    deliver) — no ``df.rdd`` plan materialization, no per-call Spark
+    job. Non-file sources (cloud object stores where stat is
+    unavailable, local relations, plans mixing file and in-memory
+    leaves) fall back to the RDD-partition probe, whose result is
+    cached per analyzed-plan fingerprint so repeated calls on the
+    same query shape cost nothing.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    fp = _input_footprint(df)
+    fp = _input_footprint(df, _max_partition_bytes(df))
     if fp is not None:
-        total, n_files = fp
+        total, est_parts = fp
         if total < _BYTES_PER_TASK_WORTH_SPLITTING * 2:
             return df          # tiny input: single task beats a shuffle
-        # scan parallelism is at least max(n_files, splits-by-size);
         # only repartition when the scan concentrates real work on
         # fewer tasks than the cluster has cores
-        est_parts = max(n_files, -(-total // _max_partition_bytes(df)))
         if est_parts >= target or total // est_parts \
                 < _BYTES_PER_TASK_WORTH_SPLITTING:
             return df
         return df.repartition(target)
-    if df.rdd.getNumPartitions() < target:
+    if _probed_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+# analyzed-plan fingerprint -> rdd partition count, so the non-file
+# fallback materializes df.rdd at most once per distinct query shape.
+_RDD_PROBE_CACHE: dict[str, int] = {}
+
+
+def _probed_partitions(df: DataFrame) -> int:
+    import re
+    plan = _analyzed_plan(df)
+    key = re.sub(r"#\d+", "", plan) if plan else ""
+    if key and key in _RDD_PROBE_CACHE:
+        return _RDD_PROBE_CACHE[key]
+    n = df.rdd.getNumPartitions()
+    if key:
+        _RDD_PROBE_CACHE[key] = n
+    return n
 
 
 # int shard id s -> probe int j with pmod(murmur3(j), n) == s, per n.
@@ -166,10 +244,20 @@ def repartition_by_shard(df: DataFrame, n_shards: int,
     shard counts beyond that should bucket at the storage layer)."""
     keys = _collision_free_keys(df.sparkSession, n_shards)
     arr = F.array(*[F.lit(int(k)) for k in keys])
-    return (df.withColumn(
-        "__pkey", F.element_at(arr, F.col(shard_col).cast("int") + 1))
-        .repartition(n_shards, "__pkey")
-        .drop("__pkey"))
+    shard = F.col(shard_col).cast("int")
+    # fail loudly on NULL / out-of-range ids: element_at would otherwise
+    # wrap a negative index from the array end (silent misroute) and
+    # hash-group every NULL key into one arbitrary partition.
+    pkey = F.when(
+        shard.isNull() | (shard < 0) | (shard >= n_shards),
+        F.raise_error(F.concat(
+            F.lit(f"repartition_by_shard: shard id outside "
+                  f"0..{n_shards - 1}: "),
+            F.coalesce(shard.cast("string"), F.lit("NULL"))))
+    ).otherwise(F.element_at(arr, shard + 1))
+    return (df.withColumn("__pkey", pkey)
+            .repartition(n_shards, "__pkey")
+            .drop("__pkey"))
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],

@@ -121,7 +121,9 @@ def sq_dequantize_expr(lo: list[float], hi: list[float],
 
 def sq_adc_topk(queries: DataFrame, base: DataFrame, dim: int, k: int,
                 query_id: str = "query_id", base_id: str = "base_id",
-                vec_col: str = "vec") -> DataFrame:
+                vec_col: str = "vec",
+                minmax: tuple[list[float], list[float]] | None = None
+                ) -> DataFrame:
     """Top-k inner product of full-precision queries against the
     int8-quantized corpus (asymmetric: only the base side is lossy).
 
@@ -129,15 +131,22 @@ def sq_adc_topk(queries: DataFrame, base: DataFrame, dim: int, k: int,
     top-k — every stage an ANSI-SQL-expressible column expression, so
     the whole operator is oracle-checkable by value hash (unlike PQ,
     whose trained codebook needs the saturating k=n construction).
+
+    The query side is broadcast-pinned: queries ≪ base is the operator's
+    contract (same shape as every other search here), and without the
+    hint a query side above autoBroadcastJoinThreshold silently degrades
+    the plan from BroadcastNestedLoopJoin to a CartesianProduct over the
+    corpus. ``minmax=(lo, hi)`` lets encode-once/search-many callers
+    skip the two ``sq_minmax`` training jobs with a stored range.
     """
-    lo, hi = sq_minmax(base, dim, vec_col)
+    lo, hi = minmax if minmax is not None else sq_minmax(base, dim, vec_col)
     coded = sq_encode(base.select(F.col(base_id).cast("long"), vec_col),
                       lo, hi, vec_col)
     dq = coded.select(base_id,
                       sq_dequantize_expr(lo, hi).alias("dqvec"))
     q = queries.select(F.col(query_id).cast("long"),
                        F.col(vec_col).alias("qvec"))
-    scored = q.crossJoin(dq).select(
+    scored = F.broadcast(q).crossJoin(dq).select(
         query_id, base_id,
         V.dot(F.col("qvec"), F.col("dqvec")).alias("score"))
     return grouped_topk(

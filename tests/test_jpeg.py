@@ -73,6 +73,22 @@ def test_restart_interval_identical_pixels():
     assert np.array_equal(plain, with_ri)
 
 
+def test_missing_trailing_eoi_still_decodes():
+    """A complete scan whose trailing EOI marker was truncated — a
+    common real-world corruption — must decode to the same pixels, not
+    raise (ADVICE r5). A payload truncated MID-scan must still fail."""
+    img = _smooth_rgb(32, 40)
+    payload = jpeg.encode_jpeg(img, quality=90)
+    assert payload[-2:] == b"\xff\xd9"
+    full = jpeg.decode_jpeg(payload)
+    clipped = jpeg.decode_jpeg(payload[:-2])
+    assert np.array_equal(full, clipped)
+    # also via the dispatcher (it re-raises ValueError unrouted)
+    assert np.array_equal(multimodal.decode_image(payload[:-2]), full)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(payload[: len(payload) // 3])
+
+
 def test_quality_monotonic():
     img = _smooth_rgb(48, 48)
     p_lo = _psnr(img, jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=30)))

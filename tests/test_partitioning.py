@@ -62,12 +62,18 @@ def test_ensure_parallelism_decisions(spark, tmp_path):
     assert "RoundRobin" not in plan_text(out, "simple")
     # footprint sees the real file bytes
     import os
-    total, n_files = partitioning._input_footprint(docs)
+    mpb = partitioning._max_partition_bytes(docs)
+    total, est_parts = partitioning._input_footprint(docs, mpb)
     real = os.path.getsize(f"{SF_SMOKE}/documents.parquet")
-    assert total == real and n_files == 1
+    assert total == real and est_parts == 1
     # non-file sources report None (fallback probe path)
     local = spark.range(10)
-    assert partitioning._input_footprint(local) is None
+    assert partitioning._input_footprint(local, mpb) is None
+    # mixed file + in-memory leaves ALSO report None: the file bytes
+    # alone would under-report the input (ADVICE r5)
+    mixed = docs.join(local.withColumnRenamed("id", "doc_id"), "doc_id",
+                      "left")
+    assert partitioning._input_footprint(mixed, mpb) is None
     # conf parser accepts every byte-string form Spark does
     assert partitioning._max_partition_bytes(docs) > 0
     for raw, want in (("134217728", 128 << 20), ("134217728b", 128 << 20),
@@ -89,6 +95,75 @@ def test_ensure_parallelism_decisions(spark, tmp_path):
     if sz >= 2 * partitioning._BYTES_PER_TASK_WORTH_SPLITTING:
         rp = partitioning.ensure_parallelism(spark.read.parquet(p))
         assert "RoundRobin" in plan_text(rp, "simple")
+
+
+def test_file_splits_respects_splittability(tmp_path):
+    """Non-splittable compressed files yield ONE scan task regardless of
+    size, and a huge single-row-group parquet is bounded by its
+    row-group count (ADVICE r5: crediting them with size/mpb splits
+    made ensure_parallelism skip a repartition the scan needs)."""
+    mpb = 1 << 20
+    # gzip: 1 split even at 100x maxPartitionBytes
+    assert partitioning._file_splits("/x/part-0.json.gz",
+                                     100 << 20, mpb) == 1
+    # plain text: byte-range splittable
+    assert partitioning._file_splits("/x/part-0.json",
+                                     100 << 20, mpb) == 100
+    # parquet with one row group: capped at 1
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    p = str(tmp_path / "one_rg.parquet")
+    pq.write_table(pa.table({"x": list(range(50_000)),
+                             "t": ["y" * 100] * 50_000}), p,
+                   row_group_size=1 << 30, compression="none",
+                   use_dictionary=False)
+    import os
+    sz = os.path.getsize(p)
+    assert sz > 2 * mpb
+    assert partitioning._file_splits(p, sz, mpb) == 1
+    # ...and with many row groups, splittable up to the size estimate
+    p2 = str(tmp_path / "many_rg.parquet")
+    pq.write_table(pa.table({"x": list(range(50_000)),
+                             "t": ["y" * 100] * 50_000}), p2,
+                   row_group_size=1000, compression="none",
+                   use_dictionary=False)
+    sz2 = os.path.getsize(p2)
+    assert partitioning._file_splits(p2, sz2, mpb) == \
+        max(1, -(-sz2 // mpb))
+
+
+def test_probed_partitions_cached(spark):
+    """The non-file fallback materializes df.rdd at most once per
+    analyzed-plan shape (VERDICT r5 #6)."""
+    partitioning._RDD_PROBE_CACHE.clear()
+    df = spark.range(100).repartition(7)
+    assert partitioning._probed_partitions(df) == 7
+    assert len(partitioning._RDD_PROBE_CACHE) == 1
+    # an identically-defined frame hits the cache (same fingerprint)
+    df2 = spark.range(100).repartition(7)
+    assert partitioning._probed_partitions(df2) == 7
+    assert len(partitioning._RDD_PROBE_CACHE) == 1
+
+
+def test_repartition_by_shard_rejects_bad_ids(spark):
+    """NULL / out-of-range shard ids must fail loudly, not silently
+    hash-group into an arbitrary partition (VERDICT r5 #5)."""
+    n = 8
+    bad_hi = spark.range(20).select(
+        F.col("id"), F.lit(99).cast("int").alias("shard"))
+    with pytest.raises(Exception) as ei:
+        partitioning.repartition_by_shard(bad_hi, n, "shard").count()
+    assert "shard id outside" in str(ei.value)
+    bad_neg = spark.range(20).select(
+        F.col("id"), F.lit(-1).cast("int").alias("shard"))
+    with pytest.raises(Exception) as ei:
+        partitioning.repartition_by_shard(bad_neg, n, "shard").count()
+    assert "shard id outside" in str(ei.value)
+    bad_null = spark.range(20).select(
+        F.col("id"), F.lit(None).cast("int").alias("shard"))
+    with pytest.raises(Exception) as ei:
+        partitioning.repartition_by_shard(bad_null, n, "shard").count()
+    assert "shard id outside" in str(ei.value)
 
 
 def test_repartition_by_shard_is_bijective(spark):
