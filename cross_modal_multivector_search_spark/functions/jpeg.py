@@ -888,6 +888,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[j + 1:j + 17])
                 nv = sum(bits)
                 vals = list(body[j + 17:j + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("JPEG DHT segment truncated")
                 tab = _decode_table(bits, vals)
                 (hdc if cls == 0 else hac)[tid] = tab
                 j += 17 + nv
