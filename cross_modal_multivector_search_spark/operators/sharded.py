@@ -514,6 +514,158 @@ def search_sharded(shard_graph: DataFrame, base: DataFrame,
     ).drop("rank")
 
 
+def persist_search_work(work: DataFrame, path: str) -> None:
+    """Write the search-ready (shard, src, nbrs, is_entry, v) layout as
+    shard-partitioned parquet — the index AT REST.
+
+    This is what makes ``search_sharded_query_partitioned`` cheap per
+    search batch: a shard task reads exactly its own partition
+    directory (partition-pruned column scan), so repeated searches
+    reshuffle NOTHING of the corpus and read only the routed shards'
+    bytes."""
+    (work.select("shard", "src", "nbrs", "is_entry", "v")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+def _load_shard_work(path: str, shard_id: int):
+    """(ids, adj, vecs, ep) for one shard from the persisted work table;
+    None when the shard has no partition (empty spatial cell)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    part = os.path.join(path, f"shard={int(shard_id)}")
+    if not os.path.isdir(part):
+        return None
+    t = pq.read_table(part, columns=["src", "nbrs", "is_entry", "v"])
+    src = np.asarray(t.column("src"), dtype=np.int64)
+    order = np.argsort(src, kind="stable")
+    ids = src[order]
+    nbrs_raw = t.column("nbrs").to_pylist()
+    vecs = np.array(t.column("v").to_pylist(), dtype=np.float64)[order]
+    is_entry = np.asarray(t.column("is_entry"), dtype=np.int64)[order]
+    ix = {int(v): i for i, v in enumerate(ids)}
+    try:
+        adj = [np.array([ix[int(x)] for x in nbrs_raw[int(o)]],
+                        dtype=np.int64) for o in order]
+    except KeyError as e:
+        raise ValueError(
+            f"shard {shard_id} graph references vec_id {e} missing "
+            "from its own partition — was persist_search_work given a "
+            "consistent work table?") from e
+    eps = np.flatnonzero(is_entry)
+    ep = int(eps[0]) if len(eps) else 0
+    return ids, adj, vecs, ep
+
+
+def search_sharded_query_partitioned(
+        work_path: str, query_vecs: DataFrame, codebook: np.ndarray,
+        nprobe: int, min_pq: int, max_pq: int, budget: int,
+        adaptive: bool = True, set_id: str = "set_id",
+        vec_id: str = "vec_id", vec_col: str = "vec",
+        cell_to_shards: dict[int, tuple] | None = None) -> DataFrame:
+    """Routed sharded search with the query side a DataFrame
+    END-TO-END — the batch-scale variant of ``search_sharded``.
+
+    ``search_sharded`` mirrors the reference's serving shape (query
+    fbin memory-resident: collect + broadcast — right when queries ≪
+    base) but its driver hop caps the query side at driver memory. Here
+    nothing transits the driver:
+
+      route:   an Arrow-batched pandas UDF computes each set's
+               ``nprobe`` best cells with the SAME stable argmax-dot
+               rule as ``route_query_sets`` (the codebook — a few KB —
+               ships in the task closure), expands balanced sub-shards
+               via ``cell_to_shards``, and explodes to
+               (shard, set) rows.
+      search:  groupBy(shard).applyInPandas — only the (small) routed
+               query rows shuffle; each shard task loads ITS sub-index
+               from the ``persist_search_work`` parquet (partition-
+               pruned disk read, no corpus reshuffle per batch) and
+               runs the same wave-vectorized multi-vector beam search.
+      merge:   the identical global partial+final top-k.
+
+    Output is row-for-row equal to ``search_sharded(routes=
+    route_query_sets(...))`` at the same parameters (pinned by
+    tests/test_sharded.py): routing rule, per-shard kernel, and merge
+    order are all shared or bit-mirrored.
+
+    At 100 TB: queries scale to any count (they only ever shuffle once,
+    hashed by shard), the index is read column-pruned from shard
+    partitions, and un-routed shards cost zero I/O.
+    """
+    if nprobe < 1:
+        raise ValueError(
+            f"search_sharded_query_partitioned: nprobe must be >= 1, "
+            f"got {nprobe}")
+    C = np.ascontiguousarray(codebook, dtype=np.float64)
+    n_cells = C.shape[0]
+    n_probe = min(int(nprobe), n_cells)
+    cts = (None if cell_to_shards is None else
+           {int(c): tuple(int(s) for s in ss)
+            for c, ss in cell_to_shards.items()})
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _routed_shards(mats: pd.Series) -> pd.Series:
+        out = []
+        for m in mats:
+            M = np.array([np.asarray(v, dtype=np.float64) for v in m])
+            affinity = (M @ C.T).max(axis=0)
+            top = np.argsort(-affinity, kind="stable")[:n_probe]
+            if cts is None:
+                out.append([int(s) for s in top])
+            else:
+                out.append(sorted({int(s) for c in top
+                                   for s in cts[int(c)]}))
+        return pd.Series(out)
+
+    grouped = (query_vecs
+               .groupBy(F.col(set_id).alias("qsid"))
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   F.col(vec_id).alias("o"), F.col(vec_col).alias("v"))))
+                   .alias("rows"))
+               .select("qsid", F.col("rows.v").alias("mats")))
+    routed = grouped.withColumn(
+        "shard", F.explode(_routed_shards(F.col("mats"))))
+
+    def per_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_set_id": pd.Series(dtype=np.int64),
+            "member_pos": pd.Series(dtype=np.int32),
+            "base_vec_id": pd.Series(dtype=np.int64),
+            "dist": pd.Series(dtype=np.float64),
+        })
+        loaded = _load_shard_work(work_path, int(key[0]))
+        if loaded is None:                       # empty spatial cell
+            return empty
+        ids, adj, vecs, ep = loaded
+        sel = [(int(q), np.array([np.asarray(v, dtype=np.float64)
+                                  for v in m]))
+               for q, m in zip(pdf["qsid"], pdf["mats"])]
+        frames = []
+        all_res = core.batch_multivector_search(
+            adj, vecs, [qmat for _, qmat in sel], ep,
+            min_pq, max_pq, budget, adaptive)
+        for (qsid, _), res in zip(sel, all_res):
+            for pos, (cids, cdists) in enumerate(res):
+                frames.append(pd.DataFrame({
+                    "query_set_id": np.full(len(cids), qsid,
+                                            dtype=np.int64),
+                    "member_pos": np.full(len(cids), pos,
+                                          dtype=np.int32),
+                    "base_vec_id": ids[cids],
+                    "dist": cdists,
+                }))
+        return pd.concat(frames) if frames else empty
+
+    partials = (routed.groupBy("shard")
+                .applyInPandas(per_shard, schema=_CAND_SCHEMA))
+    return grouped_topk(
+        partials, ["query_set_id", "member_pos"],
+        [F.col("dist").asc(), F.col("base_vec_id").asc()], max_pq
+    ).drop("rank")
+
+
 # --------------------------------------------------------------------
 # spatial sharding + query routing (the large-shard-count scale path)
 # --------------------------------------------------------------------

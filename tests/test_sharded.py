@@ -294,3 +294,61 @@ def test_balanced_spatial_shards(spark, clustered_corpus):
         == sorted(map(tuple, routed.select(key).collect()))
     with pytest.raises(ValueError, match="max_pop"):
         sharded.spatial_shards_balanced(base, book, max_pop=0)
+
+
+def test_query_partitioned_search_matches_driver_routed(
+        spark, clustered_corpus, tmp_path):
+    """search_sharded_query_partitioned — queries a DataFrame
+    end-to-end, index read from shard-partitioned parquet — must be
+    row-for-row equal to the driver-routed search_sharded at the same
+    (codebook, nprobe, budget): routing rule, per-shard kernel, and
+    merge are shared or bit-mirrored (VERDICT r5 next-round #1)."""
+    v, book, sb, g, work = clustered_corpus
+    path = str(tmp_path / "work_parquet")
+    sharded.persist_search_work(work, path)
+    q = v.filter(F.col("set_id") < 8)
+    key = ["query_set_id", "member_pos", "base_vec_id", "dist"]
+    for nprobe in (1, 2, N_SHARDS):
+        routes = sharded.route_query_sets(q, book, nprobe=nprobe)
+        ref = sharded.search_sharded(
+            None, sb.select("vec_id", "vec"), q, min_pq=5, max_pq=50,
+            budget=50, n_shards=N_SHARDS, work=work, routes=routes)
+        got = sharded.search_sharded_query_partitioned(
+            path, q, book, nprobe=nprobe, min_pq=5, max_pq=50,
+            budget=50)
+        assert sorted(map(tuple, got.select(key).collect())) \
+            == sorted(map(tuple, ref.select(key).collect())), nprobe
+    with pytest.raises(ValueError, match="nprobe"):
+        sharded.search_sharded_query_partitioned(
+            path, q, book, nprobe=0, min_pq=5, max_pq=50, budget=50)
+
+
+def test_query_partitioned_search_balanced_cells(
+        spark, clustered_corpus, tmp_path):
+    """The cell_to_shards expansion (balanced sub-shards) must also
+    match the driver-routed path, including empty sub-shard reads."""
+    v, book, sb, g, work = clustered_corpus
+    base = v.select("vec_id", "vec")
+    pops = [r["n"] for r in
+            sb.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    cap = max(pops) // 2
+    bal, c2s, tot = sharded.spatial_shards_balanced(base, book,
+                                                    max_pop=cap)
+    p = graph_build.RoarGraphParams(m_sq=20, m_pjbp=12, l_pjpq=40)
+    gb = sharded.build_sharded(bal, tot, p, shard_col="shard")
+    wb = sharded.prepare_search_work(gb, bal, tot, shard_col="shard") \
+        .cache()
+    path = str(tmp_path / "work_bal")
+    sharded.persist_search_work(wb, path)
+    q = v.filter(F.col("set_id") < 5)
+    routes = sharded.route_query_sets(q, book, nprobe=2,
+                                      cell_to_shards=c2s)
+    ref = sharded.search_sharded(
+        None, bal.select("vec_id", "vec"), q, min_pq=5, max_pq=50,
+        budget=50, n_shards=tot, work=wb, routes=routes)
+    got = sharded.search_sharded_query_partitioned(
+        path, q, book, nprobe=2, min_pq=5, max_pq=50, budget=50,
+        cell_to_shards=c2s)
+    key = ["query_set_id", "member_pos", "base_vec_id", "dist"]
+    assert sorted(map(tuple, got.select(key).collect())) \
+        == sorted(map(tuple, ref.select(key).collect()))
