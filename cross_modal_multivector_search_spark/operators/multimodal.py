@@ -244,10 +244,16 @@ def decode_image(payload: bytes) -> np.ndarray:
             # arithmetic/hierarchical/12-bit: needs a full codec library
             return _decode_with_library(payload, "JPEG")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        return _decode_with_library(payload, "WebP")
+        from ..functions import webp as _webp
+        try:
+            return _webp.decode_webp(payload)
+        except NotImplementedError:
+            # lossy VP8: needs a full codec library
+            return _decode_with_library(payload, "WebP")
     raise NotImplementedError(
         "unrecognized image payload; supported in-container: netpbm "
-        "P5/P6, uncompressed BMP, 8-bit PNG; via PIL/cv2: JPEG, WebP")
+        "P5/P6, uncompressed BMP, 8-bit PNG, lossless WebP (VP8L); "
+        "via PIL/cv2: JPEG, lossy WebP")
 
 
 def encode_png(img: np.ndarray) -> bytes:

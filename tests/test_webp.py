@@ -1,0 +1,291 @@
+"""Round-trip + transform-inverse tests for the pure-NumPy VP8L codec.
+
+The decoder is pinned two ways: exact lossless round trips through the
+in-repo fixture writer (literals, LZ77 runs with direct AND 2D plane
+distance codes, color cache, subtract-green, simple and code-length-
+coded prefix codes down to the zero-bit single-symbol case), and
+forward-transform/inverse pairs for the transforms the restricted
+writer does not emit (predictor's 14 modes, color transform, color
+indexing with sub-byte bundling) built directly from the spec's
+forward formulas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cross_modal_multivector_search_spark.functions import webp
+from cross_modal_multivector_search_spark.operators import multimodal
+
+
+def _rand(shape, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, shape).astype(np.uint8)
+
+
+def test_rgb_roundtrip_exact():
+    img = _rand((13, 17, 3), 1)
+    out = webp.decode_webp(webp.encode_webp_lossless(img))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+def test_rgba_roundtrip_exact():
+    img = _rand((11, 9, 4), 2)
+    img[..., 3] = np.where(img[..., 3] > 128, 255, 90)
+    out = webp.decode_webp(webp.encode_webp_lossless(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_opaque_rgba_returns_rgb():
+    img = _rand((6, 6, 4), 3)
+    img[..., 3] = 255
+    out = webp.decode_webp(webp.encode_webp_lossless(img))
+    assert np.array_equal(out, img[..., :3])
+
+
+def test_gray_and_1x1():
+    g = _rand((9, 9), 4)
+    assert np.array_equal(webp.decode_webp(webp.encode_webp_lossless(g)),
+                          np.stack([g] * 3, -1))
+    one = _rand((1, 1, 3), 5)
+    assert np.array_equal(
+        webp.decode_webp(webp.encode_webp_lossless(one)), one)
+
+
+def test_lz77_and_cache_and_2d_codes():
+    """Flat runs force LZ77; few distinct colors force cache hits; the
+    two distance emissions (direct value and 2D plane code (1,0)) must
+    both decode; single-symbol zero-bit codes ride along on the flat
+    image."""
+    img = (_rand((24, 31, 3), 6) // 64) * 64
+    img[5:9] = img[4, 0]
+    for cb in (0, 4, 8):
+        for td in (False, True):
+            p = webp.encode_webp_lossless(img, cache_bits=cb,
+                                          two_d_codes=td)
+            assert np.array_equal(webp.decode_webp(p), img), (cb, td)
+    flat = np.full((32, 32, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        webp.decode_webp(webp.encode_webp_lossless(flat)), flat)
+    two = np.zeros((10, 10, 3), dtype=np.uint8)
+    two[::2] = 255
+    assert np.array_equal(
+        webp.decode_webp(webp.encode_webp_lossless(two,
+                                                   use_lz77=False)), two)
+
+
+def test_subtract_green_both_ways():
+    img = _rand((8, 20, 3), 7)
+    for sg in (False, True):
+        p = webp.encode_webp_lossless(img, subtract_green=sg)
+        assert np.array_equal(webp.decode_webp(p), img), sg
+
+
+def test_distance_map_structure():
+    """The 120 2D codes: the exact offset set is fixed by the spec
+    (dy 0..7; dx 1..8 on row 0, else -7..8), ordering by squared
+    distance then |dx| then sign — the published table's generation
+    rule. Spot-pin the spec's listed head."""
+    m = webp._DISTANCE_MAP
+    assert len(m) == 120 and len(set(m)) == 120
+    assert all((dy == 0 and 1 <= dx <= 8) or
+               (1 <= dy <= 7 and -7 <= dx <= 8) for dx, dy in m)
+    assert m[:12] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+                      (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2)]
+    d2 = [dx * dx + dy * dy for dx, dy in m]
+    assert d2 == sorted(d2)
+
+
+def test_prefix_value_codec_inverse():
+    class R:
+        def __init__(self, v, n):
+            self.v, self.n = v, n
+
+        def bits(self, k):
+            assert k == self.n
+            return self.v
+
+    for v in list(range(1, 70)) + [121, 1000, 4096, 1 << 20]:
+        code, nbits, extra = webp._prefix_encode_value(v)
+        assert 0 <= code < 40 or v > (1 << 19)
+        assert webp._prefix_decode_value(code, R(extra, nbits)) == v
+
+
+# --- transform inverses the writer does not emit -------------------
+
+
+def _chans(px):
+    return np.array([(px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                     (px >> 8) & 0xFF, px & 0xFF], dtype=np.int64)
+
+
+def _pack(c):
+    return (int(c[0]) << 24) | (int(c[1]) << 16) | (int(c[2]) << 8) \
+        | int(c[3])
+
+
+def test_inverse_predictor_all_modes():
+    """Forward-subtract each of the 14 predictor modes per random
+    block, then assert _inverse_predictor reconstructs exactly. The
+    forward pass is written from the spec formulas independently of
+    the decoder code."""
+    rng = np.random.default_rng(8)
+    h, w, size_bits = 13, 18, 2
+    img = rng.integers(0, 256, (h, w), dtype=np.int64) * 0x1010101 \
+        % (1 << 32)
+    img = (rng.integers(0, 256, (h, w, 4), dtype=np.int64))
+    argb = ((img[..., 0] << 24) | (img[..., 1] << 16)
+            | (img[..., 2] << 8) | img[..., 3]).astype(np.uint64)
+    bh, bw = -(-h // (1 << size_bits)), -(-w // (1 << size_bits))
+    mode_grid = rng.integers(0, 14, (bh, bw), dtype=np.int64)
+    modes = (mode_grid.astype(np.uint64) << np.uint64(8))
+
+    def avg2(a, b):
+        return (a + b) >> 1
+
+    res = np.zeros_like(argb)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([0xFF, 0, 0, 0], dtype=np.int64)
+            elif y == 0:
+                pred = _chans(int(argb[0, x - 1]))
+            elif x == 0:
+                pred = _chans(int(argb[y - 1, 0]))
+            else:
+                mode = int(mode_grid[y >> size_bits, x >> size_bits])
+                L = _chans(int(argb[y, x - 1]))
+                T = _chans(int(argb[y - 1, x]))
+                TL = _chans(int(argb[y - 1, x - 1]))
+                TR = _chans(int(argb[y - 1, x + 1])) if x + 1 < w \
+                    else _chans(int(argb[y, 0]))
+                pred = {
+                    0: lambda: np.array([0xFF, 0, 0, 0], dtype=np.int64),
+                    1: lambda: L, 2: lambda: T, 3: lambda: TR,
+                    4: lambda: TL,
+                    5: lambda: avg2(avg2(L, TR), T),
+                    6: lambda: avg2(L, TL), 7: lambda: avg2(L, T),
+                    8: lambda: avg2(TL, T), 9: lambda: avg2(T, TR),
+                    10: lambda: avg2(avg2(L, TL), avg2(T, TR)),
+                    11: lambda: (T if int(np.sum(np.abs(L - TL))
+                                          - np.sum(np.abs(T - TL))) <= 0
+                                 else L),
+                    12: lambda: np.clip(L + T - TL, 0, 255),
+                    13: lambda: np.clip(
+                        avg2(L, T) + np.where(
+                            avg2(L, T) - TL >= 0,
+                            (avg2(L, T) - TL) // 2,
+                            -((TL - avg2(L, T)) // 2)), 0, 255),
+                }[mode]()
+            cur = _chans(int(argb[y, x]))
+            res[y, x] = np.uint64(_pack((cur - pred) & 0xFF))
+    out = webp._inverse_predictor(res, size_bits, modes)
+    assert np.array_equal(out, argb)
+
+
+def test_inverse_color_transform():
+    rng = np.random.default_rng(9)
+    h, w, size_bits = 9, 14, 2
+    px = rng.integers(0, 256, (h, w, 4), dtype=np.int64)
+    argb = ((px[..., 0] << 24) | (px[..., 1] << 16)
+            | (px[..., 2] << 8) | px[..., 3]).astype(np.uint64)
+    bh, bw = -(-h // (1 << size_bits)), -(-w // (1 << size_bits))
+    g2r = rng.integers(0, 256, (bh, bw), dtype=np.int64)
+    g2b = rng.integers(0, 256, (bh, bw), dtype=np.int64)
+    r2b = rng.integers(0, 256, (bh, bw), dtype=np.int64)
+    elements = (g2r | (g2b << 8) | (r2b << 16)).astype(np.uint64)
+
+    def s8(v):
+        return v - 256 if v >= 128 else v
+
+    fwd = np.zeros_like(argb)
+    for y in range(h):
+        for x in range(w):
+            by, bx = y >> size_bits, x >> size_bits
+            p = int(argb[y, x])
+            green = s8((p >> 8) & 0xFF)
+            red = (p >> 16) & 0xFF
+            blue = p & 0xFF
+            tr = (red - ((s8(int(g2r[by, bx])) * green) >> 5)) & 0xFF
+            tb = (blue - ((s8(int(g2b[by, bx])) * green) >> 5)
+                  - ((s8(int(r2b[by, bx])) * s8(red)) >> 5)) & 0xFF
+            fwd[y, x] = np.uint64((p & 0xFF000000) | (tr << 16)
+                                  | (p & 0xFF00) | tb)
+    out = webp._inverse_color_transform(fwd, size_bits, elements)
+    assert np.array_equal(out, argb)
+
+
+def test_inverse_color_indexing_bundled():
+    """Palette of 4 -> 2 indices packed per green byte (width_bits=2,
+    4 per byte? no: psize<=4 -> width_bits=2 -> 4 indices of 2 bits),
+    lowest bits = leftmost pixel; out-of-range indices map to 0."""
+    palette = np.array([0xFF000000 | (c << 8) for c in
+                        (10, 20, 30, 40)], dtype=np.uint64)
+    full_w, h = 7, 3
+    rng = np.random.default_rng(10)
+    idx = rng.integers(0, 4, (h, full_w), dtype=np.int64)
+    width_bits = 2
+    per = 1 << width_bits
+    packed_w = -(-full_w // per)
+    packed = np.zeros((h, packed_w), dtype=np.uint64)
+    for y in range(h):
+        for xp in range(packed_w):
+            v = 0
+            for i in range(per):
+                x = xp * per + i
+                if x < full_w:
+                    v |= int(idx[y, x]) << (i * (8 // per))
+            packed[y, xp] = np.uint64(v << 8)
+    out = webp._apply_inverse_transform(
+        (3, width_bits, palette, full_w), packed)
+    assert out.shape == (h, full_w)
+    assert np.array_equal(out, palette[idx])
+
+
+# --- dispatch + malformed ------------------------------------------
+
+
+def test_decode_image_dispatches_vp8l():
+    img = _rand((12, 12, 3), 12)
+    out = multimodal.decode_image(webp.encode_webp_lossless(img))
+    assert np.array_equal(out, img)
+
+
+def test_lossy_vp8_routes_to_library_seam():
+    fake = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8)
+    with pytest.raises(NotImplementedError):
+        webp.decode_webp(fake)
+
+
+def test_malformed_raises_value_error():
+    with pytest.raises(ValueError):
+        webp.decode_webp(b"nonsense")
+    img = _rand((8, 8, 3), 13)
+    p = webp.encode_webp_lossless(img)
+    with pytest.raises(ValueError):
+        webp.decode_webp(p[:len(p) // 2])   # truncated bitstream
+    bad = bytearray(p)
+    bad[20] = 0x00                          # corrupt signature byte
+    with pytest.raises(ValueError):
+        webp.decode_webp(bytes(p[:20]) + b"\x00" + bytes(p[21:])
+                         if p[20] == 0x2F else bytes(bad))
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=st.integers(1, 12), w=st.integers(1, 12),
+       nch=st.sampled_from([3, 4]), sg=st.booleans(),
+       cb=st.sampled_from([0, 5]), seed=st.integers(0, 10 ** 6))
+def test_roundtrip_property(h, w, nch, sg, cb, seed):
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w, nch)).astype(np.uint8)
+    p = webp.encode_webp_lossless(img, subtract_green=sg, cache_bits=cb)
+    out = webp.decode_webp(p)
+    want = img if (nch == 4 and (img[..., 3] != 255).any()) \
+        else img[..., :3]
+    assert np.array_equal(out, want)
