@@ -456,12 +456,16 @@ def test_decode_real_formats_roundtrip():
     small = multimodal.resize_image(img, 2, 3)
     assert small.shape == (2, 3, 3)
     assert np.array_equal(small[0, 0], img[0, 0])
+    # lossless WebP (VP8L) via the in-repo fixture writer (r5 #3)
+    from cross_modal_multivector_search_spark.functions import webp
+    assert np.array_equal(
+        multimodal.decode_image(webp.encode_webp_lossless(img)), img)
 
 
 def test_image_extractor_over_spark_pipeline(spark):
     """The extractor contract exercised with REAL image bytes through
     the mapInPandas stage: decode -> featurize -> unit-norm vectors."""
-    from cross_modal_multivector_search_spark.functions import jpeg
+    from cross_modal_multivector_search_spark.functions import jpeg, webp
 
     rng = np.random.default_rng(9)
     rows = []
@@ -469,9 +473,8 @@ def test_image_extractor_over_spark_pipeline(spark):
         img = rng.integers(0, 256, size=(6 + i, 8, 3), dtype=np.uint8)
         enc = (_ppm_bytes, _bmp_bytes,
                lambda x: jpeg.encode_jpeg(x, quality=95),
-               lambda x: jpeg.encode_jpeg(x, quality=95,
-                                          progressive=True))[i % 4]
-        fmt = ("ppm", "bmp", "jpeg", "jpeg-prog")[i % 4]
+               webp.encode_webp_lossless)[i % 4]
+        fmt = ("ppm", "bmp", "jpeg", "webp")[i % 4]
         rows.append((i, "image", bytearray(enc(img)), fmt, 8, 6 + i,
                      None))
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
