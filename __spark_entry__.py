@@ -701,6 +701,62 @@ def q_ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
+_QPART_CACHE: dict[str, tuple] = {}
+N_QPART_CELLS = 4
+
+
+def _qpart_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build-or-load the SPATIAL-sharded index persisted as the
+    at-rest work table (``persist_search_work``) plus its routing
+    codebook — the input shape of the query-partitioned search."""
+    import os
+    if sf_dir in _QPART_CACHE:
+        return _QPART_CACHE[sf_dir]
+    v = TD.embeddings_norm(spark, sf_dir)
+    base = v.select("vec_id", "vec")
+    p = _ROAR_PARAMS
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    cache = (f"{os.path.dirname(os.path.abspath(__file__))}/.roar_cache/"
+             f"qpart-{tag}-c{N_QPART_CELLS}-msq{p.m_sq}-m{p.m_pjbp}"
+             f"-l{p.l_pjpq}-v1")
+    book_path = f"{cache}/codebook.npy"
+    work_path = f"{cache}/work"
+    if not os.path.exists(book_path):
+        book = simsearch.train_codebook(base, k=N_QPART_CELLS, iters=10,
+                                        sample_n=100_000)
+        sb = sharded.spatial_shards(base, book)
+        g = sharded.build_sharded(sb, N_QPART_CELLS, p,
+                                  shard_col="shard")
+        work = sharded.prepare_search_work(g, sb, N_QPART_CELLS,
+                                           shard_col="shard")
+        sharded.persist_search_work(work, work_path)
+        os.makedirs(cache, exist_ok=True)
+        np.save(book_path, book)
+    book = np.load(book_path)
+    _QPART_CACHE[sf_dir] = (work_path, book)
+    return work_path, book
+
+
+def q_ann_qpart_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-partitioned sharded search: query sets stay a DataFrame
+    end-to-end (Arrow-routed against the spatial codebook, shard tasks
+    read the persisted work-table parquet — no driver hop, no corpus
+    reshuffle). nprobe = all cells and a saturating budget make the
+    candidate set whole-corpus-exact, so the smooth-Chamfer rerank
+    equals the exact set-level oracle (same construction as
+    ann_sharded_search; parity with the driver-routed path is pinned
+    by tests/test_sharded.py)."""
+    work_path, book = _qpart_index(spark, sf_dir)
+    v = TD.embeddings_norm(spark, sf_dir)
+    q = v.filter(F.col("set_id") < TD.N_QUERY_SETS)
+    cands = sharded.search_sharded_query_partitioned(
+        work_path, q, book, nprobe=N_QPART_CELLS, min_pq=5,
+        max_pq=1_000_000, budget=1_000_000)
+    out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
+                        q, v, K, m=M)
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(budget, mean recall@10 vs exact oracle) — the reference's own
     reporting tuple (`tests/test_search_multivector_rerank.cpp:341-347`).
@@ -1946,6 +2002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remain verifiable via tools/verify_oracle.py, which runs every
         # entry.
         "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
+        # query-partitioned twin of ann_sharded_search (same operator
+        # family, batch-scale query shape; parity unit-pinned)
+        "ann_qpart_search": q_ann_qpart_search,
         "chamfer_varcard_gemm": q_chamfer_varcard_gemm,
         "knn_ip_topk_gemm": q_knn_gemm,
         "chamfer_topk_gemm": q_chamfer_gemm,
@@ -2008,6 +2067,7 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_search_multivector_fullscan_rerank.cpp).
         "ann_multivector_search": SQL_CHAMFER_TOPK,
         "ann_sharded_search": SQL_CHAMFER_TOPK,
+        "ann_qpart_search": SQL_CHAMFER_TOPK,
         "ann_recall_report": SQL_ANN_RECALL_REPORT,
         "ann_varcard_search": SQL_CHAMFER_VARCARD,
         "graph_connectivity": SQL_GRAPH_CONNECTIVITY,

@@ -1,0 +1,174 @@
+"""Query-partitioned vs driver-routed sharded search at 1M base
+vectors with >= 1k query sets — the regime where the driver-side query
+hop (`search_sharded` collects + broadcasts every query set, mirroring
+the reference's memory-resident query fbin) starts to strain, and
+where `search_sharded_query_partitioned` keeps the query side a
+DataFrame end-to-end (routing as an Arrow-batched codebook expression,
+shard tasks reading the persisted work-table parquet).
+
+Reports wall for both paths at the same (nprobe, budget), recall@10 of
+each against the exact set-level GEMM oracle, and a row-level equality
+check of the candidate sets.
+
+Usage: python tools/qpart_probe.py [n] [dim] [n_shards] [n_query_sets]
+       [out_md]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cross_modal_multivector_search_spark.operators import (
+    graph_build, recall, rerank, set_search, sharded, simsearch,
+)
+from cross_modal_multivector_search_spark.operators.sampling import (
+    generate_clustered_vectors,
+)
+from cross_modal_multivector_search_spark.session import get_spark
+
+M = 5
+K = 10
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    n_sets = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
+    out = sys.argv[5] if len(sys.argv) > 5 else "SPATIAL_PROBE.md"
+
+    spark = get_spark("qpart-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    raw = generate_clustered_vectors(spark, n, dim, n_clusters=256,
+                                     sigma=0.1)
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    ranked = raw.withColumn("rn", F.row_number().over(w) - 1)
+    sizes = {r["cluster"]: r["cnt"] for r in
+             ranked.groupBy("cluster").agg(F.count("*").alias("cnt"))
+             .collect()}
+    offs, acc = {}, 0
+    for c in sorted(sizes):
+        offs[c] = acc
+        acc += (sizes[c] // M) * M
+    off_df = spark.createDataFrame(
+        [(int(c), int(offs[c]), int((sizes[c] // M) * M))
+         for c in sorted(sizes)],
+        "cluster long, off long, keep long")
+    v = (ranked.join(F.broadcast(off_df), "cluster")
+         .filter(F.col("rn") < F.col("keep"))
+         .select((F.col("off") + F.col("rn")).alias("vec_id"), "vec",
+                 "cluster", "rn")
+         .withColumn("set_id", (F.col("vec_id") / M).cast("long"))
+         .repartition(64).cache())
+    v.count()
+    t_gen = time.time() - t0
+
+    # >= n_sets query sets spread over every cluster: the first
+    # ceil(n_sets/256) sets from each cluster
+    per_cluster = -(-n_sets // 256)
+    members = v.filter(F.col("rn") < M * per_cluster) \
+        .select("vec_id", "vec", "set_id").cache()
+    n_q = members.count() // M
+
+    book = simsearch.train_codebook(v, k=n_shards, iters=10,
+                                    sample_n=100_000)
+    sb = sharded.spatial_shards(v.select("vec_id", "vec"), book).cache()
+    sb.count()
+    t0 = time.time()
+    g = sharded.build_sharded(
+        sb, n_shards,
+        graph_build.RoarGraphParams(m_sq=20, m_pjbp=12, l_pjpq=40),
+        shard_col="shard").cache()
+    g.count()
+    t_build = time.time() - t0
+    work = sharded.prepare_search_work(g, sb, n_shards,
+                                       shard_col="shard").cache()
+    work.count()
+
+    tmp = tempfile.mkdtemp(prefix="qpart_work_")
+    t0 = time.time()
+    sharded.persist_search_work(work, tmp)
+    t_persist = time.time() - t0
+
+    gt = set_search.set_topk_gemm(members, v, K).select(
+        "query_set_id", "data_set_id").cache()
+    gt.count()
+
+    nprobe, budget = 4, 1000
+    key = ["query_set_id", "member_pos", "base_vec_id"]
+
+    # driver-routed path (reference serving shape)
+    t0 = time.time()
+    routes = sharded.route_query_sets(members, book, nprobe)
+    cands_d = sharded.search_sharded(
+        None, sb.select("vec_id", "vec"), members, min_pq=5,
+        max_pq=budget, budget=budget, n_shards=n_shards, work=work,
+        routes=routes).cache()
+    cands_d.count()
+    t_driver = time.time() - t0
+
+    # query-partitioned path (batch shape, index at rest)
+    t0 = time.time()
+    cands_q = sharded.search_sharded_query_partitioned(
+        tmp, members, book, nprobe=nprobe, min_pq=5, max_pq=budget,
+        budget=budget).cache()
+    cands_q.count()
+    t_qpart = time.time() - t0
+
+    mismatch = (cands_d.select(key).exceptAll(cands_q.select(key))
+                .union(cands_q.select(key)
+                       .exceptAll(cands_d.select(key))).count())
+
+    def quality(cands):
+        res = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
+                            members, v, K, m=M)
+        return recall.mean_recall(
+            res.select("query_set_id", "data_set_id"), gt, K
+        ).collect()[0]["mean_recall"]
+
+    r_d = quality(cands_d)
+    r_q = quality(cands_q)
+
+    lines = [
+        "",
+        f"## Query-partitioned search at n = {n:,}, "
+        f"{n_q} query sets (nprobe={nprobe}, budget={budget})",
+        "",
+        f"{n_shards} spatial shards; gen {t_gen:.1f}s; build "
+        f"{t_build:.1f}s; `persist_search_work` {t_persist:.1f}s "
+        f"(one-time, shard-partitioned parquet). The driver-routed "
+        f"path collects + broadcasts all {n_q * M:,} query vectors "
+        f"through the driver; the query-partitioned path routes them "
+        f"as a DataFrame (Arrow pandas UDF) and shard tasks read the "
+        f"work table from parquet — no corpus reshuffle, no driver "
+        f"hop.",
+        "",
+        "| path | search wall | recall@10 |",
+        "|---|---|---|",
+        f"| driver-routed `search_sharded` | {t_driver:.1f}s "
+        f"| {r_d:.2f} |",
+        f"| `search_sharded_query_partitioned` | {t_qpart:.1f}s "
+        f"| {r_q:.2f} |",
+        "",
+        f"Candidate rows differing between the paths: {mismatch} "
+        f"(parity also unit-pinned at small scale).",
+    ]
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,8 @@ SF001_CALIBRATED = {"ann_sharded_search", "ann_varcard_search",
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    if "sf0.01" not in sf_dir:
+    import os
+    if os.path.basename(os.path.normpath(sf_dir)) != "sf0.01":
         print(f"NOTE: {sorted(SF001_CALIBRATED)} twins are calibrated "
               "to sf0.01 and fail at other scales by construction")
     spark = get_spark()
