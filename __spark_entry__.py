@@ -733,8 +733,9 @@ def _qpart_index(spark: SparkSession, sf_dir: str) -> tuple:
         os.makedirs(cache, exist_ok=True)
         np.save(book_path, book)
     book = np.load(book_path)
-    _QPART_CACHE[sf_dir] = (work_path, book)
-    return work_path, book
+    n = TD.embeddings_norm(spark, sf_dir).count()
+    _QPART_CACHE[sf_dir] = (work_path, book, n)
+    return _QPART_CACHE[sf_dir]
 
 
 def q_ann_qpart_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,12 +747,15 @@ def q_ann_qpart_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the exact set-level oracle (same construction as
     ann_sharded_search; parity with the driver-routed path is pinned
     by tests/test_sharded.py)."""
-    work_path, book = _qpart_index(spark, sf_dir)
+    work_path, book, n = _qpart_index(spark, sf_dir)
     v = TD.embeddings_norm(spark, sf_dir)
     q = v.filter(F.col("set_id") < TD.N_QUERY_SETS)
+    # budget/max_pq = corpus size: saturating (every shard fully
+    # visited, no candidate dropped) without over-sizing the beam
+    # arrays, whose width is max_pq
     cands = sharded.search_sharded_query_partitioned(
         work_path, q, book, nprobe=N_QPART_CELLS, min_pq=5,
-        max_pq=1_000_000, budget=1_000_000)
+        max_pq=n, budget=n)
     out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
                         q, v, K, m=M)
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))

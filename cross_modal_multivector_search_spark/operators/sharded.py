@@ -541,18 +541,28 @@ def _load_shard_work(path: str, shard_id: int):
     src = np.asarray(t.column("src"), dtype=np.int64)
     order = np.argsort(src, kind="stable")
     ids = src[order]
-    nbrs_raw = t.column("nbrs").to_pylist()
-    vecs = np.array(t.column("v").to_pylist(), dtype=np.float64)[order]
+    # Arrow-native conversions: the list columns come out as one
+    # contiguous values buffer + offsets (a to_pylist here costs ~1s
+    # per 15k-row shard at dim 64 — measured as the dominant term of
+    # the first 1M qpart probe)
+    vcol = t.column("v").combine_chunks()
+    vecs = np.asarray(vcol.values, dtype=np.float64) \
+        .reshape(len(vcol), -1)[order]
+    ncol = t.column("nbrs").combine_chunks()
+    noff = ncol.offsets.to_numpy().astype(np.int64)
+    nvals = np.asarray(ncol.values, dtype=np.int64)
     is_entry = np.asarray(t.column("is_entry"), dtype=np.int64)[order]
-    ix = {int(v): i for i, v in enumerate(ids)}
-    try:
-        adj = [np.array([ix[int(x)] for x in nbrs_raw[int(o)]],
-                        dtype=np.int64) for o in order]
-    except KeyError as e:
+    # global vec_id -> local index via searchsorted on the sorted ids
+    loc = np.searchsorted(ids, nvals)
+    bad = (loc >= len(ids)) | (ids[np.minimum(loc, len(ids) - 1)]
+                               != nvals)
+    if bad.any():
         raise ValueError(
-            f"shard {shard_id} graph references vec_id {e} missing "
-            "from its own partition — was persist_search_work given a "
-            "consistent work table?") from e
+            f"shard {shard_id} graph references vec_id "
+            f"{int(nvals[np.flatnonzero(bad)[0]])} missing from its "
+            "own partition — was persist_search_work given a "
+            "consistent work table?")
+    adj = [loc[noff[int(o)]:noff[int(o) + 1]] for o in order]
     eps = np.flatnonzero(is_entry)
     ep = int(eps[0]) if len(eps) else 0
     return ids, adj, vecs, ep
@@ -578,11 +588,13 @@ def search_sharded_query_partitioned(
                ships in the task closure), expands balanced sub-shards
                via ``cell_to_shards``, and explodes to
                (shard, set) rows.
-      search:  groupBy(shard).applyInPandas — only the (small) routed
-               query rows shuffle; each shard task loads ITS sub-index
-               from the ``persist_search_work`` parquet (partition-
-               pruned disk read, no corpus reshuffle per batch) and
-               runs the same wave-vectorized multi-vector beam search.
+      search:  the routed query rows — and ONLY them — shuffle, on the
+               bijective shard layout (one shard per task, no
+               hash-collision stragglers); each shard task loads ITS
+               sub-index from the ``persist_search_work`` parquet
+               (partition-pruned Arrow-native read, no corpus reshuffle
+               per batch) and runs the same wave-vectorized
+               multi-vector beam search.
       merge:   the identical global partial+final top-k.
 
     Output is row-for-row equal to ``search_sharded(routes=
@@ -628,20 +640,11 @@ def search_sharded_query_partitioned(
     routed = grouped.withColumn(
         "shard", F.explode(_routed_shards(F.col("mats"))))
 
-    def per_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "query_set_id": pd.Series(dtype=np.int64),
-            "member_pos": pd.Series(dtype=np.int32),
-            "base_vec_id": pd.Series(dtype=np.int64),
-            "dist": pd.Series(dtype=np.float64),
-        })
-        loaded = _load_shard_work(work_path, int(key[0]))
+    def run_shard(shard_id: int, sel: list):
+        loaded = _load_shard_work(work_path, shard_id)
         if loaded is None:                       # empty spatial cell
-            return empty
+            return None
         ids, adj, vecs, ep = loaded
-        sel = [(int(q), np.array([np.asarray(v, dtype=np.float64)
-                                  for v in m]))
-               for q, m in zip(pdf["qsid"], pdf["mats"])]
         frames = []
         all_res = core.batch_multivector_search(
             adj, vecs, [qmat for _, qmat in sel], ep,
@@ -656,10 +659,37 @@ def search_sharded_query_partitioned(
                     "base_vec_id": ids[cids],
                     "dist": cdists,
                 }))
-        return pd.concat(frames) if frames else empty
+        return pd.concat(frames) if frames else None
 
-    partials = (routed.groupBy("shard")
-                .applyInPandas(per_shard, schema=_CAND_SCHEMA))
+    def search(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one shard per partition (bijective layout below); stream and
+        # group defensively anyway — the pattern every sharded stage
+        # here uses
+        cur, sel = None, []
+        for pdf in it:
+            for shard, qsid, mats in zip(pdf["shard"], pdf["qsid"],
+                                         pdf["mats"]):
+                if cur is not None and shard != cur:
+                    out = run_shard(int(cur), sel)
+                    if out is not None:
+                        yield out
+                    sel = []
+                cur = shard
+                sel.append((int(qsid),
+                            np.array([np.asarray(v, dtype=np.float64)
+                                      for v in mats])))
+        if sel:
+            out = run_shard(int(cur), sel)
+            if out is not None:
+                yield out
+
+    from .partitioning import repartition_by_shard
+
+    n_shards = (len(C) if cts is None else
+                1 + max(s for ss in cts.values() for s in ss))
+    partials = (repartition_by_shard(routed, n_shards, "shard")
+                .sortWithinPartitions("shard", "qsid")
+                .mapInPandas(search, schema=_CAND_SCHEMA))
     return grouped_topk(
         partials, ["query_set_id", "member_pos"],
         [F.col("dist").asc(), F.col("base_vec_id").asc()], max_pq
