@@ -619,16 +619,23 @@ def search_sharded_query_partitioned(
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _routed_shards(mats: pd.Series) -> pd.Series:
-        out = []
-        for m in mats:
-            M = np.array([np.asarray(v, dtype=np.float64) for v in m])
-            affinity = (M @ C.T).max(axis=0)
-            top = np.argsort(-affinity, kind="stable")[:n_probe]
-            if cts is None:
-                out.append([int(s) for s in top])
-            else:
-                out.append(sorted({int(s) for c in top
-                                   for s in cts[int(c)]}))
+        # one GEMM for the whole Arrow batch: stack every member vector
+        # of every set, reduce per set with maximum.reduceat
+        counts = np.array([len(m) for m in mats], dtype=np.int64)
+        if counts.sum() == 0:
+            return pd.Series([[] for _ in mats])
+        flat = np.vstack([np.asarray(v, dtype=np.float64)
+                          for m in mats for v in m])
+        dots = flat @ C.T                          # (total_members, k)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        affinity = np.maximum.reduceat(dots, starts, axis=0)
+        # stable per-set top-nprobe (same rule as route_query_sets)
+        top = np.argsort(-affinity, axis=1, kind="stable")[:, :n_probe]
+        if cts is None:
+            out = [[int(s) for s in row] for row in top]
+        else:
+            out = [sorted({int(s) for c in row for s in cts[int(c)]})
+                   for row in top]
         return pd.Series(out)
 
     grouped = (query_vecs
