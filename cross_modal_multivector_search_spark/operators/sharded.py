@@ -535,9 +535,12 @@ def _load_shard_work(path: str, shard_id: int):
     import pyarrow.parquet as pq
 
     part = os.path.join(path, f"shard={int(shard_id)}")
-    if not os.path.isdir(part):
+    try:
+        t = pq.read_table(part, columns=["src", "nbrs", "is_entry", "v"])
+    except (FileNotFoundError, OSError):
+        # empty spatial cell — no partition written (works for remote
+        # URIs too, where an isdir probe would not)
         return None
-    t = pq.read_table(part, columns=["src", "nbrs", "is_entry", "v"])
     src = np.asarray(t.column("src"), dtype=np.int64)
     order = np.argsort(src, kind="stable")
     ids = src[order]
@@ -610,6 +613,20 @@ def search_sharded_query_partitioned(
         raise ValueError(
             f"search_sharded_query_partitioned: nprobe must be >= 1, "
             f"got {nprobe}")
+    # fail loudly on a bad/empty work table NOW: a wrong path would
+    # otherwise make every shard task read nothing and the search
+    # silently return zero rows. Local paths are checked directly;
+    # remote URIs (hdfs://, s3://) defer to the per-task reader, which
+    # raises rather than skips on anything but a missing partition.
+    import os
+    if "://" not in work_path and not (
+            os.path.isdir(work_path)
+            and any(e.startswith("shard=")
+                    for e in os.listdir(work_path))):
+        raise ValueError(
+            f"search_sharded_query_partitioned: {work_path!r} has no "
+            "shard=N partitions — pass a directory written by "
+            "persist_search_work")
     C = np.ascontiguousarray(codebook, dtype=np.float64)
     n_cells = C.shape[0]
     n_probe = min(int(nprobe), n_cells)

@@ -352,3 +352,15 @@ def test_query_partitioned_search_balanced_cells(
     key = ["query_set_id", "member_pos", "base_vec_id", "dist"]
     assert sorted(map(tuple, got.select(key).collect())) \
         == sorted(map(tuple, ref.select(key).collect()))
+
+
+def test_query_partitioned_search_rejects_bad_work_path(
+        spark, clustered_corpus, tmp_path):
+    """A wrong/empty work path must raise, not silently return zero
+    rows (every shard task would read nothing)."""
+    v, book, sb, g, work = clustered_corpus
+    q = v.filter(F.col("set_id") < 2)
+    with pytest.raises(ValueError, match="shard=N partitions"):
+        sharded.search_sharded_query_partitioned(
+            str(tmp_path / "nope"), q, book, nprobe=1, min_pq=5,
+            max_pq=10, budget=10).count()
