@@ -527,6 +527,28 @@ def persist_search_work(work: DataFrame, path: str) -> None:
      .write.mode("overwrite").partitionBy("shard").parquet(path))
 
 
+#: worker-process cache of decoded shard work tables, keyed by
+#: (path, shard, fingerprint-of-files). Spark reuses Python worker
+#: processes within a session (spark.python.worker.reuse), so a
+#: build-once/search-many caller pays the parquet decode once per
+#: (worker, shard) instead of once per search batch. Bounded by entry
+#: count; the file fingerprint (names+sizes+mtimes) invalidates stale
+#: entries when the index is rewritten in place.
+_SHARD_WORK_CACHE: dict = {}
+_SHARD_WORK_CACHE_MAX = 8
+
+
+def _dir_fingerprint(part: str):
+    import os
+    try:
+        with os.scandir(part) as it:
+            return tuple(sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in it if e.name.endswith(".parquet")))
+    except OSError:
+        return None
+
+
 def _load_shard_work(path: str, shard_id: int):
     """(ids, adj, vecs, ep) for one shard from the persisted work table;
     None when the shard has no partition (empty spatial cell)."""
@@ -535,6 +557,10 @@ def _load_shard_work(path: str, shard_id: int):
     import pyarrow.parquet as pq
 
     part = os.path.join(path, f"shard={int(shard_id)}")
+    fp = _dir_fingerprint(part) if "://" not in path else None
+    key = (path, int(shard_id), fp)
+    if fp is not None and key in _SHARD_WORK_CACHE:
+        return _SHARD_WORK_CACHE[key]
     try:
         t = pq.read_table(part, columns=["src", "nbrs", "is_entry", "v"])
     except (FileNotFoundError, OSError):
@@ -568,7 +594,12 @@ def _load_shard_work(path: str, shard_id: int):
     adj = [loc[noff[int(o)]:noff[int(o) + 1]] for o in order]
     eps = np.flatnonzero(is_entry)
     ep = int(eps[0]) if len(eps) else 0
-    return ids, adj, vecs, ep
+    out = (ids, adj, vecs, ep)
+    if fp is not None:
+        if len(_SHARD_WORK_CACHE) >= _SHARD_WORK_CACHE_MAX:
+            _SHARD_WORK_CACHE.pop(next(iter(_SHARD_WORK_CACHE)))
+        _SHARD_WORK_CACHE[key] = out
+    return out
 
 
 def search_sharded_query_partitioned(

@@ -364,3 +364,31 @@ def test_query_partitioned_search_rejects_bad_work_path(
         sharded.search_sharded_query_partitioned(
             str(tmp_path / "nope"), q, book, nprobe=1, min_pq=5,
             max_pq=10, budget=10).count()
+
+
+def test_shard_work_cache_hits_and_invalidates(
+        spark, clustered_corpus, tmp_path):
+    """The worker-side shard cache serves repeat loads and invalidates
+    when the partition's files change (rewritten index)."""
+    v, book, sb, g, work = clustered_corpus
+    path = str(tmp_path / "w")
+    sharded.persist_search_work(work, path)
+    sharded._SHARD_WORK_CACHE.clear()
+    first = sharded._load_shard_work(path, 0)
+    assert first is not None
+    assert len(sharded._SHARD_WORK_CACHE) == 1
+    again = sharded._load_shard_work(path, 0)
+    assert again is first                      # same object: cache hit
+    # rewrite in place -> fingerprint changes -> fresh load
+    sharded.persist_search_work(work, path)
+    third = sharded._load_shard_work(path, 0)
+    assert third is not first
+    assert np.array_equal(third[0], first[0])
+    # repeated searches produce identical results through the cache
+    q = v.filter(F.col("set_id") < 3)
+    r1 = sharded.search_sharded_query_partitioned(
+        path, q, book, nprobe=2, min_pq=5, max_pq=20, budget=20)
+    r2 = sharded.search_sharded_query_partitioned(
+        path, q, book, nprobe=2, min_pq=5, max_pq=20, budget=20)
+    assert sorted(map(tuple, r1.collect())) \
+        == sorted(map(tuple, r2.collect()))
