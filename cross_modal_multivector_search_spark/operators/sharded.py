@@ -860,13 +860,20 @@ def route_query_sets(query_vecs: DataFrame, codebook: np.ndarray,
     q_pdf = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
              .agg(F.collect_list(vec_col).alias("mats"))
              .toPandas())
-    C = np.ascontiguousarray(codebook, dtype=np.float64).T
+    C = np.ascontiguousarray(codebook, dtype=np.float64)
     nprobe = min(nprobe, codebook.shape[0])
     routes: dict[int, frozenset] = {}
-    for qsid, mats in zip(q_pdf["qsid"], q_pdf["mats"]):
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in mats])
-        affinity = (M @ C).max(axis=0)            # best member per cell
-        top = np.argsort(-affinity, kind="stable")[:nprobe]
+    if not len(q_pdf):
+        return routes
+    # one GEMM over every member vector of every set, reduced per set
+    # (identical math to the per-set loop; matters at 10k+ sets)
+    counts = np.array([len(m) for m in q_pdf["mats"]], dtype=np.int64)
+    flat = np.vstack([np.asarray(v, dtype=np.float64)
+                      for m in q_pdf["mats"] for v in m])
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    affinity = np.maximum.reduceat(flat @ C.T, starts, axis=0)
+    tops = np.argsort(-affinity, axis=1, kind="stable")[:, :nprobe]
+    for qsid, top in zip(q_pdf["qsid"], tops):
         if cell_to_shards is None:
             routes[int(qsid)] = frozenset(int(s) for s in top)
         else:

@@ -289,3 +289,19 @@ def test_roundtrip_property(h, w, nch, sg, cb, seed):
     want = img if (nch == 4 and (img[..., 3] != 255).any()) \
         else img[..., :3]
     assert np.array_equal(out, want)
+
+
+def test_extended_container_with_vp8x_chunk():
+    """Extended-format lossless files carry a VP8X chunk before VP8L;
+    the RIFF walk must skip it (with odd-size padding) and still find
+    the lossless payload."""
+    import struct
+
+    img = _rand((7, 5, 3), 20)
+    plain = webp.encode_webp_lossless(img)
+    vp8l_off = plain.index(b"VP8L")
+    vp8l_chunk = plain[vp8l_off:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    body = b"WEBP" + vp8x + vp8l_chunk
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert np.array_equal(webp.decode_webp(payload), img)
