@@ -11,7 +11,10 @@ each against the exact set-level GEMM oracle, and a row-level equality
 check of the candidate sets.
 
 Usage: python tools/qpart_probe.py [n] [dim] [n_shards] [n_query_sets]
-       [out_md]
+       [out_md] [--no-gt]
+
+--no-gt skips the exact oracle + rerank recall (the 30-min term at 10k
+sets) and reports search walls + row-level parity only.
 """
 
 from __future__ import annotations
@@ -44,6 +47,7 @@ def main() -> None:
     n_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     n_sets = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
     out = sys.argv[5] if len(sys.argv) > 5 else "SPATIAL_PROBE.md"
+    no_gt = "--no-gt" in sys.argv
 
     spark = get_spark("qpart-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -100,9 +104,11 @@ def main() -> None:
     sharded.persist_search_work(work, tmp)
     t_persist = time.time() - t0
 
-    gt = set_search.set_topk_gemm(members, v, K).select(
-        "query_set_id", "data_set_id").cache()
-    gt.count()
+    gt = None
+    if not no_gt:
+        gt = set_search.set_topk_gemm(members, v, K).select(
+            "query_set_id", "data_set_id").cache()
+        gt.count()
 
     nprobe, budget = 4, 1000
     key = ["query_set_id", "member_pos", "base_vec_id"]
@@ -130,6 +136,8 @@ def main() -> None:
                        .exceptAll(cands_d.select(key))).count())
 
     def quality(cands):
+        if no_gt:
+            return float("nan")
         res = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
                             members, v, K, m=M)
         return recall.mean_recall(
