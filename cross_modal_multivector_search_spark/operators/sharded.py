@@ -666,15 +666,17 @@ def search_sharded_query_partitioned(
             for c, ss in cell_to_shards.items()})
 
     @F.pandas_udf(ArrayType(IntegerType()))
-    def _routed_shards(mats: pd.Series) -> pd.Series:
-        # one GEMM for the whole Arrow batch: stack every member vector
-        # of every set, reduce per set with maximum.reduceat
-        counts = np.array([len(m) for m in mats], dtype=np.int64)
-        if counts.sum() == 0:
-            return pd.Series([[] for _ in mats])
-        flat = np.vstack([np.asarray(v, dtype=np.float64)
-                          for m in mats for v in m])
-        dots = flat @ C.T                          # (total_members, k)
+    def _routed_shards(flat: pd.Series, m: pd.Series) -> pd.Series:
+        # one GEMM for the whole Arrow batch: the sets arrive as flat
+        # member-major vectors, so the stack is a single reshape-free
+        # vstack and the per-set reduce is maximum.reduceat
+        counts = m.to_numpy(dtype=np.int64)
+        if len(counts) == 0 or counts.sum() == 0:
+            return pd.Series([[] for _ in flat])
+        dim = C.shape[1]
+        allv = np.concatenate([np.asarray(f, dtype=np.float64)
+                               for f in flat]).reshape(-1, dim)
+        dots = allv @ C.T                          # (total_members, k)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         affinity = np.maximum.reduceat(dots, starts, axis=0)
         # stable per-set top-nprobe (same rule as route_query_sets)
@@ -686,14 +688,18 @@ def search_sharded_query_partitioned(
                    for row in top]
         return pd.Series(out)
 
+    # one flat array<double> per set (member-major, members ordered by
+    # vec_id) — ONE Arrow conversion per set on the task side instead
+    # of one per member, and a flatter shuffle row
     grouped = (query_vecs
                .groupBy(F.col(set_id).alias("qsid"))
                .agg(F.sort_array(F.collect_list(F.struct(
                    F.col(vec_id).alias("o"), F.col(vec_col).alias("v"))))
                    .alias("rows"))
-               .select("qsid", F.col("rows.v").alias("mats")))
+               .select("qsid", F.flatten(F.col("rows.v")).alias("flat"),
+                       F.size(F.col("rows")).alias("m")))
     routed = grouped.withColumn(
-        "shard", F.explode(_routed_shards(F.col("mats"))))
+        "shard", F.explode(_routed_shards(F.col("flat"), F.col("m"))))
 
     def run_shard(shard_id: int, sel: list):
         loaded = _load_shard_work(work_path, shard_id)
@@ -722,8 +728,8 @@ def search_sharded_query_partitioned(
         # here uses
         cur, sel = None, []
         for pdf in it:
-            for shard, qsid, mats in zip(pdf["shard"], pdf["qsid"],
-                                         pdf["mats"]):
+            for shard, qsid, flat, m in zip(pdf["shard"], pdf["qsid"],
+                                            pdf["flat"], pdf["m"]):
                 if cur is not None and shard != cur:
                     out = run_shard(int(cur), sel)
                     if out is not None:
@@ -731,8 +737,8 @@ def search_sharded_query_partitioned(
                     sel = []
                 cur = shard
                 sel.append((int(qsid),
-                            np.array([np.asarray(v, dtype=np.float64)
-                                      for v in mats])))
+                            np.asarray(flat, dtype=np.float64)
+                            .reshape(int(m), -1)))
         if sel:
             out = run_shard(int(cur), sel)
             if out is not None:
