@@ -305,3 +305,62 @@ def test_extended_container_with_vp8x_chunk():
     body = b"WEBP" + vp8x + vp8l_chunk
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     assert np.array_equal(webp.decode_webp(payload), img)
+
+
+def test_meta_prefix_groups_handcrafted_stream():
+    """Meta-prefix (entropy image) decode: a hand-assembled 8x1 VP8L
+    stream whose huffman image (hbits=2 -> two 4-pixel blocks) selects
+    two different prefix-code groups; every code is a simple code, so
+    the pixel stream itself is zero bits and the output pins the
+    group-lookup logic exactly."""
+    import struct
+
+    w = webp._LsbWriter()
+
+    def simple1(sym):
+        w.write(1, 1)          # simple
+        w.write(0, 1)          # one symbol
+        w.write(1, 1)          # 8-bit symbol
+        w.write(sym, 8)
+
+    def simple2(a, b):
+        w.write(1, 1)
+        w.write(1, 1)          # two symbols
+        w.write(1, 1)
+        w.write(a, 8)
+        w.write(b, 8)
+
+    w.write(8 - 1, 14)         # width 8
+    w.write(0, 14)             # height 1
+    w.write(0, 1)              # alpha hint
+    w.write(0, 3)              # version
+    w.write(0, 1)              # no transforms
+    w.write(0, 1)              # no color cache
+    w.write(1, 1)              # meta-prefix image present
+    w.write(0, 3)              # hbits = 2 -> 2x1 block grid
+    # --- huffman image: 2x1, level0=False (no transform/meta bits) ---
+    w.write(0, 1)              # its color cache
+    simple2(0, 1)              # green: symbols {0, 1}
+    simple1(0)                 # red
+    simple1(0)                 # blue
+    simple1(0)                 # alpha
+    simple1(0)                 # distance
+    w.write(0, 1)              # pixel 0: green sym0 -> group 0
+    w.write(1, 1)              # pixel 1: green sym1 -> group 1
+    # --- two groups of 5 simple codes (all zero-bit) ---
+    for g_sym, r_sym, b_sym in ((10, 20, 30), (77, 88, 99)):
+        simple1(g_sym)
+        simple1(r_sym)
+        simple1(b_sym)
+        simple1(255)           # alpha
+        simple1(0)             # distance
+    # 8 literal pixels, zero bits each
+    body = b"\x2f" + w.bytes()
+    body_p = body + (b"\x00" if len(body) & 1 else b"")
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(body)) + body_p
+    out = webp.decode_webp(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert out.shape == (1, 8, 3)
+    assert np.array_equal(out[0, :4],
+                          np.tile([20, 10, 30], (4, 1)))
+    assert np.array_equal(out[0, 4:],
+                          np.tile([88, 77, 99], (4, 1)))
