@@ -168,6 +168,8 @@ def _read_prefix_code(r: _LsbReader, n_symbols: int):
         else:
             sym0 = r.bits(1)
         if num == 1:
+            if sym0 >= n_symbols:
+                raise ValueError("VP8L simple code symbol out of range")
             return ("zero", sym0)
         sym1 = r.bits(8)
         if sym0 >= n_symbols or sym1 >= n_symbols:

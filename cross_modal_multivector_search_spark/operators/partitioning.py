@@ -105,8 +105,15 @@ def _input_footprint(df: DataFrame,
         except OSError:
             return None
         total += size
-        est_parts += (_file_splits(path, size, mpb) if probe_footers
-                      else max(1, -(-size // mpb)))
+        if probe_footers:
+            est_parts += _file_splits(path, size, mpb)
+        elif path.lower().endswith(_NON_SPLITTABLE_EXTS):
+            # the footer-probe cap only skips parquet footer reads; the
+            # zero-cost suffix check must still apply or large .gz/.zst
+            # files get credited with byte-range splits they can't give
+            est_parts += 1
+        else:
+            est_parts += max(1, -(-size // mpb))
     return total, est_parts
 
 
@@ -176,17 +183,28 @@ def ensure_parallelism(df: DataFrame,
 
 # analyzed-plan fingerprint -> rdd partition count, so the non-file
 # fallback materializes df.rdd at most once per distinct query shape.
+# RDD-backed plans (LogicalRDD/ExternalRDD) print only their schema, so
+# two different RDD sources with the same schema would collide on the
+# fingerprint and a later frame could silently reuse a stale count —
+# exactly the serialized-stage failure this module exists to prevent;
+# those plans are never cached. Bounded so a long-lived session that
+# probes many distinct shapes cannot grow the dict without limit.
 _RDD_PROBE_CACHE: dict[str, int] = {}
+_RDD_PROBE_CACHE_MAX = 256
 
 
 def _probed_partitions(df: DataFrame) -> int:
     import re
     plan = _analyzed_plan(df)
-    key = re.sub(r"#\d+", "", plan) if plan else ""
+    cacheable = plan and not any(
+        tok in plan for tok in ("LogicalRDD", "ExternalRDD"))
+    key = re.sub(r"#\d+", "", plan) if cacheable else ""
     if key and key in _RDD_PROBE_CACHE:
         return _RDD_PROBE_CACHE[key]
     n = df.rdd.getNumPartitions()
     if key:
+        if len(_RDD_PROBE_CACHE) >= _RDD_PROBE_CACHE_MAX:
+            _RDD_PROBE_CACHE.pop(next(iter(_RDD_PROBE_CACHE)))
         _RDD_PROBE_CACHE[key] = n
     return n
 

@@ -531,11 +531,63 @@ def persist_search_work(work: DataFrame, path: str) -> None:
 #: (path, shard, fingerprint-of-files). Spark reuses Python worker
 #: processes within a session (spark.python.worker.reuse), so a
 #: build-once/search-many caller pays the parquet decode once per
-#: (worker, shard) instead of once per search batch. Bounded by entry
-#: count; the file fingerprint (names+sizes+mtimes) invalidates stale
-#: entries when the index is rewritten in place.
+#: (worker, shard) instead of once per search batch. LRU by access
+#: (dict insertion order + move-to-end on hit) and bounded by DECODED
+#: BYTES, not entry count — 8 big shards occupy far more RAM than 8
+#: small ones, and a worker serving many shards across repeated
+#: batches must not evict its hottest shard just because it was
+#: loaded first. The file fingerprint (names+sizes+mtimes)
+#: invalidates stale entries when the index is rewritten in place.
+def _stable_top_cells(affinity: np.ndarray, k: int) -> np.ndarray:
+    """Row-wise top-``k`` cell indices by (descending affinity,
+    ascending cell index) — bit-identical to
+    ``np.argsort(-affinity, kind="stable")[:, :k]``, the routing tie
+    rule shared by every router in this module, but O(n + k log k) per
+    row once the cell count outgrows a full-row sort (~10^4 cells the
+    full argsort is measurable; SURVEY notes routing must stay cheap
+    relative to shard search). Small n keeps the plain stable argsort.
+    """
+    n = affinity.shape[1]
+    k = min(int(k), n)
+    if n <= 2048 or 4 * k >= n:
+        return np.argsort(-affinity, axis=1, kind="stable")[:, :k]
+    out = np.empty((affinity.shape[0], k), dtype=np.int64)
+    for i, row in enumerate(affinity):
+        thresh = row[np.argpartition(-row, k - 1)[:k]].min()
+        # every cell at-or-above the boundary value, in ascending cell
+        # order; the stable sort then resolves boundary ties exactly as
+        # the full stable argsort would (lowest index wins)
+        cand = np.flatnonzero(row >= thresh)
+        out[i] = cand[np.argsort(-row[cand], kind="stable")[:k]]
+    return out
+
+
 _SHARD_WORK_CACHE: dict = {}
-_SHARD_WORK_CACHE_MAX = 8
+_SHARD_WORK_CACHE_MAX_BYTES = 512 << 20
+
+
+def _shard_work_nbytes(out) -> int:
+    """Decoded footprint of one cache entry: the two big ndarrays plus
+    the adjacency slices (views into one base array — count it once via
+    the first slice's base, falling back to per-slice nbytes)."""
+    ids, adj, vecs, _ = out
+    n = int(ids.nbytes) + int(vecs.nbytes)
+    if adj:
+        base = getattr(adj[0], "base", None)
+        n += int(base.nbytes) if base is not None else \
+            sum(int(a.nbytes) for a in adj)
+    return n
+
+
+def _shard_work_cache_put(key, out, max_bytes: int | None = None):
+    bound = _SHARD_WORK_CACHE_MAX_BYTES if max_bytes is None else max_bytes
+    nb = _shard_work_nbytes(out)
+    _SHARD_WORK_CACHE[key] = (out, nb)
+    used = sum(b for _, b in _SHARD_WORK_CACHE.values())
+    while used > bound and len(_SHARD_WORK_CACHE) > 1:
+        _, evicted = _SHARD_WORK_CACHE.pop(
+            next(iter(_SHARD_WORK_CACHE)))
+        used -= evicted
 
 
 def _dir_fingerprint(part: str):
@@ -560,7 +612,9 @@ def _load_shard_work(path: str, shard_id: int):
     fp = _dir_fingerprint(part) if "://" not in path else None
     key = (path, int(shard_id), fp)
     if fp is not None and key in _SHARD_WORK_CACHE:
-        return _SHARD_WORK_CACHE[key]
+        hit = _SHARD_WORK_CACHE.pop(key)   # re-insert on hit -> LRU
+        _SHARD_WORK_CACHE[key] = hit
+        return hit[0]
     try:
         t = pq.read_table(part, columns=["src", "nbrs", "is_entry", "v"])
     except (FileNotFoundError, OSError):
@@ -596,9 +650,7 @@ def _load_shard_work(path: str, shard_id: int):
     ep = int(eps[0]) if len(eps) else 0
     out = (ids, adj, vecs, ep)
     if fp is not None:
-        if len(_SHARD_WORK_CACHE) >= _SHARD_WORK_CACHE_MAX:
-            _SHARD_WORK_CACHE.pop(next(iter(_SHARD_WORK_CACHE)))
-        _SHARD_WORK_CACHE[key] = out
+        _shard_work_cache_put(key, out)
     return out
 
 
@@ -680,7 +732,7 @@ def search_sharded_query_partitioned(
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         affinity = np.maximum.reduceat(dots, starts, axis=0)
         # stable per-set top-nprobe (same rule as route_query_sets)
-        top = np.argsort(-affinity, axis=1, kind="stable")[:, :n_probe]
+        top = _stable_top_cells(affinity, n_probe)
         if cts is None:
             out = [[int(s) for s in row] for row in top]
         else:
@@ -878,7 +930,7 @@ def route_query_sets(query_vecs: DataFrame, codebook: np.ndarray,
                       for m in q_pdf["mats"] for v in m])
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     affinity = np.maximum.reduceat(flat @ C.T, starts, axis=0)
-    tops = np.argsort(-affinity, axis=1, kind="stable")[:, :nprobe]
+    tops = _stable_top_cells(affinity, nprobe)
     for qsid, top in zip(q_pdf["qsid"], tops):
         if cell_to_shards is None:
             routes[int(qsid)] = frozenset(int(s) for s in top)

@@ -186,3 +186,45 @@ def test_repartition_by_shard_is_bijective(spark):
     # keys are found and cached per shard count
     assert len(partitioning._collision_free_keys(spark, n)) == n
     assert n in partitioning._SHARD_KEY_CACHE
+
+
+def test_probed_partitions_skips_rdd_backed_plans(spark):
+    """RDD-backed plans print only their schema, so two different RDD
+    sources with the same schema would collide on the fingerprint; they
+    must never be cached (ADVICE r6 #2)."""
+    saved = dict(partitioning._RDD_PROBE_CACHE)
+    try:
+        partitioning._RDD_PROBE_CACHE.clear()
+        a = spark.sparkContext.parallelize(range(100), 2).map(
+            lambda i: (i,)).toDF(["x"])
+        b = spark.sparkContext.parallelize(range(100), 7).map(
+            lambda i: (i,)).toDF(["x"])
+        assert partitioning._probed_partitions(a) == 2
+        assert partitioning._RDD_PROBE_CACHE == {}      # not cached
+        assert partitioning._probed_partitions(b) == 7  # no stale hit
+        # file-backed plans still cache, bounded
+        f = spark.range(10).toDF("x")
+        n1 = partitioning._probed_partitions(f)
+        assert partitioning._probed_partitions(f) == n1
+    finally:
+        partitioning._RDD_PROBE_CACHE.clear()
+        partitioning._RDD_PROBE_CACHE.update(saved)
+
+
+def test_footprint_nonsplittable_check_survives_footer_cap(tmp_path, spark):
+    """Past _MAX_FOOTER_PROBES files only the parquet-footer probe is
+    skipped; the zero-cost .gz suffix check must still count 1 task per
+    non-splittable file (ADVICE r6 #3)."""
+    import gzip
+    n_files = partitioning._MAX_FOOTER_PROBES + 4
+    payload = b"x,y\n" + b"1,2\n" * 200_000          # ~800 KB/file raw
+    for i in range(n_files):
+        with gzip.open(tmp_path / f"part-{i:04d}.csv.gz", "wb",
+                       compresslevel=1) as fh:
+            fh.write(payload)
+    df = spark.read.option("header", True).csv(str(tmp_path))
+    mpb = 64 << 10                                   # force by_size > 1
+    fp = partitioning._input_footprint(df, mpb)
+    assert fp is not None
+    total, est = fp
+    assert est == n_files                            # 1 per gz, not size/mpb

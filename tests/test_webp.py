@@ -364,3 +364,30 @@ def test_meta_prefix_groups_handcrafted_stream():
                           np.tile([20, 10, 30], (4, 1)))
     assert np.array_equal(out[0, 4:],
                           np.tile([88, 77, 99], (4, 1)))
+
+
+def test_simple_code_single_symbol_range_checked():
+    """A one-symbol simple code whose 8-bit symbol exceeds the alphabet
+    must raise a clear bitstream error, matching the two-symbol branch
+    (ADVICE r6 #4)."""
+    from cross_modal_multivector_search_spark.functions import webp as W
+
+    class Bits:
+        def __init__(self, seq):
+            self.seq = list(seq)
+
+        def bits(self, n):
+            out = 0
+            for k in range(n):
+                out |= self.seq.pop(0) << k
+            return out
+
+    # simple-code=1, num=1 (bit 0), 8-bit symbol flag=1, sym0=255
+    r = Bits([1, 0, 1] + [1] * 8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out of range"):
+        W._read_prefix_code(r, 40)                  # distance alphabet
+    # in-range single symbol still decodes
+    r2 = Bits([1, 0, 1] + [1, 0, 0, 1, 0, 0, 0, 0])  # sym0 = 9
+    kind, sym = W._read_prefix_code(r2, 40)
+    assert (kind, sym) == ("zero", 9)
