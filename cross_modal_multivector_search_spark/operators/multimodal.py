@@ -68,11 +68,35 @@ def _netpbm_tokens(payload: bytes, need: int) -> tuple[list[int], int]:
 
 
 def _decode_netpbm(payload: bytes) -> np.ndarray:
-    """Binary netpbm: P5 (grayscale) -> (h, w), P6 (RGB) -> (h, w, 3)."""
-    channels = 3 if payload[:2] == b"P6" else 1
-    (w, h, maxval), off = _netpbm_tokens(payload, 3)
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm not supported")
+    """Netpbm, all six magics: P5 (binary gray) -> (h, w), P6 (binary
+    RGB) -> (h, w, 3), P4 (binary bilevel, MSB-first packed rows,
+    1 = black per the spec) -> (h, w) with 0/255 pixels, and the ASCII
+    twins P1/P2/P3."""
+    magic = payload[:2]
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    if magic in (b"P1", b"P4"):          # bilevel: no maxval token
+        (w, h), off = _netpbm_tokens(payload, 2)
+    else:
+        (w, h, maxval), off = _netpbm_tokens(payload, 3)
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+    if magic == b"P4":
+        stride = (w + 7) // 8
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                             offset=off).reshape((h, stride))
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        return np.where(bits == 1, 0, 255).astype(np.uint8)
+    if magic in (b"P1", b"P2", b"P3"):   # ASCII samples
+        txt = payload[off - 1:]          # off points past one whitespace
+        toks = [t for t in txt.split() if not t.startswith(b"#")]
+        vals = np.array([int(t) for c in toks for t in ([c] if magic
+                        != b"P1" else [bytes([b]) for b in c])],
+                        dtype=np.int64)[:w * h * channels]
+        if magic == b"P1":
+            vals = np.where(vals == 1, 0, 255)
+        arr = vals.astype(np.uint8)
+        return arr.reshape((h, w, 3)) if channels == 3 else \
+            arr.reshape((h, w))
     pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels,
                         offset=off)
     return pix.reshape((h, w, 3)) if channels == 3 else \
@@ -86,7 +110,11 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0 or bpp not in (24, 32):
+    # BI_BITFIELDS (3) is uncompressed with explicit channel masks
+    # (the layout modern encoders emit for 32-bit BMPs, e.g. the
+    # BITMAPV4 files in CPython's test corpus); anything else — RLE,
+    # embedded PNG/JPEG — needs a real codec library.
+    if compression not in (0, 3) or bpp not in (24, 32):
         raise NotImplementedError(
             f"only uncompressed 24/32-bit BMP supported "
             f"(bpp={bpp}, compression={compression})")
@@ -99,6 +127,20 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     img = rows[:, :w * nch].reshape((h, w, nch))
     if bottom_up:
         img = img[::-1]
+    if compression == 3 and nch == 4:
+        masks = struct.unpack_from("<3I", payload, 14 + 40)
+        alpha = struct.unpack_from("<I", payload, 14 + 52)[0] \
+            if struct.unpack_from("<I", payload, 14)[0] >= 56 else 0
+        as_u32 = img.view("<u4")[..., 0]
+
+        def chan(mask: int) -> np.ndarray:
+            shift = (mask & -mask).bit_length() - 1 if mask else 0
+            return ((as_u32 & mask) >> shift).astype(np.uint8)
+
+        planes = [chan(m) for m in masks]
+        if alpha:
+            planes.append(chan(alpha))
+        return np.stack(planes, axis=-1)
     # BGR(A) storage order -> RGB(A)
     return img[..., [2, 1, 0] + ([3] if nch == 4 else [])]
 
@@ -226,7 +268,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     route through the import-guarded PIL/cv2 dispatch and raise
     NotImplementedError only when neither is installed.
     """
-    if payload[:2] in (b"P5", b"P6"):
+    if payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         return _decode_netpbm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
@@ -252,7 +294,7 @@ def decode_image(payload: bytes) -> np.ndarray:
             return _decode_with_library(payload, "WebP")
     raise NotImplementedError(
         "unrecognized image payload; supported in-container: netpbm "
-        "P5/P6, uncompressed BMP, 8-bit PNG, lossless WebP (VP8L); "
+        "P1-P6, uncompressed BMP, 8-bit PNG, lossless WebP (VP8L); "
         "via PIL/cv2: JPEG, lossy WebP")
 
 
