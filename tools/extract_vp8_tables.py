@@ -80,6 +80,13 @@ def extract(lib_path: str) -> dict[str, np.ndarray]:
     bmode = b[bm_at:bm_at + 900].reshape(10, 10, 9).copy()
     if bmode.min() == 0:
         raise SystemExit("bmode probs: zero probability byte")
+    # libwebp's B-mode enum orders the diagonal modes RD, VR, LD
+    # (indices 4, 5, 6); RFC 6386 orders them LD, RD, VR. The [above]
+    # [left] axes of the in-memory table follow libwebp's order, so
+    # permute both axes into RFC numbering (the 9 per-entry probs are
+    # tree-positional and unaffected).
+    perm = np.array([0, 1, 2, 3, 6, 4, 5, 7, 8, 9])
+    bmode = bmode[perm][:, perm]
 
     dc_at = _find_unique(raw, _DC_ANCHOR, "dc qlookup")
     dc = b[dc_at:dc_at + 128].astype(np.int64).copy()
