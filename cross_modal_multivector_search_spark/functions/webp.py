@@ -486,16 +486,81 @@ def _decode_image_stream(r: _LsbReader, w: int, h: int,
     return argb
 
 
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """ALPH chunk prediction filters (WebP container spec §Alpha):
+    0 none, 1 horizontal, 2 vertical, 3 gradient. Matches libwebp
+    utils/filters.c: the first pixel of each non-first row predicts
+    from the pixel above; row 0 unfilters horizontally."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = np.empty_like(plane)
+    if method == 2:                       # vertical: row 0 horizontal
+        out[0, 0] = plane[0, 0]
+        for x in range(1, w):
+            out[0, x] = (int(out[0, x - 1]) + int(plane[0, x])) & 0xFF
+        prev = out[0].astype(np.int64)
+        for y in range(1, h):
+            prev = (prev + plane[y]) & 0xFF
+            out[y] = prev
+        return out.astype(np.uint8)
+    for y in range(h):
+        if method == 1:                   # horizontal
+            pred = 0 if y == 0 else int(out[y - 1, 0])
+            for x in range(w):
+                pred = (pred + int(plane[y, x])) & 0xFF
+                out[y, x] = pred
+        else:                             # gradient
+            if y == 0:
+                pred = 0
+                for x in range(w):
+                    pred = (pred + int(plane[y, x])) & 0xFF
+                    out[y, x] = pred
+                continue
+            left = int(out[y - 1, 0])
+            top_left = left
+            for x in range(w):
+                top = int(out[y - 1, x])
+                g = left + top - top_left
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (g + int(plane[y, x])) & 0xFF
+                out[y, x] = left
+                top_left = top
+    return out
+
+
+def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> uint8 (h, w) alpha plane. Compression 0 is a raw
+    plane; 1 is a header-less VP8L stream whose green channel carries
+    the alpha values (libwebp dec/alpha_dec.c layout)."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    head = body[0]
+    method = head & 3
+    filt = (head >> 2) & 3
+    if method == 0:
+        need = w * h
+        raw = np.frombuffer(body, np.uint8, count=need, offset=1)
+        plane = raw.reshape(h, w).copy()
+    elif method == 1:
+        r = _LsbReader(body, 1)
+        argb = _decode_image_stream(r, w, h, level0=True)
+        plane = ((argb >> np.uint64(8)) & np.uint64(0xFF)).astype(np.uint8)
+    else:
+        raise ValueError(f"bad ALPH compression method {method}")
+    return _unfilter_alpha(plane, filt)
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a WebP payload. Lossless (VP8L) decodes here in pure
-    NumPy; lossy (VP8) and extended-format lossy raise
-    NotImplementedError so the caller can dispatch to a codec library.
+    """Decode a WebP payload in pure NumPy: lossless (VP8L), lossy
+    (VP8 keyframe, RFC 6386 — see vp8.py), and extended (VP8X) files
+    including an ALPH alpha plane over lossy.
     Returns uint8 (H, W, 3) RGB, or (H, W, 4) RGBA when any alpha < 255.
     """
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload (missing RIFF/WEBP)")
     pos = 12
-    vp8l = None
+    vp8l = vp8_chunk = alph = None
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
@@ -504,13 +569,23 @@ def decode_webp(payload: bytes) -> np.ndarray:
             vp8l = body
             break
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy (VP8) WebP needs a codec library")
+            vp8_chunk = body
+            break
+        if tag == b"ALPH":
+            alph = body
         pos += 8 + size + (size & 1)
+    if vp8_chunk is not None:
+        from . import vp8 as _vp8
+        y, u, v = _vp8.decode_vp8_frame(vp8_chunk)
+        rgb = _vp8.vp8_to_rgb(y, u, v)
+        if alph is not None:
+            a = _decode_alpha(alph, rgb.shape[1], rgb.shape[0])
+            if (a != 255).any():
+                return np.dstack([rgb, a])
+        return rgb
     if vp8l is None:
         raise NotImplementedError(
-            "no VP8L chunk found (extended/lossy WebP needs a codec "
-            "library)")
+            "no VP8/VP8L chunk found in WebP container")
     if not vp8l or vp8l[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
     r = _LsbReader(vp8l, 1)

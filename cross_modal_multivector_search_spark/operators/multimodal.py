@@ -290,12 +290,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         try:
             return _webp.decode_webp(payload)
         except NotImplementedError:
-            # lossy VP8: needs a full codec library
+            # VP8 interframes / unknown chunks: needs a codec library
             return _decode_with_library(payload, "WebP")
     raise NotImplementedError(
         "unrecognized image payload; supported in-container: netpbm "
-        "P1-P6, uncompressed BMP, 8-bit PNG, lossless WebP (VP8L); "
-        "via PIL/cv2: JPEG, lossy WebP")
+        "P1-P6, uncompressed BMP, 8-bit PNG, WebP (lossless VP8L and "
+        "lossy VP8 keyframes, with alpha); via PIL/cv2: JPEG variants")
 
 
 def encode_png(img: np.ndarray) -> bytes:

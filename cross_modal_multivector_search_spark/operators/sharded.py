@@ -601,15 +601,20 @@ def _dir_fingerprint(part: str):
         return None
 
 
-def _load_shard_work(path: str, shard_id: int):
+def _load_shard_work(path: str, shard_id: int,
+                     use_cache: bool = True):
     """(ids, adj, vecs, ep) for one shard from the persisted work table;
-    None when the shard has no partition (empty spatial cell)."""
+    None when the shard has no partition (empty spatial cell).
+    ``use_cache=False`` bypasses the per-worker decoded-shard cache —
+    for measuring the cold decode cost (SPATIAL_PROBE qpart sections),
+    not for production use."""
     import os
 
     import pyarrow.parquet as pq
 
     part = os.path.join(path, f"shard={int(shard_id)}")
-    fp = _dir_fingerprint(part) if "://" not in path else None
+    fp = (_dir_fingerprint(part)
+          if use_cache and "://" not in path else None)
     key = (path, int(shard_id), fp)
     if fp is not None and key in _SHARD_WORK_CACHE:
         hit = _SHARD_WORK_CACHE.pop(key)   # re-insert on hit -> LRU
@@ -659,7 +664,8 @@ def search_sharded_query_partitioned(
         nprobe: int, min_pq: int, max_pq: int, budget: int,
         adaptive: bool = True, set_id: str = "set_id",
         vec_id: str = "vec_id", vec_col: str = "vec",
-        cell_to_shards: dict[int, tuple] | None = None) -> DataFrame:
+        cell_to_shards: dict[int, tuple] | None = None,
+        use_worker_cache: bool = True) -> DataFrame:
     """Routed sharded search with the query side a DataFrame
     END-TO-END — the batch-scale variant of ``search_sharded``.
 
@@ -754,7 +760,8 @@ def search_sharded_query_partitioned(
         "shard", F.explode(_routed_shards(F.col("flat"), F.col("m"))))
 
     def run_shard(shard_id: int, sel: list):
-        loaded = _load_shard_work(work_path, shard_id)
+        loaded = _load_shard_work(work_path, shard_id,
+                                  use_cache=use_worker_cache)
         if loaded is None:                       # empty spatial cell
             return None
         ids, adj, vecs, ep = loaded

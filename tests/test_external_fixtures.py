@@ -125,16 +125,14 @@ def test_external_rgba_png_decodes():
     assert np.array_equal(out[0, 0], [248, 128, 128, 255])
 
 
-def test_external_lossy_webp_seam():
-    """python.webp carries a lossy VP8 keyframe + ALPH chunk. Until the
-    pure-NumPy VP8 decoder lands this must route to the clearly-marked
-    library seam, not crash elsewhere."""
-    try:
-        out = M.decode_image(X.PYTHON_WEBP)
-    except NotImplementedError as e:
-        pytest.xfail(f"lossy VP8 not yet decodable in-container: {e}")
-    # once implemented: same logo, luma within lossy tolerance
+def test_external_lossy_webp_decodes():
+    """python.webp carries a lossy VP8 keyframe + ALPH chunk, encoded
+    by a third party; the pure-NumPy VP8 decoder (functions/vp8.py)
+    must decode it in-container: same logo, luma within lossy
+    tolerance, real alpha plane."""
+    out = M.decode_image(X.PYTHON_WEBP)
     assert out.shape[0] == 16 and out.shape[1] == 16
+    assert out.shape[2] == 4 and out[..., 3].min() < 128
 
     def luma(x):
         return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]

@@ -256,10 +256,12 @@ def test_decode_image_dispatches_vp8l():
     assert np.array_equal(out, img)
 
 
-def test_lossy_vp8_routes_to_library_seam():
+def test_lossy_vp8_decodes_in_container():
+    """Lossy VP8 now decodes natively (tests/test_vp8.py pins it
+    bit-exactly); a malformed VP8 chunk still raises cleanly."""
     fake = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
             + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         webp.decode_webp(fake)
 
 

@@ -159,6 +159,16 @@ def main() -> None:
         budget=budget).count()
     t_qpart_warm = time.time() - t0
 
+    # cache-disabled repeat: every shard task re-decodes its parquet
+    # partition (use_worker_cache=False skips the worker cache both
+    # ways), isolating the per-(task, shard) decode term that recurs
+    # under cache thrash or executor churn
+    t0 = time.time()
+    sharded.search_sharded_query_partitioned(
+        tmp, members, book, nprobe=nprobe, min_pq=5, max_pq=budget,
+        budget=budget, use_worker_cache=False).count()
+    t_qpart_nocache = time.time() - t0
+
     lines = [
         "",
         f"## Query-partitioned search at n = {n:,}, "
@@ -180,6 +190,8 @@ def main() -> None:
         f"| `search_sharded_query_partitioned` | {t_qpart:.1f}s "
         f"| {r_q:.2f} |",
         f"| qpart, warm worker caches | {t_qpart_warm:.1f}s "
+        f"| (same candidates) |",
+        f"| qpart, worker cache disabled | {t_qpart_nocache:.1f}s "
         f"| (same candidates) |",
         "",
         f"Candidate rows differing between the paths: {mismatch} "
