@@ -15,7 +15,7 @@ stages see fewer rows at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup, text
@@ -56,9 +56,6 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
     ``benchmark_docs`` adds a decontamination stage: training docs
     sharing any ``shingle_n``-gram with a benchmark doc are dropped
     (anti join on the flagged set)."""
-    keep_exact = dedup.dedup_exact(docs, id_col, text_col,
-                                   only_dups=False) \
-        .select(F.col("keep_id").alias(id_col))
     # dedup_pairs=False: components/union-find tolerate duplicate pairs,
     # so the LSH pair distinct (a whole shuffle) is skipped here
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes, bands, shingle_n,
@@ -68,12 +65,19 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
     drop_near = dedup.connected_components(pairs) \
         .filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
-    # language + quality features in one token pass (text.lang_quality):
-    # two separate scans of the token table would double the dominant
-    # cost at corpus scale
-    feats = text.lang_quality(docs, id_col, text_col)
-    out = (docs.select(id_col)
-           .join(keep_exact, id_col, "semi")
+    # language + quality features in one token pass, with the exact-dedup
+    # digest CARRIED THROUGH the same groupBy (carry_cols): the exact
+    # stage then reduces to a window over this small feature table —
+    # no second corpus scan, no digest groupBy, no semi join. A digest
+    # group's docs have identical text, so they all reach the feature
+    # table together (or, for token-less docs, all drop here exactly as
+    # the former inner join with the feature table dropped them).
+    feats = text.lang_quality(
+        docs.withColumn("__digest", F.md5(F.col(text_col))),
+        id_col, text_col, carry_cols=("__digest",))
+    w = Window.partitionBy("__digest").orderBy(id_col)
+    out = (feats.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1)      # canonical = min id (exact)
            .join(drop_near, id_col, "anti"))
     if benchmark_docs is not None:
         contaminated = decontaminate(
@@ -81,7 +85,6 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
             text_col=text_col).select(id_col).distinct()
         out = out.join(contaminated, id_col, "anti")
     return (out
-            .join(feats, id_col)
             .filter(F.col("pred_lang").isin(*langs)
                     & (F.col("quality_score") >= quality_threshold))
             .select(id_col, "pred_lang", "quality_score", "n_tokens"))

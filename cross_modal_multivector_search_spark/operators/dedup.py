@@ -27,21 +27,23 @@ from .partitioning import ensure_parallelism
 
 
 def tokens(docs: DataFrame, id_col: str = "doc_id",
-           text_col: str = "text") -> DataFrame:
+           text_col: str = "text",
+           extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, idx, token): whitespace tokens, contiguous 1-based index.
 
     Empty tokens are filtered BEFORE numbering (filter-then-number, like
     the ANSI oracle) — numbering first would leave idx gaps on leading/
     repeated whitespace. Input is repartitioned up to cluster parallelism
     first (identity at scale) so the explode+hash consumers parallelize
-    even from a one-split file.
+    even from a one-split file. ``extra_cols`` ride along unchanged.
     """
     toks = F.filter(F.split(F.col(text_col), r"\s+"),
                     lambda x: F.length(x) > 0)
     return (ensure_parallelism(docs)
-            .select(F.col(id_col),
+            .select(F.col(id_col), *extra_cols,
                     F.posexplode(toks).alias("pos0", "token"))
-            .select(id_col, (F.col("pos0") + 1).alias("idx"), "token"))
+            .select(id_col, *extra_cols,
+                    (F.col("pos0") + 1).alias("idx"), "token"))
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",

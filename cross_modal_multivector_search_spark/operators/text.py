@@ -183,7 +183,8 @@ def repetition_scores(docs: DataFrame, ngram: int = 2,
 
 
 def lang_quality(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """lang_id + quality_scores fused into ONE token pass.
 
     (doc_id, pred_lang, quality_score, n_tokens) from a single
@@ -191,15 +192,21 @@ def lang_quality(docs: DataFrame, id_col: str = "doc_id",
     the token-table scan is its dominant cost at 100 TB — running the
     language and quality aggregates in the same shuffle halves it.
     Semantics identical to lang_id() + quality_scores() joined on id.
+
+    ``carry_cols``: extra per-document columns (functionally dependent
+    on the id) threaded through the groupBy and returned — lets a
+    caller fuse its own per-doc keys (e.g. a content digest) into this
+    pass instead of re-scanning the corpus for them.
     """
-    t = tokens(docs, id_col, text_col)
+    t = tokens(docs.select(id_col, text_col, *carry_cols),
+               id_col, text_col, extra_cols=carry_cols)
     stop = F.col("token").isin(STOPWORDS).cast("long")
     alpha_chars = F.length(F.regexp_replace("token", "[^a-zA-Z]", ""))
     hit_cols = [
         F.sum(F.col("token").isin(m).cast("long")).alias(f"hits_{lang}")
         for lang, m in sorted(LANG_MARKERS.items())
     ]
-    agg = (t.groupBy(id_col)
+    agg = (t.groupBy(id_col, *carry_cols)
            .agg(F.count("*").alias("n_tokens"),
                 F.avg(stop).alias("stopword_ratio"),
                 (F.sum(alpha_chars) / F.sum(F.length("token")))
@@ -218,7 +225,7 @@ def lang_quality(docs: DataFrame, id_col: str = "doc_id",
         + F.least(F.col("mean_token_len") / 10.0, F.lit(1.0)) * 0.1
     )
     return agg.select(
-        id_col, pred.alias("pred_lang"),
+        id_col, *carry_cols, pred.alias("pred_lang"),
         F.round(score + ROUND_EPS, 5).alias("quality_score"), "n_tokens")
 
 
