@@ -10,7 +10,12 @@ routing preserved via `cell_to_shards`, so recall is unchanged by
 construction and only the build critical path moves.
 
 Usage: python tools/ann_protocol_10m_balanced.py [n] [dim] [n_shards]
-       [out_md]
+       [out_md] [m] [sweep]
+
+``m`` (default 5) is the set cardinality — the reference protocol
+sweeps m in {1..5} (reference expr_configs/dive_train.yaml:23-24);
+``sweep`` is a comma list of nprobe:budget pairs (default the full
+r6 sweep), e.g. "4:1000" for the single m-sweep tuple.
 """
 
 from __future__ import annotations
@@ -31,10 +36,9 @@ from cross_modal_multivector_search_spark.operators.sampling import (
 )
 from cross_modal_multivector_search_spark.session import get_spark
 
-M = 5
 N_QUERY_CLUSTERS = 10
 K = 10
-SWEEP = ((8, 1000), (4, 1000), (2, 1000), (4, 2000))   # (nprobe, budget)
+DEFAULT_SWEEP = ((8, 1000), (4, 1000), (2, 1000), (4, 2000))
 
 
 def main() -> None:
@@ -42,6 +46,10 @@ def main() -> None:
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 640
     out = sys.argv[4] if len(sys.argv) > 4 else "ANN_PROTOCOL.md"
+    M = int(sys.argv[5]) if len(sys.argv) > 5 else 5
+    SWEEP = (tuple(tuple(int(x) for x in t.split(":"))
+                   for t in sys.argv[6].split(","))
+             if len(sys.argv) > 6 else DEFAULT_SWEEP)
     n_clusters = n_shards
 
     spark = get_spark("ann-protocol-10m-balanced")
@@ -118,9 +126,9 @@ def main() -> None:
 
     lines = [
         "",
-        f"## Protocol tuple at n = {n_kept:,} — ROUTED + BALANCED "
-        f"spatial shards ({n_shards} cells -> {tot} sub-shards, "
-        f"max_pop {max_pop})",
+        f"## Protocol tuple at n = {n_kept:,}, m = {M} — ROUTED + "
+        f"BALANCED spatial shards ({n_shards} cells -> {tot} "
+        f"sub-shards, max_pop {max_pop})",
         "",
         f"Identical protocol to the routed-spatial 10M section, with "
         f"`spatial_shards_balanced` splitting over-populated cells at "
