@@ -772,7 +772,9 @@ def _reconstruct_mb(yplane, uplane, vplane, mby, mbx, mb_w,
 
 
 def _c128(v):
-    return np.clip(v, -128, 127)
+    # direct ufuncs: np.clip's dispatch overhead dominates the filter
+    # at ~200k small-array calls per frame
+    return np.maximum(np.minimum(v, 127), -128)
 
 
 def _filter_common(p1, p0, q0, q1, use_outer):
@@ -784,9 +786,12 @@ def _filter_common(p1, p0, q0, q1, use_outer):
     return _c128(p0 + e), _c128(q0 - f), f
 
 
-def _normal_edge(px, mb_edge, interior, edge_lim, hev_t):
+def _normal_edge(px, mb_edge, interior, edge_lim, hev_t, row_mask=None):
     """§15.2/15.3 normal filter for one edge. ``px`` is an int32 array
-    (n, 8) of [p3 p2 p1 p0 q0 q1 q2 q3]; returns the filtered copy."""
+    (n, 8) of [p3 p2 p1 p0 q0 q1 q2 q3]; returns the filtered copy.
+    ``interior``/``edge_lim``/``hev_t`` may be scalars or per-row
+    arrays; ``row_mask`` (bool per row) gates rows that belong to
+    unfiltered/inner-skipped macroblocks in batched calls."""
     u = px
     d = np.abs(np.diff(u, axis=1))
     mask = ((d[:, 0] <= interior) & (d[:, 1] <= interior) &
@@ -794,6 +799,8 @@ def _normal_edge(px, mb_edge, interior, edge_lim, hev_t):
             (d[:, 5] <= interior) & (d[:, 6] <= interior) &
             (np.abs(u[:, 3] - u[:, 4]) * 2 +
              (np.abs(u[:, 2] - u[:, 5]) >> 1) <= edge_lim))
+    if row_mask is not None:
+        mask &= row_mask
     hev = ((np.abs(u[:, 2] - u[:, 3]) > hev_t) |
            (np.abs(u[:, 5] - u[:, 4]) > hev_t))
     s = u - 128
@@ -828,11 +835,13 @@ def _normal_edge(px, mb_edge, interior, edge_lim, hev_t):
     return out
 
 
-def _simple_edge(px, edge_lim):
+def _simple_edge(px, edge_lim, row_mask=None):
     """§15.1 simple filter (luma only)."""
     u = px
     mask = (np.abs(u[:, 3] - u[:, 4]) * 2 +
             (np.abs(u[:, 2] - u[:, 5]) >> 1) <= edge_lim)
+    if row_mask is not None:
+        mask &= row_mask
     s = u - 128
     p1, p0, q0, q1 = s[:, 2], s[:, 3], s[:, 4], s[:, 5]
     np0, nq0, _ = _filter_common(p1, p0, q0, q1, True)
@@ -854,69 +863,113 @@ def _apply_h(plane, x0, y, n, fn):
 
 
 def _loop_filter(yp, up, vp, levels, inner, sharpness, simple):
-    """§15 in-loop deblocking, MB raster order: left MB edge, inner
-    vertical edges, top MB edge, inner horizontal edges (libwebp's
-    order; filters compound in-place)."""
+    """§15 in-loop deblocking, bit-equivalent to MB raster order (left
+    MB edge, inner vertical, top MB edge, inner horizontal — libwebp's
+    order; filters compound in-place).
+
+    Executed as an anti-diagonal WAVEFRONT for speed: all MBs with the
+    same r+c run their vertical edges in one batched kernel call per
+    edge position, then their horizontal edges likewise. This is the
+    exact dependency closure of raster order: V(r,c) needs H(r,c-1)
+    (left margin) and H(r-1,c) never writes below its MB's bottom-3
+    rows; H(r,c) needs V(r,c) and H(r-1,c); and V(r-1,c+1) must precede
+    H(r,c) because the top MB-edge filter writes 3 rows UP into MB
+    (r-1,c), whose right margin V(r-1,c+1) reads. Scheduling V at
+    wave 2(r+c) and H at 2(r+c)+1 satisfies every one of these, and
+    same-wave cells touch disjoint pixels. Pinned bit-for-bit against
+    libwebp by tests/test_vp8.py across filter configs and MB-grid
+    shapes (incl. single-row, single-column, and square grids)."""
     mb_h, mb_w = levels.shape
-    for mby in range(mb_h):
-        for mbx in range(mb_w):
-            fl = int(levels[mby, mbx])
-            if fl == 0:
-                continue
-            il = fl
-            if sharpness:
-                il >>= 2 if sharpness > 4 else 1
-                if il > 9 - sharpness:
-                    il = 9 - sharpness
-            if il < 1:
-                il = 1
-            mb_lim = ((fl + 2) * 2) + il
-            sb_lim = (fl * 2) + il
-            hev_t = 2 if fl >= 40 else (1 if fl >= 15 else 0)
-            do_inner = bool(inner[mby, mbx])
-            y0, x0 = mby * 16, mbx * 16
-            cy0, cx0 = mby * 8, mbx * 8
-            if simple:
-                if mbx > 0:
-                    _apply_v(yp, y0, x0, 16,
-                             lambda px: _simple_edge(px, mb_lim))
-                if do_inner:
-                    for dx in (4, 8, 12):
-                        _apply_v(yp, y0, x0 + dx, 16,
-                                 lambda px: _simple_edge(px, sb_lim))
-                if mby > 0:
-                    _apply_h(yp, x0, y0, 16,
-                             lambda px: _simple_edge(px, mb_lim))
-                if do_inner:
-                    for dy in (4, 8, 12):
-                        _apply_h(yp, x0, y0 + dy, 16,
-                                 lambda px: _simple_edge(px, sb_lim))
-                continue
+    fl = levels.astype(np.int32)
+    il = fl.copy()
+    if sharpness:
+        il >>= 2 if sharpness > 4 else 1
+        np.minimum(il, 9 - sharpness, out=il)
+    np.maximum(il, 1, out=il)
+    mb_lim = (fl + 2) * 2 + il
+    sb_lim = fl * 2 + il
+    hev_t = np.where(fl >= 40, 2, np.where(fl >= 15, 1, 0))
+    active = fl > 0
+    inner_act = active & inner
 
-            def mbf(px):
-                return _normal_edge(px, True, il, mb_lim, hev_t)
+    def batch_v(plane, items, n, mb_edge):
+        # items: (mb_r, x, il, lim, hev); one kernel call for them all
+        if not items:
+            return
+        slabs = np.concatenate(
+            [plane[r * n:(r + 1) * n, x - 4:x + 4]
+             for r, x, _, _, _ in items]).astype(np.int32)
+        lim = np.repeat([t[3] for t in items], n)
+        if simple:
+            out = _simple_edge(slabs, lim)
+        else:
+            ila = np.repeat([t[2] for t in items], n)
+            hva = np.repeat([t[4] for t in items], n)
+            out = _normal_edge(slabs, mb_edge, ila, lim, hva)
+        for i, (r, x, _, _, _) in enumerate(items):
+            plane[r * n:(r + 1) * n, x - 4:x + 4] = out[i * n:(i + 1) * n]
 
-            def sbf(px):
-                return _normal_edge(px, False, il, sb_lim, hev_t)
+    def batch_h(plane, items, n, mb_edge):
+        # items: (mb_c, y, il, lim, hev); slabs transposed to (n, 8)
+        if not items:
+            return
+        slabs = np.concatenate(
+            [plane[y - 4:y + 4, c * n:(c + 1) * n].T
+             for c, y, _, _, _ in items]).astype(np.int32)
+        lim = np.repeat([t[3] for t in items], n)
+        if simple:
+            out = _simple_edge(slabs, lim)
+        else:
+            ila = np.repeat([t[2] for t in items], n)
+            hva = np.repeat([t[4] for t in items], n)
+            out = _normal_edge(slabs, mb_edge, ila, lim, hva)
+        for i, (c, y, _, _, _) in enumerate(items):
+            plane[y - 4:y + 4, c * n:(c + 1) * n] = \
+                out[i * n:(i + 1) * n].T
 
-            if mbx > 0:
-                _apply_v(yp, y0, x0, 16, mbf)
-                _apply_v(up, cy0, cx0, 8, mbf)
-                _apply_v(vp, cy0, cx0, 8, mbf)
-            if do_inner:
-                for dx in (4, 8, 12):
-                    _apply_v(yp, y0, x0 + dx, 16, sbf)
-                _apply_v(up, cy0, cx0 + 4, 8, sbf)
-                _apply_v(vp, cy0, cx0 + 4, 8, sbf)
-            if mby > 0:
-                _apply_h(yp, x0, y0, 16, mbf)
-                _apply_h(up, cx0, cy0, 8, mbf)
-                _apply_h(vp, cx0, cy0, 8, mbf)
-            if do_inner:
-                for dy in (4, 8, 12):
-                    _apply_h(yp, x0, y0 + dy, 16, sbf)
-                _apply_h(up, cx0, cy0 + 4, 8, sbf)
-                _apply_h(vp, cx0, cy0 + 4, 8, sbf)
+    for d in range(mb_h + mb_w - 1):
+        cells = [(r, d - r) for r in range(max(0, d - mb_w + 1),
+                                           min(mb_h, d + 1))]
+        act = [(r, c) for r, c in cells if active[r, c]]
+        if not act:
+            continue
+        inn = [(r, c) for r, c in act if inner_act[r, c]]
+
+        # ---- vertical phase
+        mbv = [(r, c * 16, int(il[r, c]), int(mb_lim[r, c]),
+                int(hev_t[r, c])) for r, c in act if c > 0]
+        batch_v(yp, mbv, 16, True)
+        for dx in (4, 8, 12):
+            sbv = [(r, c * 16 + dx, int(il[r, c]), int(sb_lim[r, c]),
+                    int(hev_t[r, c])) for r, c in inn]
+            batch_v(yp, sbv, 16, False)
+        if not simple:
+            cmb = [(r, c * 8, int(il[r, c]), int(mb_lim[r, c]),
+                    int(hev_t[r, c])) for r, c in act if c > 0]
+            batch_v(up, cmb, 8, True)
+            batch_v(vp, cmb, 8, True)
+            csb = [(r, c * 8 + 4, int(il[r, c]), int(sb_lim[r, c]),
+                    int(hev_t[r, c])) for r, c in inn]
+            batch_v(up, csb, 8, False)
+            batch_v(vp, csb, 8, False)
+        # ---- horizontal phase
+        mbh = [(c, r * 16, int(il[r, c]), int(mb_lim[r, c]),
+                int(hev_t[r, c])) for r, c in act if r > 0]
+        batch_h(yp, mbh, 16, True)
+        if not simple:
+            cmbh = [(c, r * 8, int(il[r, c]), int(mb_lim[r, c]),
+                     int(hev_t[r, c])) for r, c in act if r > 0]
+            batch_h(up, cmbh, 8, True)
+            batch_h(vp, cmbh, 8, True)
+        for dy in (4, 8, 12):
+            sbh = [(c, r * 16 + dy, int(il[r, c]), int(sb_lim[r, c]),
+                    int(hev_t[r, c])) for r, c in inn]
+            batch_h(yp, sbh, 16, False)
+        if not simple:
+            csbh = [(c, r * 8 + 4, int(il[r, c]), int(sb_lim[r, c]),
+                     int(hev_t[r, c])) for r, c in inn]
+            batch_h(up, csbh, 8, False)
+            batch_h(vp, csbh, 8, False)
 
 
 # ------------------------------------------------------- RGB output
