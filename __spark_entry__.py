@@ -705,13 +705,28 @@ _QPART_CACHE: dict[str, tuple] = {}
 N_QPART_CELLS = 4
 
 
+def _qpart_fp(book_path: str, work_path: str):
+    """Cheap on-disk fingerprint of a qpart index: codebook stat +
+    shard partition listing. Guards the session cache against a work
+    table rebuilt under the same path mid-session (VERDICT r6 note)."""
+    import os
+    try:
+        st = os.stat(book_path)
+        parts = tuple(sorted(e for e in os.listdir(work_path)
+                             if e.startswith("shard=")))
+        return (st.st_size, st.st_mtime_ns, parts)
+    except OSError:
+        return None
+
+
 def _qpart_index(spark: SparkSession, sf_dir: str) -> tuple:
     """Build-or-load the SPATIAL-sharded index persisted as the
     at-rest work table (``persist_search_work``) plus its routing
     codebook — the input shape of the query-partitioned search."""
     import os
-    if sf_dir in _QPART_CACHE:
-        return _QPART_CACHE[sf_dir]
+    hit = _QPART_CACHE.get(sf_dir)
+    if hit is not None and _qpart_fp(hit[3], hit[0]) == hit[4]:
+        return hit[:3]
     v = TD.embeddings_norm(spark, sf_dir)
     base = v.select("vec_id", "vec")
     p = _ROAR_PARAMS
@@ -734,8 +749,9 @@ def _qpart_index(spark: SparkSession, sf_dir: str) -> tuple:
         np.save(book_path, book)
     book = np.load(book_path)
     n = TD.embeddings_norm(spark, sf_dir).count()
-    _QPART_CACHE[sf_dir] = (work_path, book, n)
-    return _QPART_CACHE[sf_dir]
+    _QPART_CACHE[sf_dir] = (work_path, book, n, book_path,
+                            _qpart_fp(book_path, work_path))
+    return _QPART_CACHE[sf_dir][:3]
 
 
 def q_ann_qpart_search(spark: SparkSession, sf_dir: str) -> DataFrame:
