@@ -318,6 +318,16 @@ def test_query_partitioned_search_matches_driver_routed(
             budget=50)
         assert sorted(map(tuple, got.select(key).collect())) \
             == sorted(map(tuple, ref.select(key).collect())), nprobe
+    # the cache-bypass measurement path must produce the same rows
+    nocache = sharded.search_sharded_query_partitioned(
+        path, q, book, nprobe=2, min_pq=5, max_pq=50, budget=50,
+        use_worker_cache=False)
+    routes2 = sharded.route_query_sets(q, book, nprobe=2)
+    ref2 = sharded.search_sharded(
+        None, sb.select("vec_id", "vec"), q, min_pq=5, max_pq=50,
+        budget=50, n_shards=N_SHARDS, work=work, routes=routes2)
+    assert sorted(map(tuple, nocache.select(key).collect())) \
+        == sorted(map(tuple, ref2.select(key).collect()))
     with pytest.raises(ValueError, match="nprobe"):
         sharded.search_sharded_query_partitioned(
             path, q, book, nprobe=0, min_pq=5, max_pq=50, budget=50)
