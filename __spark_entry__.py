@@ -1716,9 +1716,11 @@ SQL_KMEANS_CELLS = _kmeans_sql()
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end under the oracle gate: opaque
     binary payloads -> Arrow-batched feature extraction (deterministic
-    hash kernel here so the oracle twin is exact; real pure-NumPy
-    decoders for netpbm/BMP/PCM-WAV live in operators/multimodal.py,
-    compressed codecs remain a declared container limitation) +
+    hash kernel here so the oracle twin is exact; the real pure-NumPy
+    decoders — netpbm/BMP/PCM-WAV/PNG, JPEG incl. progressive and
+    arithmetic, WebP incl. lossy VP8 with alpha — live in
+    operators/multimodal.py + functions/{jpeg,webp,vp8}.py and are
+    pinned against libjpeg/libwebp oracles in their own test suites) +
     the relational video frame-sampling plan. Every output column is
     SQL-derivable: modality cycle, feature dim, unit norm, frame count
     from the duration/step arithmetic."""

@@ -1,11 +1,16 @@
 """Pure-NumPy JPEG codec (ITU-T T.81): baseline AND progressive Huffman.
 
 In-container REAL compressed-image decode with no external codec
-library: the decoder handles 8-bit Huffman JPEG — baseline (SOF0/SOF1,
+library: the decoder handles 8-bit JPEG — Huffman baseline (SOF0/SOF1,
 single- or multi-scan) and PROGRESSIVE (SOF2: spectral selection +
 successive approximation, DC/AC first and refinement scans, EOB runs)
 — gray or YCbCr, arbitrary integer sampling factors (4:4:4, 4:2:0,
-4:2:2, ...), restart intervals. It raises ``NotImplementedError`` only
+4:2:2, ...), restart intervals, AND ARITHMETIC entropy coding
+(SOF9 sequential + SOF10 progressive: the T.81 Annex D/G QM-family
+coder with DAC conditioning, pinned bit-for-bit against libjpeg via
+the Huffman-twin equivalence in tests/test_jpeg_arith.py — the two
+entropy codings carry identical coefficients, so the proven Huffman
+decode is an exact pixel oracle). It raises ``NotImplementedError`` only
 for the modes that genuinely need a richer codec (arithmetic coding,
 hierarchical, 12-bit), which ``operators.multimodal`` then routes
 through the import-guarded PIL/cv2 seam.
@@ -821,13 +826,389 @@ def _scan_ac_refine(br: _BitReader, c: dict, hac: dict, ri: int,
                 eobrun -= 1
 
 
+# ---------------------------------------------- arithmetic decoding
+
+
+def _load_aritab():
+    """(qe, next_mps, next_lps, switch) int arrays from the packed
+    Table D.3 module (see tools/extract_jpeg_aritab.py)."""
+    from .jpeg_aritab import JPEG_ARITAB as t
+    qe = (t >> 16).astype(int).tolist()
+    nm = ((t >> 8) & 0xFF).astype(int).tolist()
+    nl = (t & 0x7F).astype(int).tolist()
+    sw = ((t >> 7) & 1).astype(int).tolist()
+    return qe, nm, nl, sw
+
+
+_ARI_QE, _ARI_NM, _ARI_NL, _ARI_SW = _load_aritab()
+
+
+class _ArithDecoder:
+    """ITU T.81 Annex G / F.2.2 arithmetic decoder over a JPEG
+    entropy-coded segment (libjpeg register convention: 32-bit C
+    register fed bytewise under a bit counter, A renormalized to
+    >= 0x8000, Qe compared against (A - Qe) << ct).
+
+    Statistics bins are bytearrays of (mps << 7) | state_index.
+    0xFF-stuffing is undone; a real marker ends the segment (further
+    reads stuff zero bytes) and its position is left in ``marker``.
+    """
+
+    __slots__ = ("d", "i", "end", "marker", "c", "a", "ct")
+
+    def __init__(self, d: bytes, i: int):
+        self.d = d
+        self.i = i
+        self.end = len(d)
+        self.marker = None
+        self.c = 0
+        self.a = 0
+        self.ct = -16
+
+    def _byte(self) -> int:
+        if self.marker is not None:
+            return 0
+        d, i = self.d, self.i
+        if i >= self.end:
+            self.marker = self.end
+            return 0
+        b = d[i]
+        i += 1
+        if b == 0xFF:
+            j = i
+            while j < self.end and d[j] == 0xFF:
+                j += 1
+            if j < self.end and d[j] == 0x00:
+                self.i = j + 1                 # stuffed zero: data 0xFF
+                return 0xFF
+            self.marker = i - 1                # marker terminates data
+            return 0
+        self.i = i
+        return b
+
+    def decode(self, st: bytearray, k: int) -> int:
+        a, c, ct = self.a, self.c, self.ct
+        # renormalization & data feeding (F.2.2.4)
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = ((c << 8) | self._byte()) & 0xFFFFFFFF
+                ct += 8
+                if ct < 0:
+                    ct += 1
+                    if ct == 0:
+                        a = 0x10000
+                        continue
+            a <<= 1
+        sv = st[k]
+        idx = sv & 0x7F
+        qe = _ARI_QE[idx]
+        temp = a - qe
+        a = temp
+        temp = (temp << ct) & 0xFFFFFFFF
+        if c >= temp:
+            c -= temp
+            # conditional LPS exchange
+            if a < qe:
+                st[k] = (sv & 0x80) | _ARI_NM[idx]
+            else:
+                st[k] = ((sv & 0x80) ^ (0x80 if _ARI_SW[idx] else 0)) \
+                    | _ARI_NL[idx]
+                sv ^= 0x80
+            a = qe
+        elif a < 0x8000:
+            # conditional MPS exchange
+            if a < qe:
+                st[k] = ((sv & 0x80) ^ (0x80 if _ARI_SW[idx] else 0)) \
+                    | _ARI_NL[idx]
+                sv ^= 0x80
+            else:
+                st[k] = (sv & 0x80) | _ARI_NM[idx]
+        self.a, self.c, self.ct = a, c, ct
+        return sv >> 7
+
+
+def _arith_restart(ad: "_ArithDecoder", d: bytes, expected: int):
+    """Find and consume the RSTn marker terminating the current
+    interval; returns a fresh decoder positioned after it."""
+    i = ad.marker if ad.marker is not None else ad.i
+    while i + 1 < len(d) and not (d[i] == 0xFF and d[i + 1] != 0x00):
+        i += 1
+    if not (i + 1 < len(d) and d[i] == 0xFF
+            and 0xD0 <= d[i + 1] <= 0xD7):
+        raise ValueError("expected restart marker in arithmetic scan")
+    if d[i + 1] != 0xD0 + expected:
+        raise ValueError("restart marker out of sequence")
+    return _ArithDecoder(d, i + 2)
+
+
+def _scan_arith_sequential(ad: "_ArithDecoder", frame: dict,
+                           comps: list, cond: dict, ri: int):
+    """Sequential DC+AC arithmetic scan (T.81 §F.2.4 decode procedures
+    with the Annex G statistical model; bin layout and control flow
+    mirror the spec figures F.21-F.24 as realized in the public
+    jdarith reference)."""
+    dc_stats = {c["dc"]: bytearray(64) for c in comps}
+    ac_stats = {c["ac"]: bytearray(256) for c in comps}
+    fixed = bytearray([113])
+    dc_ctx = {c["id"]: 0 for c in comps}
+    last_dc = {c["id"]: 0 for c in comps}
+    n_restart = 0
+    for u_i, unit in enumerate(_scan_units(frame, comps)):
+        if ri and u_i and u_i % ri == 0:
+            ad = _arith_restart(ad, ad.d, n_restart & 7)
+            n_restart += 1
+            for b in dc_stats.values():
+                b[:] = bytes(len(b))
+            for b in ac_stats.values():
+                b[:] = bytes(len(b))
+            dc_ctx = {c["id"]: 0 for c in comps}
+            last_dc = {c["id"]: 0 for c in comps}
+        for c, by, bx in unit:
+            zz = c["zz"][by, bx]
+            cid = c["id"]
+            dcL, dcU = cond["dc"].get(c["dc"], (0, 1))
+            acK = cond["ac"].get(c["ac"], 5)
+            dst = dc_stats[c["dc"]]
+            ast = ac_stats[c["ac"]]
+            # ---- DC (F.21/F.23/F.24 with G.1.3.2 conditioning)
+            s0 = dc_ctx[cid]
+            if ad.decode(dst, s0) == 0:
+                dc_ctx[cid] = 0
+            else:
+                sign = ad.decode(dst, s0 + 1)
+                stk = s0 + 2 + sign
+                m = ad.decode(dst, stk)
+                if m:
+                    stk = 20                      # X1 bin (Table F.4)
+                    while ad.decode(dst, stk):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError(
+                                "arithmetic DC magnitude overflow")
+                        stk += 1
+                if m < (1 << dcL) >> 1:
+                    dc_ctx[cid] = 0
+                elif m > (1 << dcU) >> 1:
+                    dc_ctx[cid] = 12 + sign * 4
+                else:
+                    dc_ctx[cid] = 4 + sign * 4
+                v = m
+                stk += 14                         # M bins follow X bins
+                m >>= 1
+                while m:
+                    if ad.decode(dst, stk):
+                        v |= m
+                    m >>= 1
+                v += 1
+                last_dc[cid] += -v if sign else v
+            zz[0] = last_dc[cid]
+            # ---- AC (F.21/F.22/F.23/F.24)
+            k = 1
+            while k <= 63:
+                stk = 3 * (k - 1)
+                if ad.decode(ast, stk):           # EOB
+                    break
+                while ad.decode(ast, stk + 1) == 0:
+                    stk += 3
+                    k += 1
+                    if k > 63:
+                        raise ValueError(
+                            "arithmetic AC run past end of block")
+                sign = ad.decode(fixed, 0)
+                stk += 2
+                m = ad.decode(ast, stk)
+                if m:
+                    if ad.decode(ast, stk):
+                        m = 2
+                        stk = 189 if k <= acK else 217
+                        while ad.decode(ast, stk):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise ValueError(
+                                    "arithmetic AC magnitude overflow")
+                            stk += 1
+                v = m
+                stk += 14
+                m >>= 1
+                while m:
+                    if ad.decode(ast, stk):
+                        v |= m
+                    m >>= 1
+                v += 1
+                zz[k] = -v if sign else v
+                k += 1
+    return ad
+
+
+def _scan_arith_dc_first(ad, frame, comps, cond, ri, al):
+    """Progressive arithmetic DC-first scan (F.2.4.1; value << Al)."""
+    dc_stats = {c["dc"]: bytearray(64) for c in comps}
+    dc_ctx = {c["id"]: 0 for c in comps}
+    last_dc = {c["id"]: 0 for c in comps}
+    n_restart = 0
+    for u_i, unit in enumerate(_scan_units(frame, comps)):
+        if ri and u_i and u_i % ri == 0:
+            ad = _arith_restart(ad, ad.d, n_restart & 7)
+            n_restart += 1
+            for b in dc_stats.values():
+                b[:] = bytes(len(b))
+            dc_ctx = {c["id"]: 0 for c in comps}
+            last_dc = {c["id"]: 0 for c in comps}
+        for c, by, bx in unit:
+            cid = c["id"]
+            dcL, dcU = cond["dc"].get(c["dc"], (0, 1))
+            dst = dc_stats[c["dc"]]
+            s0 = dc_ctx[cid]
+            if ad.decode(dst, s0) == 0:
+                dc_ctx[cid] = 0
+            else:
+                sign = ad.decode(dst, s0 + 1)
+                stk = s0 + 2 + sign
+                m = ad.decode(dst, stk)
+                if m:
+                    stk = 20
+                    while ad.decode(dst, stk):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError(
+                                "arithmetic DC magnitude overflow")
+                        stk += 1
+                if m < (1 << dcL) >> 1:
+                    dc_ctx[cid] = 0
+                elif m > (1 << dcU) >> 1:
+                    dc_ctx[cid] = 12 + sign * 4
+                else:
+                    dc_ctx[cid] = 4 + sign * 4
+                v = m
+                stk += 14
+                m >>= 1
+                while m:
+                    if ad.decode(dst, stk):
+                        v |= m
+                    m >>= 1
+                v += 1
+                last_dc[cid] += -v if sign else v
+            c["zz"][by, bx][0] = last_dc[cid] << al
+    return ad
+
+
+def _scan_arith_dc_refine(ad, frame, comps, ri, al):
+    """Progressive arithmetic DC-refinement: one fixed-probability
+    decision per block (F.2.4.1, successive approximation)."""
+    fixed = bytearray([113])
+    p1 = 1 << al
+    n_restart = 0
+    for u_i, unit in enumerate(_scan_units(frame, comps)):
+        if ri and u_i and u_i % ri == 0:
+            ad = _arith_restart(ad, ad.d, n_restart & 7)
+            n_restart += 1
+            fixed = bytearray([113])
+        for c, by, bx in unit:
+            if ad.decode(fixed, 0):
+                c["zz"][by, bx][0] |= p1
+    return ad
+
+
+def _scan_arith_ac_first(ad, c, cond, ri, ss, se, al):
+    """Progressive arithmetic AC-first scan over band Ss..Se."""
+    ac_stats = bytearray(256)
+    fixed = bytearray([113])
+    acK = cond["ac"].get(c["ac"], 5)
+    n_restart = 0
+    for u_i, unit in enumerate(_scan_units(
+            {"mcus_y": 1, "mcus_x": 1}, [c])):
+        if ri and u_i and u_i % ri == 0:
+            ad = _arith_restart(ad, ad.d, n_restart & 7)
+            n_restart += 1
+            ac_stats = bytearray(256)
+        (c_, by, bx), = unit
+        zz = c_["zz"][by, bx]
+        k = ss
+        while k <= se:
+            stk = 3 * (k - 1)
+            if ad.decode(ac_stats, stk):
+                break
+            while ad.decode(ac_stats, stk + 1) == 0:
+                stk += 3
+                k += 1
+                if k > se:
+                    raise ValueError(
+                        "arithmetic AC run past end of band")
+            sign = ad.decode(fixed, 0)
+            stk += 2
+            m = ad.decode(ac_stats, stk)
+            if m:
+                if ad.decode(ac_stats, stk):
+                    m = 2
+                    stk = 189 if k <= acK else 217
+                    while ad.decode(ac_stats, stk):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError(
+                                "arithmetic AC magnitude overflow")
+                        stk += 1
+            v = m
+            stk += 14
+            m >>= 1
+            while m:
+                if ad.decode(ac_stats, stk):
+                    v |= m
+                m >>= 1
+            v += 1
+            zz[k] = (-v if sign else v) << al
+            k += 1
+    return ad
+
+
+def _scan_arith_ac_refine(ad, c, ri, ss, se, al):
+    """Progressive arithmetic AC-refinement (F.2.4.2 correction bits)."""
+    ac_stats = bytearray(256)
+    fixed = bytearray([113])
+    p1 = 1 << al
+    m1 = -1 << al
+    n_restart = 0
+    for u_i, unit in enumerate(_scan_units(
+            {"mcus_y": 1, "mcus_x": 1}, [c])):
+        if ri and u_i and u_i % ri == 0:
+            ad = _arith_restart(ad, ad.d, n_restart & 7)
+            n_restart += 1
+            ac_stats = bytearray(256)
+        (c_, by, bx), = unit
+        zz = c_["zz"][by, bx]
+        kex = se
+        while kex > 0 and zz[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            stk = 3 * (k - 1)
+            if k > kex and ad.decode(ac_stats, stk):
+                break
+            while True:
+                if zz[k]:
+                    if ad.decode(ac_stats, stk + 2):
+                        zz[k] += m1 if zz[k] < 0 else p1
+                    break
+                if ad.decode(ac_stats, stk + 1):
+                    zz[k] = m1 if ad.decode(fixed, 0) else p1
+                    break
+                stk += 3
+                k += 1
+                if k > se:
+                    raise ValueError(
+                        "arithmetic AC refine past end of band")
+            k += 1
+    return ad
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode Huffman JPEG bytes to uint8 (H,W) gray or (H,W,3) RGB.
 
-    Handles baseline (SOF0/SOF1, single- or multi-scan) AND progressive
-    (SOF2) frames. Raises NotImplementedError for arithmetic,
-    hierarchical, and 12-bit modes so the caller can dispatch to an
-    external codec; malformed data raises ValueError.
+    Handles baseline (SOF0/SOF1, single- or multi-scan), progressive
+    (SOF2), and ARITHMETIC-coded (SOF9/SOF10) frames. Raises
+    NotImplementedError for hierarchical and 12-bit modes so the
+    caller can dispatch to an external codec; malformed data raises
+    ValueError.
     """
     d = payload
     if d[:2] != b"\xff\xd8":
@@ -839,6 +1220,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ri = 0
     frame = None
     progressive = False
+    arith = False
+    cond = {"dc": {}, "ac": {}}
     saw_scan = False
     while True:
         if i + 1 >= len(d):
@@ -895,8 +1278,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 j += 17 + nv
         elif m == 0xDD:                                # DRI
             ri = int.from_bytes(body[:2], "big")
-        elif m in (0xC0, 0xC1, 0xC2):                  # SOF0/1/2
-            progressive = (m == 0xC2)
+        elif m == 0xCC:                                # DAC (T.81 B.2.4.3)
+            j = 0
+            while j + 1 < len(body):
+                cls, tid = body[j] >> 4, body[j] & 15
+                if cls == 0:
+                    cond["dc"][tid] = (body[j + 1] & 15,
+                                       body[j + 1] >> 4)   # (L, U)
+                else:
+                    cond["ac"][tid] = body[j + 1]           # Kx
+                j += 2
+        elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):      # SOF0/1/2/9/10
+            progressive = m in (0xC2, 0xCA)
+            arith = m in (0xC9, 0xCA)
             if body[0] != 8:
                 raise NotImplementedError(f"{body[0]}-bit JPEG precision")
             fh = int.from_bytes(body[1:3], "big")
@@ -925,7 +1319,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 c["cw"] = -(-comp_w // 8)
                 c["ch"] = -(-comp_h // 8)
                 c["zz"] = np.zeros((c["by"], c["bx"], 64), dtype=np.int64)
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame type 0xFF{m:02X}")
@@ -943,6 +1337,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan_comps.append(by_id[cid])
             ss, se, ahal = body[1 + 2 * nc:4 + 2 * nc]
             ah, al = ahal >> 4, ahal & 15
+            if arith:
+                ad = _ArithDecoder(d, i)
+                if not progressive:
+                    ad = _scan_arith_sequential(ad, frame, scan_comps,
+                                                cond, ri)
+                elif ss == 0:
+                    if ah == 0:
+                        ad = _scan_arith_dc_first(ad, frame,
+                                                  scan_comps, cond,
+                                                  ri, al)
+                    else:
+                        ad = _scan_arith_dc_refine(ad, frame,
+                                                   scan_comps, ri, al)
+                else:
+                    if len(scan_comps) != 1:
+                        raise ValueError(
+                            "progressive AC scan with several "
+                            "components")
+                    if ah == 0:
+                        ad = _scan_arith_ac_first(ad, scan_comps[0],
+                                                  cond, ri, ss, se, al)
+                    else:
+                        ad = _scan_arith_ac_refine(ad, scan_comps[0],
+                                                   ri, ss, se, al)
+                saw_scan = True
+                i = _skip_to_marker(
+                    d, ad.marker if ad.marker is not None else ad.i)
+                continue
             br = _BitReader(d, i)
             if not progressive:
                 _scan_sequential(br, frame, scan_comps, hdc, hac, ri)

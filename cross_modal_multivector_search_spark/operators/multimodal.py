@@ -3,15 +3,18 @@
 North-star extra (BASELINE.json): image/audio/video travel as
 ``binary`` columns with a metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
-Decode is REAL with no external library for binary netpbm P5/P6,
-uncompressed 24/32-bit BMP, 8/16-bit PCM WAV, and 8-bit PNG — a true
-compressed codec (stdlib-zlib DEFLATE inflate + NumPy scanline
-unfiltering), with ``encode_png`` as its round-trip partner. Codecs
-that genuinely need an external library (JPEG/WebP) route through an
-import-guarded PIL/cv2 dispatch whose seam is stub-tested, raising a
-clearly-marked NotImplementedError only when neither is installed. The
-Spark-side contract — schema, batch shape, partitioning, UDF
-signature — is exercised end-to-end with real image bytes in the tests.
+Decode is REAL with no external library for netpbm P1-P6, uncompressed
+24/32-bit BMP (incl. BI_BITFIELDS), 8/16-bit PCM WAV, 8-bit PNG
+(stdlib-zlib DEFLATE inflate + NumPy scanline unfiltering), JPEG
+(Huffman baseline + progressive AND arithmetic SOF9/SOF10 —
+functions/jpeg.py), and WebP (lossless VP8L and lossy VP8 keyframes
+with alpha — functions/webp.py, functions/vp8.py). The few residual
+variants that genuinely need an external library (hierarchical/12-bit
+JPEG, VP8 interframes) route through an import-guarded PIL/cv2
+dispatch whose seam is stub-tested, raising a clearly-marked
+NotImplementedError only when neither is installed. The Spark-side
+contract — schema, batch shape, partitioning, UDF signature — is
+exercised end-to-end with real image bytes in the tests.
 
 Design for 100 TB: payloads stay in their own column so column pruning
 skips them unless a stage touches them; metadata-only predicates
@@ -283,7 +286,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         try:
             return _jpeg.decode_jpeg(payload)
         except NotImplementedError:
-            # arithmetic/hierarchical/12-bit: needs a full codec library
+            # hierarchical/12-bit: needs a full codec library
             return _decode_with_library(payload, "JPEG")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ..functions import webp as _webp
@@ -294,8 +297,10 @@ def decode_image(payload: bytes) -> np.ndarray:
             return _decode_with_library(payload, "WebP")
     raise NotImplementedError(
         "unrecognized image payload; supported in-container: netpbm "
-        "P1-P6, uncompressed BMP, 8-bit PNG, WebP (lossless VP8L and "
-        "lossy VP8 keyframes, with alpha); via PIL/cv2: JPEG variants")
+        "P1-P6, uncompressed BMP, 8-bit PNG, JPEG (baseline/"
+        "progressive/arithmetic), WebP (lossless VP8L and lossy VP8 "
+        "keyframes, with alpha); via PIL/cv2: hierarchical/12-bit "
+        "JPEG")
 
 
 def encode_png(img: np.ndarray) -> bytes:

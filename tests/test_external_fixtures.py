@@ -139,3 +139,17 @@ def test_external_lossy_webp_decodes():
 
     diff = np.abs(luma(out[..., :3].astype(float)) - luma(GT.astype(float)))
     assert diff.mean() < 16
+
+def test_external_arith_jpeg_decodes():
+    """A real SOF9 arithmetic-coded JPEG (libjpeg-encoded): same logo,
+    luma within lossy tolerance, exact-output regression pin."""
+    out = M.decode_image(X.PYTHON_ARITH_JPG)
+    assert out.shape == (16, 16, 3)
+
+    def luma(x):
+        return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+    diff = np.abs(luma(out.astype(float)) - luma(GT.astype(float)))
+    assert diff.mean() < 8
+    assert hashlib.sha256(out.tobytes()).hexdigest().startswith(
+        "eb2d330d3f830497")

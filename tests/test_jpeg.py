@@ -96,13 +96,14 @@ def test_quality_monotonic():
     assert p_hi > p_lo
 
 
-def test_arithmetic_raises_not_implemented():
+def test_hierarchical_raises_not_implemented():
+    """Arithmetic (SOF9/SOF10) now decodes in-repo (tests/
+    test_jpeg_arith.py); hierarchical frames remain the declared seam."""
     img = _smooth_rgb(16, 16)
     data = bytearray(jpeg.encode_jpeg(img))
-    # flip the SOF0 marker (FFC0) to SOF9 (FFC9): arithmetic coding
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC9
-    with pytest.raises(NotImplementedError, match="0xFFC9"):
+    data[i + 1] = 0xC5                      # SOF5: differential frame
+    with pytest.raises(NotImplementedError, match="0xFFC5"):
         jpeg.decode_jpeg(bytes(data))
 
 

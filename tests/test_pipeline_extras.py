@@ -477,11 +477,18 @@ def test_image_extractor_over_spark_pipeline(spark):
         fmt = ("ppm", "bmp", "jpeg", "webp")[i % 4]
         rows.append((i, "image", bytearray(enc(img)), fmt, 8, 6 + i,
                      None))
+    # third-party-encoded lossy payloads: VP8+alpha WebP and
+    # arithmetic-coded JPEG decode through the same Spark stage
+    from external_fixtures import PYTHON_ARITH_JPG, PYTHON_WEBP
+    rows.append((12, "image", bytearray(PYTHON_WEBP), "webp", 16, 16,
+                 None))
+    rows.append((13, "image", bytearray(PYTHON_ARITH_JPG), "jpeg", 16,
+                 16, None))
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     feats = multimodal.extract_features(
         media, extractor=multimodal.image_feature_extractor(12), dim=12)
     got = {r["media_id"]: np.array(r["feature"]) for r in feats.collect()}
-    assert len(got) == 12
+    assert len(got) == 14
     for v in got.values():
         assert len(v) == 12 and abs(np.linalg.norm(v) - 1.0) < 1e-5
     # deterministic: driver-side kernel agrees with the Spark pipeline
