@@ -265,11 +265,14 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     In-container (no external library): binary netpbm P5/P6,
     uncompressed 24/32-bit BMP, REAL 8-bit PNG (stdlib zlib inflate +
-    NumPy unfilter), and REAL Huffman JPEG — baseline AND progressive
-    SOF2 (pure-NumPy Huffman+IDCT, ``functions.jpeg``). The residual
-    JPEG modes (arithmetic coding, hierarchical, 12-bit) and WebP
-    route through the import-guarded PIL/cv2 dispatch and raise
-    NotImplementedError only when neither is installed.
+    NumPy unfilter), REAL JPEG — baseline, progressive SOF2, AND
+    arithmetic-coded SOF9/SOF10 (pure-NumPy Huffman/QM-coder + IDCT,
+    ``functions.jpeg``) — and REAL WebP, lossless VP8L
+    (``functions.webp``) and lossy VP8 keyframes + ALPH alpha
+    (``functions.vp8``). The residual modes (hierarchical / 12-bit
+    JPEG, VP8 interframes) route through the import-guarded PIL/cv2
+    dispatch and raise NotImplementedError only when neither is
+    installed.
     """
     if payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         return _decode_netpbm(payload)
