@@ -551,41 +551,18 @@ def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
     return _unfilter_alpha(plane, filt)
 
 
-def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a WebP payload in pure NumPy: lossless (VP8L), lossy
-    (VP8 keyframe, RFC 6386 — see vp8.py), and extended (VP8X) files
-    including an ALPH alpha plane over lossy.
-    Returns uint8 (H, W, 3) RGB, or (H, W, 4) RGBA when any alpha < 255.
-    """
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("not a WebP payload (missing RIFF/WEBP)")
-    pos = 12
-    vp8l = vp8_chunk = alph = None
-    while pos + 8 <= len(payload):
-        tag = payload[pos:pos + 4]
-        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
-        body = payload[pos + 8:pos + 8 + size]
-        if tag == b"VP8L":
-            vp8l = body
-            break
-        if tag == b"VP8 ":
-            vp8_chunk = body
-            break
-        if tag == b"ALPH":
-            alph = body
+def _iter_chunks(buf: bytes, pos: int = 0):
+    """Yield (tag, body) over a RIFF chunk sequence (chunks are padded
+    to even sizes per RIFF; the pad byte is not part of the body)."""
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        yield tag, buf[pos + 8:pos + 8 + size]
         pos += 8 + size + (size & 1)
-    if vp8_chunk is not None:
-        from . import vp8 as _vp8
-        y, u, v = _vp8.decode_vp8_frame(vp8_chunk)
-        rgb = _vp8.vp8_to_rgb(y, u, v)
-        if alph is not None:
-            a = _decode_alpha(alph, rgb.shape[1], rgb.shape[0])
-            if (a != 255).any():
-                return np.dstack([rgb, a])
-        return rgb
-    if vp8l is None:
-        raise NotImplementedError(
-            "no VP8/VP8L chunk found in WebP container")
+
+
+def _decode_vp8l_rgba(vp8l: bytes) -> np.ndarray:
+    """VP8L chunk body -> uint8 (H, W, 4) RGBA."""
     if not vp8l or vp8l[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
     r = _LsbReader(vp8l, 1)
@@ -599,9 +576,196 @@ def decode_webp(payload: bytes) -> np.ndarray:
     red = ((argb >> np.uint64(16)) & np.uint64(0xFF)).astype(np.uint8)
     g = ((argb >> np.uint64(8)) & np.uint64(0xFF)).astype(np.uint8)
     b = (argb & np.uint64(0xFF)).astype(np.uint8)
-    if (a != 255).any():
-        return np.stack([red, g, b, a], axis=-1)
-    return np.stack([red, g, b], axis=-1)
+    return np.stack([red, g, b, a], axis=-1)
+
+
+def _decode_frame_rgba(data: bytes) -> np.ndarray:
+    """Decode a still-image chunk sequence (optional ALPH + VP8, or
+    VP8L) to uint8 (H, W, 4) RGBA. This is the payload layout both of
+    a whole simple/extended WebP file after the header chunks and of
+    an ANMF animation frame's Frame Data (container spec §Animation).
+    """
+    vp8l = vp8_chunk = alph = None
+    for tag, body in _iter_chunks(data):
+        if tag == b"VP8L":
+            vp8l = body
+            break
+        if tag == b"VP8 ":
+            vp8_chunk = body
+            break
+        if tag == b"ALPH":
+            alph = body
+    if vp8_chunk is not None:
+        from . import vp8 as _vp8
+        y, u, v = _vp8.decode_vp8_frame(vp8_chunk)
+        rgb = _vp8.vp8_to_rgb(y, u, v)
+        if alph is not None:
+            a = _decode_alpha(alph, rgb.shape[1], rgb.shape[0])
+        else:
+            a = np.full(rgb.shape[:2], 255, dtype=np.uint8)
+        return np.dstack([rgb, a])
+    if vp8l is None:
+        raise NotImplementedError(
+            "no VP8/VP8L chunk found in WebP container")
+    return _decode_vp8l_rgba(vp8l)
+
+
+def _rgb_unless_alpha(rgba: np.ndarray) -> np.ndarray:
+    return rgba if (rgba[:, :, 3] != 255).any() else rgba[:, :, :3]
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Decode a WebP payload in pure NumPy: lossless (VP8L), lossy
+    (VP8 keyframe, RFC 6386 — see vp8.py), and extended (VP8X) files
+    including an ALPH alpha plane over lossy and animations (the first
+    composed frame, matching common still-decoder behavior).
+    Returns uint8 (H, W, 3) RGB, or (H, W, 4) RGBA when any alpha < 255.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload (missing RIFF/WEBP)")
+    for tag, _ in _iter_chunks(payload, 12):
+        if tag == b"ANMF":
+            return _rgb_unless_alpha(decode_webp_frames(payload)[0][2])
+    return _rgb_unless_alpha(_decode_frame_rgba(payload[12:]))
+
+
+def _blend_rgba(canvas: np.ndarray, frame: np.ndarray) -> np.ndarray:
+    """Straight-alpha 'over' composite of ``frame`` onto ``canvas``
+    (both uint8 RGBA), per the container spec's blending pseudocode:
+    blend.A = frame.A + canvas.A*(1-frame.A); blend.RGB is the
+    alpha-weighted average. Float64 arithmetic, round-half-even."""
+    fa = frame[:, :, 3:].astype(np.float64) / 255.0
+    ca = canvas[:, :, 3:].astype(np.float64) / 255.0
+    oa = fa + ca * (1.0 - fa)
+    rgb = (frame[:, :, :3] * fa + canvas[:, :, :3] * ca * (1.0 - fa))
+    out = np.zeros_like(canvas)
+    np.divide(rgb, oa, out=rgb, where=oa > 0)
+    out[:, :, :3] = np.rint(rgb).astype(np.uint8)
+    out[:, :, 3] = np.rint(oa[:, :, 0] * 255.0).astype(np.uint8)
+    return out
+
+
+def decode_webp_frames(
+        payload: bytes) -> list[tuple[int, int, np.ndarray]]:
+    """Decode a WebP payload to [(start_ms, duration_ms, RGBA canvas)].
+
+    Animated WebP (VP8X with the Animation flag + ANIM/ANMF chunks,
+    container spec §Animation) composes each frame onto the canvas:
+    frames are independent VP8/VP8L stills placed at (2*Frame X,
+    2*Frame Y); Blending method 0 alpha-blends the frame over the
+    canvas, 1 overwrites the rectangle; Disposal method 1 fills the
+    frame's rectangle with the ANIM background color (stored BGRA)
+    before the next frame renders. The canvas starts fully transparent.
+    Each returned array is an independent (canvas_h, canvas_w, 4)
+    snapshot. Non-animated payloads return one frame, (0, 0, rgba) —
+    so video-style frame sampling treats every WebP uniformly.
+
+    Reference parity: the reference's data prep feeds real scraped
+    imagery to frame-level embedding (prepare_for_clip_webvid.py:1-54);
+    animated WebP is the one video-like format fully decodable with
+    the in-repo VP8/VP8L codecs.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload (missing RIFF/WEBP)")
+    canvas_w = canvas_h = None
+    bg = np.zeros(4, dtype=np.uint8)
+    anmf = []
+    has_anim = False
+    for tag, body in _iter_chunks(payload, 12):
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X chunk")
+            canvas_w = int.from_bytes(body[4:7], "little") + 1
+            canvas_h = int.from_bytes(body[7:10], "little") + 1
+        elif tag == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("truncated ANIM chunk")
+            has_anim = True
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg = np.array([r_, g_, b_, a_], dtype=np.uint8)
+        elif tag == b"ANMF":
+            anmf.append(body)
+    if not anmf:
+        rgba = _decode_frame_rgba(payload[12:])
+        return [(0, 0, rgba)]
+    if not has_anim or canvas_w is None:
+        raise ValueError("ANMF frames without VP8X/ANIM headers")
+    canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
+    frames: list[tuple[int, int, np.ndarray]] = []
+    t = 0
+    for body in anmf:
+        if len(body) < 16:
+            raise ValueError("truncated ANMF chunk")
+        fx = int.from_bytes(body[0:3], "little") * 2
+        fy = int.from_bytes(body[3:6], "little") * 2
+        fw = int.from_bytes(body[6:9], "little") + 1
+        fh = int.from_bytes(body[9:12], "little") + 1
+        dur = int.from_bytes(body[12:15], "little")
+        flags = body[15]
+        no_blend = bool(flags & 0x02)
+        dispose_bg = bool(flags & 0x01)
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            raise ValueError("ANMF frame rectangle exceeds canvas")
+        rgba = _decode_frame_rgba(body[16:])
+        if rgba.shape[:2] != (fh, fw):
+            raise ValueError(
+                f"ANMF declared {fw}x{fh} but frame data decodes to "
+                f"{rgba.shape[1]}x{rgba.shape[0]}")
+        rect = canvas[fy:fy + fh, fx:fx + fw]
+        canvas[fy:fy + fh, fx:fx + fw] = (
+            rgba if no_blend else _blend_rgba(rect, rgba))
+        frames.append((t, dur, canvas.copy()))
+        if dispose_bg:
+            canvas[fy:fy + fh, fx:fx + fw] = bg
+        t += dur
+    return frames
+
+
+def encode_webp_anim(frames, canvas_size=None,
+                     bg: tuple = (0, 0, 0, 0), loop: int = 0) -> bytes:
+    """Animated-WebP writer (fixture partner for decode_webp_frames,
+    the same role encode_webp_lossless plays for the still decoder).
+
+    ``frames`` is a list of (img, duration_ms, x, y, blend, dispose)
+    with uint8 gray/(H,W,3)/(H,W,4) ``img``; x/y must be even (the
+    container stores them in 2-pixel units). Each frame is encoded
+    losslessly (VP8L) and wrapped in an ANMF chunk under a VP8X+ANIM
+    header. ``bg`` is RGBA; stored BGRA per the spec.
+    """
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (tag + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    payloads = []
+    max_w = max_h = 0
+    for img, dur, x, y, blend, dispose in frames:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        h, w = img.shape[:2]
+        if x % 2 or y % 2:
+            raise ValueError("frame x/y must be even (2-pixel units)")
+        still = encode_webp_lossless(img)
+        vp8l = next(b for t, b in _iter_chunks(still, 12)
+                    if t == b"VP8L")
+        # spec flag semantics: bit 1 SET means "do not blend"; the
+        # writer takes blend=True to mean alpha-blend (bit clear)
+        head = (x // 2).to_bytes(3, "little") \
+            + (y // 2).to_bytes(3, "little") \
+            + (w - 1).to_bytes(3, "little") \
+            + (h - 1).to_bytes(3, "little") \
+            + int(dur).to_bytes(3, "little") \
+            + bytes([(0 if blend else 0x02)
+                     | (0x01 if dispose else 0)])
+        payloads.append(chunk(b"ANMF", head + chunk(b"VP8L", vp8l)))
+        max_w = max(max_w, x + w)
+        max_h = max(max_h, y + h)
+    cw, ch = canvas_size if canvas_size else (max_w, max_h)
+    vp8x = bytes([0x12, 0, 0, 0]) \
+        + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    r_, g_, b_, a_ = bg
+    anim = bytes([b_, g_, r_, a_]) + int(loop).to_bytes(2, "little")
+    body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim) \
+        + b"".join(payloads)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ------------------------------------------------------------ encoder

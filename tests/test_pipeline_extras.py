@@ -627,3 +627,41 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert got[(100, 101)] == pytest.approx(1.0)
     with pytest.raises(ValueError, match="max_doc_freq"):
         dedup.ngram_jaccard_pairs(docs, max_doc_freq=0)
+
+
+def test_sample_video_frames_over_spark_pipeline(spark):
+    """REAL video frame sampling through mapInPandas: animated WebP
+    payloads decode in-container (ANIM/ANMF demux + VP8L frames +
+    canvas composition), stills yield their single frame at t=0, and
+    every sampled frame round-trips exactly through its PNG column."""
+    from cross_modal_multivector_search_spark.functions import webp
+
+    rng = np.random.default_rng(21)
+    f0 = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    anim = webp.encode_webp_anim([(f0, 250, 0, 0, False, False),
+                                  (f1, 250, 2, 2, False, False)])
+    still = webp.encode_webp_lossless(f0)
+    rows = [(0, "video", bytearray(anim), "webp", 6, 4, 500),
+            (1, "video", bytearray(still), "webp", 6, 4, None)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_video_frames(media, every_ms=100).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 500ms animation at 100ms sampling -> ts 0..400; still -> one row
+    assert sorted(r["frame_ts_ms"] for r in by_media[0]) == \
+        [0, 100, 200, 300, 400]
+    assert [r["frame_ts_ms"] for r in by_media[1]] == [0]
+    for r in out:
+        img = multimodal.decode_image(bytes(r["frame_png"]))
+        assert img.shape[:2] == (r["frame_h"], r["frame_w"])
+        if r["media_id"] == 0:
+            exp = np.dstack([f0, np.full((4, 6), 255, np.uint8)])
+            if r["frame_ts_ms"] >= 250:        # second frame composed
+                exp = exp.copy()
+                exp[2:4, 2:4, :3] = f1
+            assert np.array_equal(img, exp), r["frame_ts_ms"]
+    # non-WebP video payloads are the declared seam
+    with pytest.raises(NotImplementedError, match="ffmpeg-class"):
+        multimodal.decode_video_frames(b"\x00\x00\x00\x18ftypmp42")

