@@ -10,10 +10,12 @@ successive approximation, DC/AC first and refinement scans, EOB runs)
 coder with DAC conditioning, pinned bit-for-bit against libjpeg via
 the Huffman-twin equivalence in tests/test_jpeg_arith.py — the two
 entropy codings carry identical coefficients, so the proven Huffman
-decode is an exact pixel oracle). It raises ``NotImplementedError`` only
-for the modes that genuinely need a richer codec (arithmetic coding,
-hierarchical, 12-bit), which ``operators.multimodal`` then routes
-through the import-guarded PIL/cv2 seam.
+decode is an exact pixel oracle), plus 12-BIT sample precision
+(SOF1/SOF2 extended frames, Pq=1 16-bit quantization tables, level
+shift 2048, uint16 output). It raises ``NotImplementedError`` only for
+the modes that genuinely need a richer codec (hierarchical), which
+``operators.multimodal`` then routes through the import-guarded
+PIL/cv2 seam.
 
 The encoder is the fixture/round-trip partner: Annex-K quantization +
 Huffman tables (scaled by the libjpeg quality formula), 4:4:4 or 4:2:0
@@ -245,20 +247,22 @@ def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
 # --- encoder ---------------------------------------------------------
 
 
-def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, ...]:
+def _rgb_to_ycbcr(img: np.ndarray,
+                  mid: float = 128.0) -> tuple[np.ndarray, ...]:
     r, g, b = (img[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + mid
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + mid
     return y, cb, cr
 
 
-def _plane_to_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _plane_to_blocks(plane: np.ndarray, q: np.ndarray,
+                     mid: float = 128.0) -> np.ndarray:
     """(H8, W8) plane -> (by, bx, 64) quantized zigzag coefficients."""
     h8, w8 = plane.shape
     by, bx = h8 // 8, w8 // 8
     blocks = (plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-              .reshape(by * bx, 8, 8) - 128.0)
+              .reshape(by * bx, 8, 8) - mid)
     coefs = _dct2_batch(blocks)
     quant = np.round(coefs / q[None]).astype(np.int64)
     return quant.reshape(by, bx, 64)[:, :, ZIGZAG]
@@ -442,28 +446,48 @@ def _enc_ac_refine(bw: _BitWriter, zzs, actab: dict, ss: int, se: int,
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsampling: str = "4:4:4",
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                precision: int = 8) -> bytes:
     """Encode a uint8 gray (H,W) or RGB (H,W,3) array as JPEG.
 
     ``progressive=True`` emits an SOF2 frame with the standard simple
     scan script — DC first (Al=1), per-component AC first (Ss=1..63,
     Al=1), per-component AC refinement (Ah=1, Al=0), DC refinement —
     exercising every progressive decode path; restart intervals apply
-    to baseline mode only."""
+    to baseline mode only.
+
+    ``precision=12`` takes uint16 pixels in [0, 4095] and emits an
+    extended-sequential SOF1 (or progressive SOF2) frame with 16-bit
+    Pq=1 quantization tables — the base tables scaled x16 so quantized
+    coefficients (and hence Huffman categories) match the 8-bit case
+    and stay within the Annex-K tables' coded range."""
     img = np.asarray(img)
-    if img.dtype != np.uint8:
-        raise ValueError("encode_jpeg expects uint8 pixels")
+    if precision == 8:
+        if img.dtype != np.uint8:
+            raise ValueError("encode_jpeg expects uint8 pixels")
+        mid = 128.0
+    elif precision == 12:
+        if img.dtype != np.uint16:
+            raise ValueError("12-bit encode_jpeg expects uint16 pixels")
+        if img.max(initial=0) > 4095:
+            raise ValueError("12-bit pixels must be in [0, 4095]")
+        mid = 2048.0
+    else:
+        raise ValueError("precision must be 8 or 12")
     gray = img.ndim == 2
     h, w = img.shape[:2]
     ql = _scale_quant(QUANT_LUM, quality)
     qc = _scale_quant(QUANT_CHROM, quality)
+    if precision == 12:
+        ql = np.minimum(ql.astype(np.int64) * 16, 65535)
+        qc = np.minimum(qc.astype(np.int64) * 16, 65535)
 
     if gray:
         planes = [img.astype(np.float64)]
         samp = [(1, 1)]
         qsel = [0]
     else:
-        y, cb, cr = _rgb_to_ycbcr(img)
+        y, cb, cr = _rgb_to_ycbcr(img, mid)
         if subsampling == "4:4:4":
             planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
         elif subsampling == "4:2:0":
@@ -485,7 +509,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     comp_blocks = []
     for plane, (sh, sv), qi in zip(planes, samp, qsel):
         comp_blocks.append(_plane_to_blocks(
-            _pad_to(plane, mcus_y * sv * 8, mcus_x * sh * 8), qtabs[qi]))
+            _pad_to(plane, mcus_y * sv * 8, mcus_x * sh * 8), qtabs[qi],
+            mid))
 
     dc_tabs = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
                _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
@@ -498,18 +523,28 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") \
             + body
 
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        zzvals = tbl.reshape(64)[ZIGZAG]
+        if precision == 12:                  # Pq=1: 16-bit big-endian
+            return seg(0xDB, bytes((0x10 | tid,))
+                       + zzvals.astype(">u2").tobytes())
+        return seg(0xDB, bytes((tid,)) + bytes(zzvals.tolist()))
+
     out = bytearray(b"\xff\xd8")                      # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(ql.reshape(64)[ZIGZAG].tolist()))
+    out += dqt(0, ql)
     if not gray:
-        out += seg(0xDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].tolist()))
-    sof = bytearray((8).to_bytes(1, "big"))
+        out += dqt(1, qc)
+    sof = bytearray((precision).to_bytes(1, "big"))
     sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof.append(ncomp)
     for ci in range(ncomp):
         sh, sv = samp[ci]
         sof += bytes((ci + 1, (sh << 4) | sv, qsel[ci]))
-    out += seg(0xC2 if progressive else 0xC0, bytes(sof))
+    # 12-bit sequential is an extended SOF1 frame (baseline SOF0 is
+    # 8-bit by definition, T.81 Table B.2)
+    seq_marker = 0xC1 if precision == 12 else 0xC0
+    out += seg(0xC2 if progressive else seq_marker, bytes(sof))
 
     if progressive:
         if restart_interval:
@@ -1206,7 +1241,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     Handles baseline (SOF0/SOF1, single- or multi-scan), progressive
     (SOF2), and ARITHMETIC-coded (SOF9/SOF10) frames. Raises
-    NotImplementedError for hierarchical and 12-bit modes so the
+    NotImplementedError for hierarchical modes so the
     caller can dispatch to an external codec; malformed data raises
     ValueError.
     """
@@ -1257,13 +1292,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             j = 0
             while j < len(body):
                 pq, tq = body[j] >> 4, body[j] & 15
-                if pq:
-                    raise NotImplementedError("16-bit quantization tables")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[ZIGZAG] = np.frombuffer(
-                    body[j + 1:j + 65], dtype=np.uint8).astype(np.int64)
+                if pq:                       # Pq=1: 16-bit big-endian
+                    tbl[ZIGZAG] = np.frombuffer(
+                        body[j + 1:j + 129], dtype=">u2").astype(np.int64)
+                    j += 129
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(
+                        body[j + 1:j + 65], dtype=np.uint8).astype(np.int64)
+                    j += 65
                 qt[tq] = tbl.reshape(8, 8)
-                j += 65
         elif m == 0xC4:                                # DHT
             j = 0
             while j < len(body):
@@ -1291,8 +1329,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):      # SOF0/1/2/9/10
             progressive = m in (0xC2, 0xCA)
             arith = m in (0xC9, 0xCA)
-            if body[0] != 8:
+            # 12-bit is legal for extended/progressive frames (T.81
+            # Table B.2); baseline SOF0 is 8-bit by definition
+            if not (body[0] == 8 or (body[0] == 12 and m != 0xC0)):
                 raise NotImplementedError(f"{body[0]}-bit JPEG precision")
+            prec = body[0]
             fh = int.from_bytes(body[1:3], "big")
             fw = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -1305,7 +1346,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps[0]["h"] = comps[0]["v"] = 1
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
-            frame = {"h": fh, "w": fw, "comps": comps,
+            frame = {"h": fh, "w": fw, "comps": comps, "prec": prec,
                      "hmax": hmax, "vmax": vmax,
                      "mcus_x": -(-fw // (8 * hmax)),
                      "mcus_y": -(-fh // (8 * vmax))}
@@ -1392,6 +1433,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps = frame["comps"]
     hmax, vmax = frame["hmax"], frame["vmax"]
     h, w = frame["h"], frame["w"]
+    # sample precision: level shift 2^(P-1), clamp to 2^P - 1 (T.81
+    # A.3.1); 12-bit output is uint16
+    mid = float(1 << (frame["prec"] - 1))
+    maxv = (1 << frame["prec"]) - 1
+    out_dtype = np.uint8 if frame["prec"] == 8 else np.uint16
 
     planes = []
     for c in comps:
@@ -1401,7 +1447,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         zz = c["zz"].reshape(-1, 64)
         coef = np.zeros_like(zz, dtype=np.float64)
         coef[:, ZIGZAG] = zz * q.reshape(64)[ZIGZAG][None, :]
-        pix = _idct2_batch(coef.reshape(-1, 8, 8)) + 128.0
+        pix = _idct2_batch(coef.reshape(-1, 8, 8)) + mid
         plane = (pix.reshape(c["by"], c["bx"], 8, 8)
                  .transpose(0, 2, 1, 3)
                  .reshape(c["by"] * 8, c["bx"] * 8))
@@ -1414,12 +1460,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             plane = np.repeat(plane, fw, axis=0)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(planes[0]), 0, maxv).astype(out_dtype)
     if len(planes) != 3:
         raise NotImplementedError(f"{len(planes)}-component JPEG")
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - mid)
+    g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b = y + 1.772 * (cb - mid)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
-                   255).astype(np.uint8)
+                   maxv).astype(out_dtype)

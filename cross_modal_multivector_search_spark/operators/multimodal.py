@@ -9,7 +9,7 @@ Decode is REAL with no external library for netpbm P1-P6, uncompressed
 (Huffman baseline + progressive AND arithmetic SOF9/SOF10 —
 functions/jpeg.py), and WebP (lossless VP8L and lossy VP8 keyframes
 with alpha — functions/webp.py, functions/vp8.py). The few residual
-variants that genuinely need an external library (hierarchical/12-bit
+variants that genuinely need an external library (hierarchical
 JPEG, VP8 interframes) route through an import-guarded PIL/cv2
 dispatch whose seam is stub-tested, raising a clearly-marked
 NotImplementedError only when neither is installed. The Spark-side
@@ -270,7 +270,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     arithmetic-coded SOF9/SOF10 (pure-NumPy Huffman/QM-coder + IDCT,
     ``functions.jpeg``) — and REAL WebP, lossless VP8L
     (``functions.webp``) and lossy VP8 keyframes + ALPH alpha
-    (``functions.vp8``). The residual modes (hierarchical / 12-bit
+    (``functions.vp8``). The residual modes (hierarchical
     JPEG, VP8 interframes) route through the import-guarded PIL/cv2
     dispatch and raise NotImplementedError only when neither is
     installed.
@@ -290,7 +290,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         try:
             return _jpeg.decode_jpeg(payload)
         except NotImplementedError:
-            # hierarchical/12-bit: needs a full codec library
+            # hierarchical: needs a full codec library
             return _decode_with_library(payload, "JPEG")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ..functions import webp as _webp
@@ -303,7 +303,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         "unrecognized image payload; supported in-container: netpbm "
         "P1-P6, uncompressed BMP, 8-bit PNG, JPEG (baseline/"
         "progressive/arithmetic), WebP (lossless VP8L and lossy VP8 "
-        "keyframes, with alpha); via PIL/cv2: hierarchical/12-bit "
+        "keyframes, with alpha); via PIL/cv2: hierarchical "
         "JPEG")
 
 

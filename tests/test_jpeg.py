@@ -228,3 +228,100 @@ def test_progressive_equals_baseline_property(h, w, color, sub420, seed):
                                              subsampling=sub,
                                              progressive=True))
     assert np.array_equal(seq, prog)
+
+
+# ----------------------------------------------------- 12-bit precision
+
+
+def test_12bit_roundtrip_gray_and_color():
+    """precision=12 round trip: uint16 output, errors bounded at the
+    x16-scaled-quantizer equivalent of the 8-bit case (PSNR computed
+    against the 4095 peak)."""
+    xx, yy = np.meshgrid(np.arange(48), np.arange(40))
+    gray = np.clip(2000 + 600 * np.sin(xx / 6.0)
+                   + 500 * np.cos(yy / 8.0), 0, 4095).astype(np.uint16)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, quality=95,
+                                            precision=12))
+    assert out.dtype == np.uint16 and out.shape == gray.shape
+    mse = float(np.mean((out.astype(np.float64) - gray) ** 2))
+    assert 10 * np.log10(4095.0 ** 2 / mse) > 40
+    col = np.stack([gray, np.roll(gray, 3, axis=1) // 2,
+                    (4095 - gray)], axis=-1).astype(np.uint16)
+    outc = jpeg.decode_jpeg(jpeg.encode_jpeg(col, quality=90,
+                                             precision=12))
+    assert outc.dtype == np.uint16 and outc.shape == col.shape
+    msec = float(np.mean((outc.astype(np.float64) - col) ** 2))
+    assert 10 * np.log10(4095.0 ** 2 / msec) > 35
+    # the stream is an extended-sequential SOF1 frame with Pq=1 DQTs
+    enc = jpeg.encode_jpeg(gray, quality=95, precision=12)
+    assert b"\xff\xc1" in enc and b"\xff\xc0" not in enc
+    dqt_off = enc.index(b"\xff\xdb") + 4
+    assert enc[dqt_off] >> 4 == 1
+
+
+def test_12bit_progressive_equals_sequential():
+    """The progressive scan script reconstructs the same quantized
+    coefficients at 12-bit too: bit-identical decodes."""
+    rng = np.random.default_rng(8)
+    base = np.linspace(0, 4095, num=24 * 40 * 3).reshape(24, 40, 3)
+    img = np.clip(base + rng.integers(-300, 300, (24, 40, 3)), 0,
+                  4095).astype(np.uint16)
+    seq = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85,
+                                            precision=12))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85,
+                                             precision=12,
+                                             progressive=True))
+    assert np.array_equal(seq, prog)
+
+
+def test_12bit_flat_near_exact():
+    img = np.full((16, 16), 3000, dtype=np.uint16)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=75,
+                                            precision=12))
+    assert int(np.abs(out.astype(int) - 3000).max()) <= 32
+
+
+def test_12bit_handassembled_dc_only_stream():
+    """A hand-assembled single-block 12-bit SOF1 stream, independent of
+    the in-repo encoder: Pq=1 DQT with q[0]=4, a one-code DC Huffman
+    table (code '0' -> category 10), entropy data coding DC diff +800.
+    Dequantized DC = 3200, IDCT of a DC-only block adds 3200/8 = 400 to
+    the 2048 level shift: every sample must be exactly 2448."""
+    def seg(m, body):
+        return bytes((0xFF, m)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    qtbl = np.ones(64, dtype=">u2")
+    qtbl[0] = 4
+    dqt = seg(0xDB, b"\x10" + qtbl.tobytes())
+    bits = [0] * 16
+    bits[0] = 1                       # one code, length 1
+    dht = seg(0xC4, bytes([0x00] + bits + [10]))     # value: category 10
+    dht += seg(0xC4, bytes([0x10] + bits + [0x00]))  # AC: '0' -> EOB
+    sof = seg(0xC1, bytes([12, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy bits: DC code '0', 10 magnitude bits of +800
+    # (0b1100100000), AC EOB code '0', padded with 1s -> 0x64 0x0F
+    payload = (b"\xff\xd8" + dqt + dht + sof + sos + b"\x64\x0f"
+               + b"\xff\xd9")
+    out = jpeg.decode_jpeg(payload)
+    assert out.dtype == np.uint16 and out.shape == (8, 8)
+    assert (out == 2448).all()
+
+
+def test_12bit_rejects_wrong_inputs():
+    img8 = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="uint16"):
+        jpeg.encode_jpeg(img8, precision=12)
+    with pytest.raises(ValueError, match="precision"):
+        jpeg.encode_jpeg(img8, precision=10)
+    img16 = np.full((8, 8), 5000, dtype=np.uint16)
+    with pytest.raises(ValueError, match="4095"):
+        jpeg.encode_jpeg(img16, precision=12)
+    # 12-bit in a BASELINE SOF0 frame is malformed (T.81 Table B.2)
+    good = bytearray(jpeg.encode_jpeg(
+        np.full((8, 8), 100, dtype=np.uint16) * 10, precision=12))
+    i = bytes(good).find(b"\xff\xc1")
+    good[i + 1] = 0xC0
+    good[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        jpeg.decode_jpeg(bytes(good))
