@@ -4,7 +4,8 @@ North-star extra (BASELINE.json): image/audio/video travel as
 ``binary`` columns with a metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
 Decode is REAL with no external library for netpbm P1-P6, uncompressed
-24/32-bit BMP (incl. BI_BITFIELDS), 8/16-bit PCM WAV, 8-bit PNG
+24/32-bit BMP (incl. BI_BITFIELDS), WAV (integer PCM 8/16/24,
+IEEE float 32/64, G.711 A-law/mu-law, EXTENSIBLE headers), 8-bit PNG
 (stdlib-zlib DEFLATE inflate + NumPy scanline unfiltering), JPEG
 (Huffman baseline + progressive AND arithmetic SOF9/SOF10 —
 functions/jpeg.py), and WebP (lossless VP8L and lossy VP8 keyframes
@@ -332,33 +333,81 @@ def encode_png(img: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
-def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV -> ((frames, channels) int16/uint8 array, sample_rate).
+def _mulaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes -> int16 linear PCM (standard expansion)."""
+    u = (~b.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    lin = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -lin, lin).astype(np.int16)
 
-    Pure-NumPy RIFF chunk walk; non-PCM encodings (float, ADPCM, MP3...)
-    raise NotImplementedError.
+
+def _alaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes -> int16 linear PCM (standard expansion)."""
+    a = (b.astype(np.int64) ^ 0x55)
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    lin = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    # A-law sign bit SET means positive (opposite of mu-law)
+    return np.where(sign, lin, -lin).astype(np.int16)
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV -> ((frames, channels) sample array, sample_rate).
+
+    Pure-NumPy RIFF chunk walk. Decodes integer PCM (8-bit -> uint8,
+    16-bit -> int16, 24-bit -> int32), IEEE float (32/64-bit ->
+    float32/float64), and the G.711 telephony codings mu-law/A-law
+    (-> int16), including WAVE_FORMAT_EXTENSIBLE headers (the real
+    format code lives in the fmt extension's sub-format GUID).
+    Compressed encodings (ADPCM, MP3, ...) raise NotImplementedError.
     """
     import struct
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE audio supported")
-    pos, fmt, data = 12, None, None
+    pos, fmt, ext, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            ext = body[16:]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
+    if audio_format == 0xFFFE:
+        # EXTENSIBLE: ext = cbSize(2) validBits(2) channelMask(4) then
+        # the sub-format GUID, whose leading u16 is the format code
+        if len(ext) < 10:
+            raise ValueError("EXTENSIBLE WAV missing sub-format")
+        audio_format = struct.unpack_from("<H", ext, 8)[0]
+    if audio_format == 1 and bits in (8, 16):
+        samples = np.frombuffer(
+            data, dtype=np.int16 if bits == 16 else np.uint8)
+    elif audio_format == 1 and bits == 24:
+        tri = np.frombuffer(data, dtype=np.uint8)
+        tri = tri[:len(tri) - len(tri) % 3].reshape(-1, 3).astype(np.int64)
+        val = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+        samples = np.where(val & 0x800000, val - 0x1000000,
+                           val).astype(np.int32)
+    elif audio_format == 3 and bits in (32, 64):
+        samples = np.frombuffer(
+            data, dtype=np.float32 if bits == 32 else np.float64)
+    elif audio_format == 6:
+        samples = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    elif audio_format == 7:
+        samples = _mulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    else:
         raise NotImplementedError(
-            f"only 8/16-bit PCM WAV supported (format={audio_format}, "
-            f"bits={bits})")
-    dtype = np.int16 if bits == 16 else np.uint8
-    samples = np.frombuffer(data, dtype=dtype)
+            f"unsupported WAV coding (format={audio_format}, "
+            f"bits={bits}); supported: integer PCM 8/16/24, IEEE float "
+            f"32/64, G.711 A-law/mu-law")
     return samples.reshape((-1, channels)), rate
 
 

@@ -665,3 +665,61 @@ def test_sample_video_frames_over_spark_pipeline(spark):
     # non-WebP video payloads are the declared seam
     with pytest.raises(NotImplementedError, match="ffmpeg-class"):
         multimodal.decode_video_frames(b"\x00\x00\x00\x18ftypmp42")
+
+
+def _wav_raw(data: bytes, fmt_code: int, ch: int, rate: int,
+             bits: int, ext: bytes = b"") -> bytes:
+    import struct
+    block = max(1, ch * bits // 8)
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * block,
+                      block, bits) + ext
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_decode_audio_codings():
+    """Float/24-bit/G.711 WAV decode; the G.711 expansions are pinned
+    against the stdlib audioop oracle over every possible code byte."""
+    import struct
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    codes = np.arange(256, dtype=np.uint8)
+    for fmt_code, oracle in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        dec, rate = multimodal.decode_audio(
+            _wav_raw(bytes(codes), fmt_code, 1, 8000, 8))
+        exp = np.frombuffer(oracle(bytes(codes), 2), dtype=np.int16)
+        assert rate == 8000 and dec.dtype == np.int16
+        assert np.array_equal(dec[:, 0], exp), fmt_code
+
+    rng = np.random.default_rng(17)
+    f32 = rng.normal(size=(50, 2)).astype(np.float32)
+    dec, _ = multimodal.decode_audio(
+        _wav_raw(f32.tobytes(), 3, 2, 44100, 32))
+    assert dec.dtype == np.float32 and np.array_equal(dec, f32)
+    f64 = rng.normal(size=(20, 1))
+    dec64, _ = multimodal.decode_audio(
+        _wav_raw(f64.tobytes(), 3, 1, 16000, 64))
+    assert dec64.dtype == np.float64 and np.array_equal(dec64, f64)
+
+    # 24-bit PCM: little-endian triads, sign-extended to int32
+    vals = np.array([0, 1, -1, 8388607, -8388608, 70000], dtype=np.int64)
+    tri = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    dec24, _ = multimodal.decode_audio(_wav_raw(tri, 1, 1, 48000, 24))
+    assert dec24.dtype == np.int32
+    assert np.array_equal(dec24[:, 0], vals)
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping mu-law: GUID's leading u16 wins
+    ext = struct.pack("<HHI", 22, 8, 0) + struct.pack("<H", 7) + b"\x00" * 14
+    dec_ext, _ = multimodal.decode_audio(
+        _wav_raw(bytes(codes), 0xFFFE, 1, 8000, 8, ext=ext))
+    exp_u = np.frombuffer(audioop.ulaw2lin(bytes(codes), 2),
+                          dtype=np.int16)
+    assert np.array_equal(dec_ext[:, 0], exp_u)
+
+    # compressed encodings stay a declared seam
+    with pytest.raises(NotImplementedError, match="unsupported WAV"):
+        multimodal.decode_audio(_wav_raw(b"\x00" * 8, 2, 1, 8000, 4))
