@@ -5,8 +5,9 @@ North-star extra (BASELINE.json): image/audio/video travel as
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
 Decode is REAL with no external library for netpbm P1-P6, uncompressed
 24/32-bit BMP (incl. BI_BITFIELDS), WAV (integer PCM 8/16/24,
-IEEE float 32/64, G.711 A-law/mu-law, EXTENSIBLE headers), 8-bit PNG
-(stdlib-zlib DEFLATE inflate + NumPy scanline unfiltering), JPEG
+IEEE float 32/64, G.711 A-law/mu-law, EXTENSIBLE headers), PNG at
+bit depths 1/2/4/8/16, plain or Adam7-interlaced (stdlib-zlib DEFLATE
+inflate + NumPy scanline unfiltering), JPEG
 (Huffman baseline + progressive AND arithmetic SOF9/SOF10 —
 functions/jpeg.py), and WebP (lossless VP8L and lossy VP8 keyframes
 with alpha — functions/webp.py, functions/vp8.py). The few residual
@@ -196,10 +197,10 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int,
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """Real PNG decode, stdlib-zlib + NumPy: 8-bit gray / gray+alpha /
-    RGB / RGBA / palette, non-interlaced (the overwhelmingly common
-    cases a data pipeline meets). This IS a compressed codec — IDAT is
-    DEFLATE — with no external library."""
+    """Real PNG decode, stdlib-zlib + NumPy: gray / gray+alpha / RGB /
+    RGBA / palette at bit depths 1/2/4/8/16 (16-bit -> uint16), plain
+    or Adam7-interlaced. This IS a compressed codec — IDAT is DEFLATE —
+    with no external library."""
     import struct
     import zlib
     if payload[:8] != _PNG_MAGIC:
@@ -220,15 +221,59 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise NotImplementedError(
-            f"PNG variant not supported (depth={depth}, "
-            f"interlace={interlace}); supported: 8-bit non-interlaced")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise NotImplementedError(f"PNG color type {ctype}")
+    if (comp != 0 or filt != 0 or interlace not in (0, 1)
+            or depth not in (1, 2, 4, 8, 16)
+            or (depth < 8 and ctype not in (0, 3))
+            or (depth == 16 and ctype == 3)):
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={depth}, ctype={ctype}, "
+            f"interlace={interlace})")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    img = _png_unfilter(raw, h, w * nch, nch).reshape((h, w, nch))
+    out_dtype = np.uint16 if depth == 16 else np.uint8
+    img = np.zeros((h, w, nch), dtype=out_dtype)
+
+    def decode_pass(off: int, wp: int, hp: int) -> tuple[np.ndarray, int]:
+        """One (sub-)image's filtered scanlines -> (hp, wp, nch) pixels
+        and the byte count consumed. Filtering is byte-unit with
+        bpp = max(1, bits_per_pixel // 8) (PNG spec §9)."""
+        bits = depth * nch
+        stride = (wp * bits + 7) // 8
+        n = hp * (stride + 1)
+        rows = _png_unfilter(raw[off:off + n], hp, stride,
+                             max(1, bits // 8))
+        if depth == 16:
+            u = rows.reshape(hp, wp * nch, 2).astype(np.uint16)
+            px = ((u[:, :, 0] << 8) | u[:, :, 1]).reshape(hp, wp, nch)
+        elif depth == 8:
+            px = rows.reshape(hp, wp, nch)
+        else:                  # 1/2/4-bit gray or palette indices
+            unpacked = np.unpackbits(rows, axis=1)
+            vals = unpacked[:, :stride * 8 - (stride * 8) % depth] \
+                .reshape(hp, -1, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            px = (vals * weights).sum(axis=2)[:, :wp] \
+                .astype(np.uint8).reshape(hp, wp, 1)
+            if ctype == 0:     # scale to full 8-bit range
+                px = px * np.uint8(255 // ((1 << depth) - 1))
+        return px, n
+
+    if interlace == 0:
+        img, _ = decode_pass(0, w, h)
+    else:                      # Adam7 (spec §8.2): 7 sub-images
+        off = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            px, used = decode_pass(off, wp, hp)
+            img[y0::dy, x0::dx] = px
+            off += used
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -284,7 +329,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         try:
             return _decode_png(payload)
         except NotImplementedError:
-            # interlaced / 16-bit: a full codec library handles these
+            # exotic variants (e.g. 16-bit palette): library dispatch
             return _decode_with_library(payload, "PNG")
     if payload[:3] == b"\xff\xd8\xff":
         from ..functions import jpeg as _jpeg

@@ -723,3 +723,109 @@ def test_decode_audio_codings():
     # compressed encodings stay a declared seam
     with pytest.raises(NotImplementedError, match="unsupported WAV"):
         multimodal.decode_audio(_wav_raw(b"\x00" * 8, 2, 1, 8000, 4))
+
+
+def _png_raw(w, h, depth, ctype, scanlines: bytes,
+             plte: bytes = b"", interlace: int = 0) -> bytes:
+    """Hand-constructed PNG per spec §11: IHDR + optional PLTE + one
+    zlib-compressed IDAT of the given (already filter-prefixed)
+    scanline bytes."""
+    import struct
+    import zlib
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(scanlines)) \
+        + chunk(b"IEND", b"")
+
+
+def test_png_16bit_and_low_depth():
+    """16-bit gray/RGB (big-endian sample pairs -> uint16) and 1/2/4-bit
+    gray + 4-bit palette, all hand-constructed with filter-0 scanlines
+    so expectations are exact by construction."""
+    rng = np.random.default_rng(23)
+    g16 = rng.integers(0, 65536, (5, 7), dtype=np.uint16)
+    lines = b"".join(b"\x00" + g16[y].astype(">u2").tobytes()
+                     for y in range(5))
+    out = multimodal.decode_image(_png_raw(7, 5, 16, 0, lines))
+    assert out.dtype == np.uint16 and np.array_equal(out, g16)
+
+    rgb16 = rng.integers(0, 65536, (3, 4, 3), dtype=np.uint16)
+    lines = b"".join(b"\x00" + rgb16[y].astype(">u2").tobytes()
+                     for y in range(3))
+    out = multimodal.decode_image(_png_raw(4, 3, 16, 2, lines))
+    assert out.dtype == np.uint16 and np.array_equal(out, rgb16)
+
+    # 1-bit gray, w=10 (needs 2 bytes/row, 6 pad bits), scaled x255
+    bits = rng.integers(0, 2, (4, 10), dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)
+    lines = b"".join(b"\x00" + packed[y].tobytes() for y in range(4))
+    out = multimodal.decode_image(_png_raw(10, 4, 1, 0, lines))
+    assert np.array_equal(out, bits * 255)
+
+    # 4-bit gray: two pixels per byte, high nibble first, scaled x17
+    g4 = rng.integers(0, 16, (3, 5), dtype=np.uint8)
+    rows = []
+    for y in range(3):
+        padded = np.append(g4[y], 0)
+        rows.append(b"\x00" + bytes((padded[::2] << 4 | padded[1::2])
+                                    .astype(np.uint8).tobytes()))
+    out = multimodal.decode_image(_png_raw(5, 3, 4, 0, b"".join(rows)))
+    assert np.array_equal(out, g4 * 17)
+
+    # 4-bit palette
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (3, 5), dtype=np.uint8)
+    rows = []
+    for y in range(3):
+        padded = np.append(idx[y], 0)
+        rows.append(b"\x00" + bytes((padded[::2] << 4 | padded[1::2])
+                                    .astype(np.uint8).tobytes()))
+    out = multimodal.decode_image(
+        _png_raw(5, 3, 4, 3, b"".join(rows), plte=pal.tobytes()))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_png_adam7_interlaced():
+    """Adam7: the 7 passes are serialized sub-images (spec §8.2); the
+    test constructs them by slicing the expected image with the spec's
+    offsets and mixes filter types 0 and 2 across pass rows."""
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    buf = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        prev = np.zeros(sub.shape[1] * 3, dtype=np.int64)
+        for y in range(sub.shape[0]):
+            line = sub[y].reshape(-1).astype(np.int64)
+            if y % 2 == 0:
+                buf += b"\x00" + bytes(line.astype(np.uint8).tobytes())
+            else:          # filter 2 (up): emit line - prev mod 256
+                buf += b"\x02" + bytes(((line - prev) % 256)
+                                       .astype(np.uint8).tobytes())
+            prev = line
+    out = multimodal.decode_image(
+        _png_raw(11, 9, 8, 2, bytes(buf), interlace=1))
+    assert np.array_equal(out, img)
+    # 16-bit interlaced gray too
+    g16 = rng.integers(0, 65536, (5, 6), dtype=np.uint16)
+    buf = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = g16[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            buf += b"\x00" + bytes(sub[y].astype(">u2").tobytes())
+    out = multimodal.decode_image(
+        _png_raw(6, 5, 16, 0, bytes(buf), interlace=1))
+    assert out.dtype == np.uint16 and np.array_equal(out, g16)
