@@ -3,8 +3,9 @@
 North-star extra (BASELINE.json): image/audio/video travel as
 ``binary`` columns with a metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
-Decode is REAL with no external library for netpbm P1-P6, uncompressed
-24/32-bit BMP (incl. BI_BITFIELDS), WAV (integer PCM 8/16/24,
+Decode is REAL with no external library for netpbm P1-P6 (incl. 16-bit
+maxval), uncompressed 24/32-bit BMP (incl. BI_BITFIELDS), WAV (integer
+PCM 8/16/24,
 IEEE float 32/64, G.711 A-law/mu-law, EXTENSIBLE headers), PNG at
 bit depths 1/2/4/8/16, plain or Adam7-interlaced (stdlib-zlib DEFLATE
 inflate + NumPy scanline unfiltering), JPEG
@@ -80,12 +81,13 @@ def _decode_netpbm(payload: bytes) -> np.ndarray:
     twins P1/P2/P3."""
     magic = payload[:2]
     channels = 3 if magic in (b"P3", b"P6") else 1
+    maxval = 255
     if magic in (b"P1", b"P4"):          # bilevel: no maxval token
         (w, h), off = _netpbm_tokens(payload, 2)
     else:
         (w, h, maxval), off = _netpbm_tokens(payload, 3)
-        if maxval > 255:
-            raise NotImplementedError("16-bit netpbm not supported")
+        if not 0 < maxval < 65536:
+            raise ValueError(f"bad netpbm maxval {maxval}")
     if magic == b"P4":
         stride = (w + 7) // 8
         rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
@@ -100,11 +102,15 @@ def _decode_netpbm(payload: bytes) -> np.ndarray:
                         dtype=np.int64)[:w * h * channels]
         if magic == b"P1":
             vals = np.where(vals == 1, 0, 255)
-        arr = vals.astype(np.uint8)
+        arr = vals.astype(np.uint8 if maxval < 256 else np.uint16)
         return arr.reshape((h, w, 3)) if channels == 3 else \
             arr.reshape((h, w))
-    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels,
-                        offset=off)
+    # binary P5/P6: one byte per sample, or big-endian two-byte
+    # samples when maxval > 255 (netpbm spec)
+    dtype = np.uint8 if maxval < 256 else ">u2"
+    pix = np.frombuffer(payload, dtype=dtype, count=w * h * channels,
+                        offset=off).astype(
+        np.uint8 if maxval < 256 else np.uint16)
     return pix.reshape((h, w, 3)) if channels == 3 else \
         pix.reshape((h, w))
 

@@ -829,3 +829,21 @@ def test_png_adam7_interlaced():
     out = multimodal.decode_image(
         _png_raw(6, 5, 16, 0, bytes(buf), interlace=1))
     assert out.dtype == np.uint16 and np.array_equal(out, g16)
+
+
+def test_netpbm_16bit():
+    """maxval > 255 netpbm: big-endian two-byte samples -> uint16
+    (binary P5/P6) and ASCII P2 tokens at their literal values."""
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 65536, (4, 5), dtype=np.uint16)
+    out = multimodal.decode_image(b"P5\n5 4\n65535\n"
+                                  + g.astype(">u2").tobytes())
+    assert out.dtype == np.uint16 and np.array_equal(out, g)
+    c = rng.integers(0, 65536, (3, 2, 3), dtype=np.uint16)
+    out = multimodal.decode_image(b"P6\n2 3\n65535\n"
+                                  + c.astype(">u2").tobytes())
+    assert out.dtype == np.uint16 and np.array_equal(out, c)
+    out = multimodal.decode_image(b"P2\n3 1\n1000\n0 500 1000")
+    assert out.dtype == np.uint16 and list(out[0]) == [0, 500, 1000]
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_image(b"P5\n2 2\n70000\n" + b"\x00" * 16)
