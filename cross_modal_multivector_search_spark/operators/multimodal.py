@@ -462,12 +462,48 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return samples.reshape((-1, channels)), rate
 
 
-def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Nearest-neighbor resize (pure index math, any channel count)."""
+def resize_image(img: np.ndarray, out_h: int, out_w: int,
+                 method: str = "nearest") -> np.ndarray:
+    """Resize (any channel count, dtype preserved): ``nearest`` (pure
+    index math), ``bilinear`` (half-pixel-center sampling, the
+    OpenCV/PIL convention), or ``area`` (box mean — the right filter
+    for feature-prep downscales; requires integer scale factors)."""
     h, w = img.shape[:2]
-    ri = (np.arange(out_h) * h // out_h).astype(np.int64)
-    ci = (np.arange(out_w) * w // out_w).astype(np.int64)
-    return img[ri][:, ci]
+    if method == "nearest":
+        ri = (np.arange(out_h) * h // out_h).astype(np.int64)
+        ci = (np.arange(out_w) * w // out_w).astype(np.int64)
+        return img[ri][:, ci]
+    if method == "area":
+        if h % out_h or w % out_w:
+            raise ValueError(
+                f"area resize needs integer factors ({h}x{w} -> "
+                f"{out_h}x{out_w}); use bilinear")
+        fy, fx = h // out_h, w // out_w
+        box = img.reshape(out_h, fy, out_w, fx, -1) \
+            .mean(axis=(1, 3), dtype=np.float64) \
+            .reshape(out_h, out_w, *img.shape[2:])
+        out = box if np.issubdtype(img.dtype, np.floating) \
+            else np.rint(box)
+        return out.astype(img.dtype)
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).reshape(-1, 1)
+    wx = (xs - x0).reshape(1, -1)
+    if img.ndim == 3:
+        wy, wx = wy[:, :, None], wx[:, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if not np.issubdtype(img.dtype, np.floating):
+        out = np.rint(out)
+    return out.astype(img.dtype)
 
 
 def image_feature_extractor(dim: int = 16) -> Callable[[bytes], np.ndarray]:

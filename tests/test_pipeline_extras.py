@@ -847,3 +847,32 @@ def test_netpbm_16bit():
     assert out.dtype == np.uint16 and list(out[0]) == [0, 500, 1000]
     with pytest.raises(ValueError, match="maxval"):
         multimodal.decode_image(b"P5\n2 2\n70000\n" + b"\x00" * 16)
+
+
+def test_resize_methods():
+    """bilinear (half-pixel-center, hand-computed corner weights) and
+    area (exact box means, integer factors only) alongside nearest."""
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    exp = np.rint(img.reshape(2, 2, 2, 2).mean(axis=(1, 3)))
+    assert np.array_equal(multimodal.resize_image(img, 2, 2, "area"),
+                          exp.astype(np.uint8))
+    col = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    outc = multimodal.resize_image(col, 3, 2, "area")
+    assert np.array_equal(
+        outc, np.rint(col.reshape(3, 2, 2, 2, 3).mean(axis=(1, 3)))
+        .astype(np.uint8))
+    with pytest.raises(ValueError, match="integer factors"):
+        multimodal.resize_image(col, 4, 3, "area")
+
+    g = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(multimodal.resize_image(g, 5, 7, "bilinear"), g)
+    sq = np.array([[0.0, 100.0], [200.0, 50.0]])
+    up = multimodal.resize_image(sq, 4, 4, "bilinear")
+    # dst (1,1) samples src (0.25, 0.25): bilinear corner weights
+    exp11 = (sq[0, 0] * 0.5625 + sq[0, 1] * 0.1875
+             + sq[1, 0] * 0.1875 + sq[1, 1] * 0.0625)
+    assert abs(up[1, 1] - exp11) < 1e-12
+    assert up.dtype == np.float64          # float input stays float
+    with pytest.raises(ValueError, match="unknown resize"):
+        multimodal.resize_image(sq, 2, 2, "lanczos")
