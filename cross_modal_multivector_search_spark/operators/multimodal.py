@@ -211,7 +211,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
     import zlib
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    pos, ihdr, plte, idat = 8, None, None, []
+    pos, ihdr, plte, trns, idat = 8, None, None, None, []
     while pos + 8 <= len(payload):
         size, cid = struct.unpack_from(">I4s", payload, pos)
         body = payload[pos + 8:pos + 8 + size]
@@ -219,6 +219,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif cid == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape((-1, 3))
+        elif cid == b"tRNS":
+            trns = body
         elif cid == b"IDAT":
             idat.append(body)
         elif cid == b"IEND":
@@ -283,7 +285,24 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
-        img = plte[img[:, :, 0]]
+        idx = img[:, :, 0]
+        img = plte[idx]
+        if trns is not None:   # per-index alpha, 255 beyond its length
+            pal_a = np.full(len(plte), 255, dtype=np.uint8)
+            pal_a[:len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            img = np.dstack([img, pal_a[idx]])
+    elif trns is not None and ctype in (0, 2):
+        # tRNS on gray/RGB: one fully-transparent sample value,
+        # stored as 16-bit fields regardless of depth (spec 11.3.2);
+        # sub-byte gray was scaled to 8-bit above, so scale the key too
+        key = np.frombuffer(trns, dtype=">u2").astype(np.int64)
+        if depth < 8:
+            key = key * (255 // ((1 << depth) - 1))
+        key = key.astype(img.dtype)
+        mask = (img == key.reshape(1, 1, -1)).all(axis=2)
+        maxv = np.array(65535 if depth == 16 else 255, dtype=img.dtype)
+        alpha = np.where(mask, np.array(0, dtype=img.dtype), maxv)
+        img = np.dstack([img, alpha])
     return img[:, :, 0] if img.shape[2] == 1 else img
 
 

@@ -876,3 +876,50 @@ def test_resize_methods():
     assert up.dtype == np.float64          # float input stays float
     with pytest.raises(ValueError, match="unknown resize"):
         multimodal.resize_image(sq, 2, 2, "lanczos")
+
+
+def test_png_trns_transparency():
+    """tRNS: per-palette-index alpha (255 past its length) and the
+    single transparent sample value on gray/RGB (16-bit fields)."""
+    import struct
+    import zlib
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    def png(w, h, depth, ctype, lines, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(lines))
+                + chunk(b"IEND", b""))
+
+    # palette with alpha for index 0 only
+    pal = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    out = multimodal.decode_image(
+        png(2, 2, 8, 3, lines,
+            extra=chunk(b"PLTE", pal.tobytes()) + chunk(b"tRNS", b"\x80")))
+    assert out.shape == (2, 2, 4)
+    assert np.array_equal(out[:, :, 3], np.array([[0x80, 255],
+                                                  [255, 0x80]]))
+    assert np.array_equal(out[:, :, :3], pal[idx])
+
+    # RGB with a transparent key color
+    img = np.array([[[1, 2, 3], [9, 9, 9]]], dtype=np.uint8)
+    lines = b"\x00" + img[0].tobytes()
+    key = struct.pack(">HHH", 9, 9, 9)
+    out = multimodal.decode_image(
+        png(2, 1, 8, 2, lines, extra=chunk(b"tRNS", key)))
+    assert out.shape == (1, 2, 4)
+    assert list(out[0, :, 3]) == [255, 0]
+
+    # 4-bit gray: key stored raw, image scaled x17
+    g4 = np.array([[3, 7]], dtype=np.uint8)
+    packed = bytes([(3 << 4) | 7])
+    out = multimodal.decode_image(
+        png(2, 1, 4, 0, b"\x00" + packed,
+            extra=chunk(b"tRNS", struct.pack(">H", 7))))
+    assert out.shape == (1, 2, 2)
+    assert list(out[0, :, 0]) == [51, 119] and list(out[0, :, 1]) == [255, 0]
