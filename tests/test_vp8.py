@@ -406,3 +406,43 @@ def test_truncated_stream_decodes_without_crash():
     data = _vp8_payload(_encode(_img(32, 32, 2), 75.0))
     cut = vp8.decode_vp8_frame(data[:len(data) * 2 // 3])
     assert cut[0].shape == (32, 32)
+
+
+def test_lossy_frame_inside_animation():
+    """An ANMF frame whose data is a lossy still (optional ALPH + VP8)
+    must decode through the animation path to exactly the pixels the
+    standalone still decodes to — cross-checking the ANMF chunk-walk
+    against the libwebp-encoded (not in-repo-encoded) payload."""
+    import struct
+
+    from cross_modal_multivector_search_spark.functions import webp
+
+    rng = np.random.default_rng(41)
+    img = np.clip(rng.normal(128, 40, (16, 16, 3)), 0,
+                  255).astype(np.uint8)
+    still = _encode(img, quality=80.0)
+    # the standalone still (already pinned vs libwebp elsewhere)
+    still_px = webp.decode_webp(still)
+    if still_px.shape[2] == 3:
+        still_px = np.dstack([still_px,
+                              np.full((16, 16), 255, np.uint8)])
+    # strip RIFF/WEBP and re-wrap the image chunks as one ANMF frame
+    frame_data = still[12:]
+
+    def chunk(tag, body):
+        return (tag + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    head = (0).to_bytes(3, "little") * 2 \
+        + (15).to_bytes(3, "little") + (15).to_bytes(3, "little") \
+        + (40).to_bytes(3, "little") + bytes([0x02])   # no blend
+    vp8x = bytes([0x12, 0, 0, 0]) + (15).to_bytes(3, "little") \
+        + (15).to_bytes(3, "little")
+    anim = bytes([0, 0, 0, 0]) + (0).to_bytes(2, "little")
+    body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim) \
+        + chunk(b"ANMF", head + frame_data)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    frames = webp.decode_webp_frames(payload)
+    assert len(frames) == 1 and frames[0][:2] == (0, 40)
+    assert np.array_equal(frames[0][2], still_px)
