@@ -1129,6 +1129,33 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r(out, "jaccard").orderBy("a", "b")
 
 
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_spans(docs, n=3, min_docs=2) \
+        .orderBy("doc_id", "span_start")
+
+
+# maximal duplicated-substring spans (Lee et al. substring-dedup shape):
+# 3-grams in >= 2 docs, merged while start indexes are <= n apart
+SQL_DUP_NGRAM_SPANS = f"""
+WITH {_SQL_TOK_SH},
+hot AS (SELECT shingle FROM shf
+        GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT f.doc_id, f.idx FROM shf f JOIN hot USING (shingle)),
+flagged AS (
+  SELECT doc_id, idx,
+         CASE WHEN idx - lag(idx) OVER w > 3 THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+isl AS (
+  SELECT doc_id, idx,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+  FROM flagged)
+SELECT doc_id, min(idx) AS span_start,
+       max(idx) - min(idx) + 3 AS span_len, count(*) AS n_grams
+FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start
+"""
+
+
 SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH {_SQL_TOK_SH},
 dsh AS (SELECT DISTINCT doc_id, shingle FROM shf),
@@ -2036,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ip_topk_gemm": q_knn_gemm,
         "chamfer_topk_gemm": q_chamfer_gemm,
         "maxsim_topk_gemm": q_maxsim_gemm,
+        "dup_ngram_spans": q_dup_ngram_spans,
     }
     return {name: _shipped(fn) for name, fn in qs.items()}
 
@@ -2104,4 +2132,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": SQL_STREAM_DEDUP,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
+        "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     }

@@ -19,7 +19,7 @@ hash (xxhash64/murmur) appears in results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -174,6 +174,45 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
         F.explode(F.slice(F.col("ids"), F.col("_i") + 2,
                           F.size("ids"))).alias("b"))
     return out.distinct() if dedup_pairs else out
+
+
+def duplicate_ngram_spans(docs: DataFrame, n: int = 3,
+                          min_docs: int = 2, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Maximal token spans covered by n-grams that appear in >=
+    ``min_docs`` distinct documents — the substring-deduplication shape
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": duplicated substrings are removed span-wise, not doc-wise).
+
+    Returns (doc_id, span_start, span_len, n_grams): 1-based token
+    index of the span's first token, covered token count, and how many
+    duplicated grams merged into it. Grams merge while consecutive
+    start indexes are <= n apart (their token ranges overlap or touch),
+    so every returned span is a contiguous duplicated region.
+
+    Scale shape: one shingle groupBy (count-distinct docs per gram,
+    map-side partial), an equi join back to gram positions (only
+    duplicated grams survive), then two window passes per doc over the
+    surviving grams — shuffle volume is O(duplicated grams), never
+    O(corpus^2) and never a self-join of the corpus.
+    """
+    sh = shingles(docs, n, id_col, text_col)
+    hot = (sh.groupBy("shingle")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .filter(F.col("_nd") >= min_docs)
+           .select("shingle"))
+    dup = sh.join(hot, "shingle").select(id_col, "idx")
+    w = Window.partitionBy(id_col).orderBy("idx")
+    brk = F.when(F.col("idx") - F.lag("idx", 1).over(w) > n,
+                 1).otherwise(0)
+    grouped = (dup.withColumn("_brk", brk)
+               .withColumn("_g", F.sum("_brk").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (grouped.groupBy(id_col, "_g")
+            .agg(F.min("idx").alias("span_start"),
+                 (F.max("idx") - F.min("idx") + n).alias("span_len"),
+                 F.count("*").alias("n_grams"))
+            .select(id_col, "span_start", "span_len", "n_grams"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,

@@ -923,3 +923,31 @@ def test_png_trns_transparency():
             extra=chunk(b"tRNS", struct.pack(">H", 7))))
     assert out.shape == (1, 2, 2)
     assert list(out[0, :, 0]) == [51, 119] and list(out[0, :, 1]) == [255, 0]
+
+
+def test_duplicate_ngram_spans_planted(spark):
+    """A passage shared by two docs must come back as ONE maximal span
+    per doc (grams merge while start indexes are <= n apart), with
+    doc-unique text contributing nothing."""
+    shared = "alpha beta gamma delta epsilon zeta"      # 6 tokens
+    d = spark.createDataFrame(
+        [(1, f"one two {shared} three"),
+         (2, f"{shared} nine eight seven six five four"),
+         (3, "totally unrelated words only here once")],
+        "doc_id long, text string")
+    out = {(r["doc_id"]): r for r in
+           dedup.duplicate_ngram_spans(d, n=3).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: shared tokens at positions 3..8 -> grams 3..6 -> one span
+    assert out[1]["span_start"] == 3 and out[1]["span_len"] == 6
+    assert out[1]["n_grams"] == 4
+    assert out[2]["span_start"] == 1 and out[2]["span_len"] == 6
+    # two disjoint duplicated regions stay two spans
+    d2 = spark.createDataFrame(
+        [(1, f"{shared} x1 x2 x3 x4 {shared}"),
+         (2, shared)],
+        "doc_id long, text string")
+    spans = sorted((r["span_start"], r["span_len"]) for r in
+                   dedup.duplicate_ngram_spans(d2, n=3)
+                   .filter("doc_id = 1").collect())
+    assert spans == [(1, 6), (11, 6)]
