@@ -49,10 +49,31 @@ def test_ppm_ground_truth_shape():
 
 def test_external_png_decodes_bit_exactly():
     """libpng-family output (NOT this repo's encode_png) must equal the
-    independently parsed PPM pixels."""
+    independently parsed PPM pixels. The fixture is a palette PNG with
+    a tRNS chunk (real transparency, honored as of r8), so the decode
+    carries an alpha channel whose values come straight from tRNS."""
+    import struct
+
     out = M.decode_image(X.PYTHON_PNG)
-    assert out.shape == (16, 16, 3)
-    assert np.array_equal(out, GT)
+    assert out.shape == (16, 16, 4)
+    assert np.array_equal(out[..., :3], GT)
+    # alpha must be exactly the tRNS per-index table (255 past its end)
+    p, pos, plte, trns, idat = X.PYTHON_PNG, 8, None, None, []
+    import zlib
+    while pos + 8 <= len(p):
+        size, cid = struct.unpack_from(">I4s", p, pos)
+        body = p[pos + 8:pos + 8 + size]
+        if cid == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif cid == b"IDAT":
+            idat.append(body)
+        pos += 12 + size
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    idx = raw.reshape(16, 17)[:, 1:]          # filter-0 rows
+    assert (raw.reshape(16, 17)[:, 0] == 0).all()
+    pal_a = np.full(256, 255, dtype=np.uint8)
+    pal_a[:len(trns)] = trns
+    assert np.array_equal(out[..., 3], pal_a[idx])
 
 
 def test_external_bmp_bitfields_decodes_bit_exactly():
