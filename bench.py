@@ -33,6 +33,8 @@ HEADLINE = [
     "ivf_topk",
     "minhash_lsh_pairs",
     "dedup_clusters",           # LSH pairs -> connected components
+    "dup_ngram_spans",          # substring-dedup spans (new in r8 —
+                                # totals are not comparable to r<=7)
     "corpus_curate",            # full curation pipeline composition
     "simhash_fingerprints",
     "embedding_near_dup",

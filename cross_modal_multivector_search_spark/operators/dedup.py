@@ -190,18 +190,28 @@ def duplicate_ngram_spans(docs: DataFrame, n: int = 3,
     start indexes are <= n apart (their token ranges overlap or touch),
     so every returned span is a contiguous duplicated region.
 
-    Scale shape: one shingle groupBy (count-distinct docs per gram,
-    map-side partial), an equi join back to gram positions (only
-    duplicated grams survive), then two window passes per doc over the
-    surviving grams — shuffle volume is O(duplicated grams), never
-    O(corpus^2) and never a self-join of the corpus.
+    Scale shape: ONE shuffle on shingle to find duplicated grams, then
+    ONE shuffle on doc to merge them — shuffle volume is O(grams),
+    never O(corpus^2) and never a self-join of the corpus. At the
+    default min_docs=2, ">= 2 distinct docs" is exactly
+    min(doc) != max(doc) over the gram's partition — a constant-state
+    window (no collect_set, safe when a stop-word gram spans millions
+    of docs) that replaces the aggregate + join-back a count-distinct
+    would need; min_docs > 2 falls back to that aggregate + join.
     """
     sh = shingles(docs, n, id_col, text_col)
-    hot = (sh.groupBy("shingle")
-           .agg(F.countDistinct(id_col).alias("_nd"))
-           .filter(F.col("_nd") >= min_docs)
-           .select("shingle"))
-    dup = sh.join(hot, "shingle").select(id_col, "idx")
+    if min_docs <= 2:
+        wsh = Window.partitionBy("shingle")
+        dup = (sh.withColumn("_lo", F.min(id_col).over(wsh))
+               .withColumn("_hi", F.max(id_col).over(wsh))
+               .filter(F.col("_lo") != F.col("_hi"))
+               .select(id_col, "idx"))
+    else:
+        hot = (sh.groupBy("shingle")
+               .agg(F.countDistinct(id_col).alias("_nd"))
+               .filter(F.col("_nd") >= min_docs)
+               .select("shingle"))
+        dup = sh.join(hot, "shingle").select(id_col, "idx")
     w = Window.partitionBy(id_col).orderBy("idx")
     brk = F.when(F.col("idx") - F.lag("idx", 1).over(w) > n,
                  1).otherwise(0)

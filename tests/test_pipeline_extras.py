@@ -951,3 +951,20 @@ def test_duplicate_ngram_spans_planted(spark):
                    dedup.duplicate_ngram_spans(d2, n=3)
                    .filter("doc_id = 1").collect())
     assert spans == [(1, 6), (11, 6)]
+
+
+def test_duplicate_ngram_spans_min_docs_fallback(spark):
+    """min_docs > 2 takes the aggregate+join path: a passage in three
+    docs survives, one in only two does not."""
+    tri = "red orange yellow green blue"
+    duo = "cat dog bird fish mouse"
+    d = spark.createDataFrame(
+        [(1, f"{tri} {duo}"), (2, tri), (3, f"{duo} {tri}")],
+        "doc_id long, text string")
+    out = dedup.duplicate_ngram_spans(d, n=3, min_docs=3).collect()
+    docs_hit = {r["doc_id"] for r in out}
+    assert docs_hit == {1, 2, 3}
+    # doc 1's only min_docs=3 span is the tri passage (tokens 1..5)
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert len(d1) == 1 and (d1[0]["span_start"], d1[0]["span_len"]) \
+        == (1, 5)
