@@ -1129,6 +1129,36 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r(out, "jaccard").orderBy("a", "b")
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TD.load(spark, sf_dir, "documents")
+    return text.bigram_pmi(docs, min_count=5).orderBy("x", "y")
+
+
+# adjacent-bigram PMI (collocations): row set fixed by integer counts,
+# pmi a rounded value column (same ROUND_EPS convention as text.py)
+SQL_BIGRAM_PMI = f"""
+WITH {_SQL_TOK_SH},
+uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+nt AS (SELECT count(*) AS n_tokens FROM tok),
+big AS (
+  SELECT token AS x,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY idx) AS y
+  FROM tok),
+bigf AS (SELECT x, y FROM big WHERE y IS NOT NULL),
+nb AS (SELECT count(*) AS n_bigrams FROM bigf),
+cxy AS (SELECT x, y, count(*) AS n_xy FROM bigf
+        GROUP BY x, y HAVING count(*) >= 5)
+SELECT c.x, c.y, c.n_xy,
+       ROUND(ln((c.n_xy / nb.n_bigrams)
+                / ((ux.c / nt.n_tokens) * (uy.c / nt.n_tokens)))
+             + 1.2345678e-9, 5) AS pmi
+FROM cxy c
+JOIN uni ux ON ux.token = c.x
+JOIN uni uy ON uy.token = c.y, nt, nb
+ORDER BY x, y
+"""
+
+
 def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TD.load(spark, sf_dir, "documents")
     return dedup.duplicate_ngram_spans(docs, n=3, min_docs=2) \
@@ -2064,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chamfer_topk_gemm": q_chamfer_gemm,
         "maxsim_topk_gemm": q_maxsim_gemm,
         "dup_ngram_spans": q_dup_ngram_spans,
+        "bigram_pmi": q_bigram_pmi,
     }
     return {name: _shipped(fn) for name, fn in qs.items()}
 
@@ -2133,4 +2164,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
         "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+        "bigram_pmi": SQL_BIGRAM_PMI,
     }

@@ -144,6 +144,46 @@ def token_frequencies(docs: DataFrame, k: int = 50,
             .limit(k))
 
 
+def bigram_pmi(docs: DataFrame, min_count: int = 5,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(x, y, n_xy, pmi): pointwise mutual information of adjacent
+    token bigrams with corpus count >= ``min_count`` — the standard
+    collocation statistic for tokenizer-merge and phrase-mining work.
+
+    pmi = ln( (c_xy / N_bigrams) / ((c_x / N_tokens) * (c_y / N_tokens)) )
+
+    Scale shape: bigrams come from the shingle projection (no window,
+    no shuffle before aggregation), one groupBy each for bigram and
+    unigram counts, and the two count-total scalars arrive by broadcast
+    cross join — the joined tables are vocabulary-sized (≪ corpus).
+    The returned row set is determined by integer counts alone
+    (min_count filter); pmi is a value column, rounded like every
+    other float the oracle compares.
+    """
+    t = tokens(docs, id_col, text_col)
+    uni = t.groupBy("token").agg(F.count("*").alias("c"))
+    n_tok = t.agg(F.count("*").alias("n_tokens"))
+    big = (shingles(docs, 2, id_col, text_col)
+           .select(F.substring_index("shingle", " ", 1).alias("x"),
+                   F.substring_index("shingle", " ", -1).alias("y")))
+    n_big = big.agg(F.count("*").alias("n_bigrams"))
+    cxy = (big.groupBy("x", "y").agg(F.count("*").alias("n_xy"))
+           .filter(F.col("n_xy") >= min_count))
+    out = (cxy
+           .join(uni.select(F.col("token").alias("x"),
+                            F.col("c").alias("_cx")), "x")
+           .join(uni.select(F.col("token").alias("y"),
+                            F.col("c").alias("_cy")), "y")
+           .crossJoin(F.broadcast(n_tok))
+           .crossJoin(F.broadcast(n_big)))
+    pmi = F.log((F.col("n_xy") / F.col("n_bigrams"))
+                / ((F.col("_cx") / F.col("n_tokens"))
+                   * (F.col("_cy") / F.col("n_tokens"))))
+    return out.select("x", "y", "n_xy",
+                      F.round(pmi + ROUND_EPS, 5).alias("pmi"))
+
+
 def normalize_text(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(id, text_norm): lowercase, strip non-alphanumerics to spaces,

@@ -968,3 +968,20 @@ def test_duplicate_ngram_spans_min_docs_fallback(spark):
     d1 = [r for r in out if r["doc_id"] == 1]
     assert len(d1) == 1 and (d1[0]["span_start"], d1[0]["span_len"]) \
         == (1, 5)
+
+
+def test_bigram_pmi_planted(spark):
+    """A bigram occurring in every doc gets high PMI; PMI matches the
+    hand formula exactly on a tiny corpus."""
+    import math
+    d = spark.createDataFrame(
+        [(i, "alpha beta gamma " + f"u{i} v{i}") for i in range(5)],
+        "doc_id long, text string")
+    rows = {(r["x"], r["y"]): r for r in
+            text.bigram_pmi(d, min_count=5).collect()}
+    assert set(rows) == {("alpha", "beta"), ("beta", "gamma")}
+    n_tok, n_big = 25, 20
+    exp = math.log((5 / n_big) / ((5 / n_tok) * (5 / n_tok)))
+    got = rows[("alpha", "beta")]
+    assert got["n_xy"] == 5
+    assert abs(got["pmi"] - round(exp + 1.2345678e-9, 5)) < 1e-9
