@@ -969,6 +969,10 @@ def _arith_restart(ad: "_ArithDecoder", d: bytes, expected: int):
     i = ad.marker if ad.marker is not None else ad.i
     while i + 1 < len(d) and not (d[i] == 0xFF and d[i + 1] != 0x00):
         i += 1
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    # skip the run so the marker code byte itself gets classified.
+    while i + 2 < len(d) and d[i + 1] == 0xFF:
+        i += 1
     if not (i + 1 < len(d) and d[i] == 0xFF
             and 0xD0 <= d[i + 1] <= 0xD7):
         raise ValueError("expected restart marker in arithmetic scan")

@@ -625,7 +625,10 @@ def decode_webp(payload: bytes) -> np.ndarray:
         raise ValueError("not a WebP payload (missing RIFF/WEBP)")
     for tag, _ in _iter_chunks(payload, 12):
         if tag == b"ANMF":
-            return _rgb_unless_alpha(decode_webp_frames(payload)[0][2])
+            # still-decode of an animation: compose ONLY frame 0 —
+            # O(1) decodes regardless of animation length
+            first = decode_webp_frames(payload, max_frames=1)[0][2]
+            return _rgb_unless_alpha(first)
     return _rgb_unless_alpha(_decode_frame_rgba(payload[12:]))
 
 
@@ -646,8 +649,12 @@ def _blend_rgba(canvas: np.ndarray, frame: np.ndarray) -> np.ndarray:
 
 
 def decode_webp_frames(
-        payload: bytes) -> list[tuple[int, int, np.ndarray]]:
+        payload: bytes,
+        max_frames: int | None = None) -> list[tuple[int, int, np.ndarray]]:
     """Decode a WebP payload to [(start_ms, duration_ms, RGBA canvas)].
+
+    ``max_frames`` stops composing after that many frames (the
+    still-decode path passes 1 so a long animation costs one decode).
 
     Animated WebP (VP8X with the Animation flag + ANIM/ANMF chunks,
     container spec §Animation) composes each frame onto the canvas:
@@ -715,6 +722,8 @@ def decode_webp_frames(
         canvas[fy:fy + fh, fx:fx + fw] = (
             rgba if no_blend else _blend_rgba(rect, rgba))
         frames.append((t, dur, canvas.copy()))
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
         if dispose_bg:
             canvas[fy:fy + fh, fx:fx + fw] = bg
         t += dur

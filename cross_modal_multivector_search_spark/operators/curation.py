@@ -75,9 +75,13 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
     feats = text.lang_quality(
         docs.withColumn("__digest", F.md5(F.col(text_col))),
         id_col, text_col, carry_cols=("__digest",))
-    w = Window.partitionBy("__digest").orderBy(id_col)
-    out = (feats.withColumn("__rn", F.row_number().over(w))
-           .filter(F.col("__rn") == 1)      # canonical = min id (exact)
+    # canonical = min id per digest, via a CONSTANT-STATE window (no
+    # orderBy): min() is partially aggregable, so a massively duplicated
+    # document — the hot case at 100 TB — never forces a single-task
+    # per-partition sort the way a row_number() window would.
+    w = Window.partitionBy("__digest")
+    out = (feats.withColumn("__min_id", F.min(id_col).over(w))
+           .filter(F.col(id_col) == F.col("__min_id"))
            .join(drop_near, id_col, "anti"))
     if benchmark_docs is not None:
         contaminated = decontaminate(

@@ -635,7 +635,12 @@ def sample_video_frames(media: DataFrame,
                 ts_list = ([0] if total == 0
                            else list(range(0, total, every_ms)))
                 for ts in ts_list:
-                    i = bisect.bisect_right(starts, ts) - 1
+                    # all-zero-duration animation: every start is 0, so
+                    # bisect_right would pick the LAST composed canvas;
+                    # players display the FIRST frame (treating dur=0 as
+                    # a minimum display time) — match that.
+                    i = (0 if total == 0
+                         else bisect.bisect_right(starts, ts) - 1)
                     rgba = frames[i][2]
                     out["media_id"].append(mid)
                     out["frame_ts_ms"].append(ts)

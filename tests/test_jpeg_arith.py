@@ -212,3 +212,38 @@ def test_truncated_arith_raises_or_degrades():
     da = _encode(img, 75, arith=True)
     out = J.decode_jpeg(da[:len(da) * 3 // 4])
     assert out.shape == (32, 32)
+
+
+def test_arith_restart_tolerates_fill_bytes():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker. The
+    restart scanner must skip a run of fills and classify the first
+    non-0xFF byte as the marker code (r8 advice)."""
+    d = b"\x12\x34\xFF\xFF\xFF\xD1\xAB"
+    ad = J._ArithDecoder(d, 0)
+    out = J._arith_restart(ad, d, 1)
+    assert out.i == 6                      # positioned after FFD1
+    with pytest.raises(ValueError, match="out of sequence"):
+        J._arith_restart(J._ArithDecoder(d, 0), d, 3)
+    # a run of fills hitting EOF is a truncated stream, not a marker
+    with pytest.raises(ValueError, match="expected restart"):
+        J._arith_restart(J._ArithDecoder(b"\x01\xFF\xFF", 0),
+                         b"\x01\xFF\xFF", 0)
+
+
+def test_arith_decode_with_injected_fill_bytes():
+    """End-to-end: inserting a fill 0xFF before every RSTn in an
+    arithmetic scan must decode identically (conformant per B.1.1.2)."""
+    img = _img((32, 48, 3), 7)
+    da = _encode(img, 75, arith=True, restart=2)
+    base = J.decode_jpeg(da)
+    out = bytearray()
+    i = 0
+    while i < len(da):
+        if (da[i] == 0xFF and i + 1 < len(da)
+                and 0xD0 <= da[i + 1] <= 0xD7):
+            out += b"\xFF"
+        out.append(da[i])
+        i += 1
+    filled = bytes(out)
+    assert len(filled) > len(da)
+    np.testing.assert_array_equal(J.decode_jpeg(filled), base)

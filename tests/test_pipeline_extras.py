@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from cross_modal_multivector_search_spark import testdata as TD
 from cross_modal_multivector_search_spark.operators import (
-    dedup, multimodal, simsearch, text,
+    curation, dedup, multimodal, simsearch, text,
 )
 from cross_modal_multivector_search_spark.sources import fbin
 
@@ -985,3 +985,41 @@ def test_bigram_pmi_planted(spark):
     got = rows[("alpha", "beta")]
     assert got["n_xy"] == 5
     assert abs(got["pmi"] - round(exp + 1.2345678e-9, 5)) < 1e-9
+
+
+def test_sample_video_frames_zero_duration_anim(spark):
+    """All-zero-duration animation: total==0 collapses sampling to
+    ts=0, which must show the FIRST displayed frame (players treat
+    dur=0 as a minimum display time), not the last composed canvas
+    (r8 advice)."""
+    from cross_modal_multivector_search_spark.functions import webp
+
+    rng = np.random.default_rng(33)
+    f0 = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    anim = webp.encode_webp_anim([(f0, 0, 0, 0, False, False),
+                                  (f1, 0, 0, 0, False, False)])
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(anim), "webp", 3, 3, 0)],
+        schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_video_frames(media, every_ms=100).collect()
+    assert [r["frame_ts_ms"] for r in out] == [0]
+    img = multimodal.decode_image(bytes(out[0]["frame_png"]))
+    exp = np.dstack([f0, np.full((3, 3), 255, np.uint8)])
+    assert np.array_equal(img, exp)
+
+
+def test_curate_corpus_exact_dedup_plan_shape(spark):
+    """Exact dedup inside curate_corpus is a constant-state min()
+    window, not a row_number() sort window: a massively duplicated
+    document must not force a single-task per-group SORT (r8 advice).
+    Functional pin: min doc_id survives; plan pin: no row_number."""
+    rows = [(i, "the same duplicated text body here ok", ) for i in
+            (7, 3, 9, 5)] + [(11, "another unique document text here",)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = curation.curate_corpus(d, quality_threshold=0.0,
+                                langs=("en", "unknown"))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan
+    ids = {r["doc_id"] for r in df.collect()}
+    assert 3 in ids and {7, 9, 5}.isdisjoint(ids)

@@ -510,3 +510,25 @@ def test_frames_api_on_still_payloads():
     t, d, rgba = frames[0]
     assert (t, d) == (0, 0)
     assert np.array_equal(rgba[:, :, :3], img)
+
+
+def test_anim_still_decode_is_single_frame_cost():
+    """decode_webp of an animation composes ONLY frame 0 (r8 advice):
+    max_frames=1 must stop before later frames even parse, so a frame
+    whose data is corrupt past frame 0 cannot affect a still decode."""
+    f0 = _rand((4, 4, 3), 60)
+    f1 = _rand((4, 4, 3), 61)
+    anim = webp.encode_webp_anim([(f0, 10, 0, 0, False, False),
+                                  (f1, 10, 0, 0, False, False)])
+    # corrupt the SECOND frame's VP8L body (skip past frame 0's ANMF)
+    first = anim.index(b"ANMF")
+    second = anim.index(b"ANMF", first + 4)
+    mangled = bytearray(anim)
+    sig = mangled.index(b"VP8L", second) + 8
+    mangled[sig] ^= 0xFF                       # break the signature byte
+    with pytest.raises(Exception):
+        webp.decode_webp_frames(bytes(mangled))   # full decode sees it
+    assert np.array_equal(webp.decode_webp(bytes(mangled)), f0)
+    one = webp.decode_webp_frames(anim, max_frames=1)
+    assert len(one) == 1
+    assert np.array_equal(one[0][2], webp.decode_webp_frames(anim)[0][2])
