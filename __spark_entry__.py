@@ -23,9 +23,9 @@ from pyspark.sql import functions as F
 from cross_modal_multivector_search_spark import testdata as TD
 from cross_modal_multivector_search_spark.functions import vector as V
 from cross_modal_multivector_search_spark.operators import (
-    brute_force, curation, dedup, graph_build, graph_search, mapping,
-    quantize, recall, rerank, sampling, set_search, sharded, simsearch,
-    stats, text, topk,
+    brute_force, curation, dedup, graph_build, graph_search, hnsw,
+    mapping, quantize, recall, rerank, sampling, set_search, sharded,
+    simsearch, stats, text, topk,
 )
 from cross_modal_multivector_search_spark.streaming import events as stream_events
 
@@ -861,6 +861,88 @@ SELECT CAST(budget AS BIGINT) AS budget,
 FROM (VALUES (50, 0.92), (100, 0.99), (400, 1.0)) t(budget, mean_recall)
 ORDER BY budget
 """
+
+
+# --------------------------------------------------------------------------
+# HNSW baseline (SURVEY §2.8 "hnswlib baseline"): the reference's own
+# comparison system — `tests/hnsw/search_rerank_hnsw.cpp` searches each
+# member vector with ef = budget/m (a FIXED split of the beam budget,
+# which is exactly what RoarGraph's adaptive allocation improves on) and
+# feeds the same smooth-Chamfer reranker.
+# --------------------------------------------------------------------------
+
+_HNSW_CACHE: dict[str, hnsw.HnswIndex] = {}
+_HNSW_PARAMS = hnsw.HnswParams(m=12, ef_construction=60, seed=7)
+
+
+def _hnsw_index(spark: SparkSession, sf_dir: str) -> hnsw.HnswIndex:
+    """Build-once, search-many (reference builds offline via
+    `tests/hnsw/build_hnsw.cpp` and benchmarks search alone)."""
+    if sf_dir in _HNSW_CACHE:
+        return _HNSW_CACHE[sf_dir]
+    import os
+    p = _HNSW_PARAMS
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    cache = (f"{os.path.dirname(os.path.abspath(__file__))}/.roar_cache/"
+             f"hnsw-{tag}-m{p.m}-efc{p.ef_construction}-s{p.seed}-v1")
+    v = TD.embeddings_norm(spark, sf_dir)
+    base = v.select("vec_id", "vec")
+    if os.path.exists(f"{cache}/adjacency.parquet"):
+        idx = hnsw.load_hnsw(spark, cache, base)
+    else:
+        idx = hnsw.build_hnsw(base, p)
+        hnsw.save_hnsw(idx, spark, cache)
+    _HNSW_CACHE[sf_dir] = idx
+    return idx
+
+
+# Deterministic sf0.01 curve (seeded levels + stable insert order +
+# fixed-split ef): HNSW already saturates the 500-vector base at
+# budget 100 (ef=20 beam covers the true top-10 per member), where the
+# adaptive RoarGraph path reports 0.99 — at this toy scale the curves
+# cross; the reference-scale ordering lives in ANN_PROTOCOL.md.
+SQL_HNSW_RECALL_REPORT = """
+SELECT CAST(budget AS BIGINT) AS budget,
+       CAST(mean_recall AS DOUBLE) AS mean_recall
+FROM (VALUES (50, 0.92), (100, 1.0), (400, 1.0)) t(budget, mean_recall)
+ORDER BY budget
+"""
+
+
+def q_hnsw_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW two-phase baseline at saturating budget: ef = budget/m =
+    500 covers the whole sf0.01 base, so on the (test-pinned) fully
+    reachable layer-0 graph the result is EXACTLY the smooth-Chamfer
+    top-k — the same exact-equivalence oracle argument as
+    `ann_multivector_search`."""
+    index = _hnsw_index(spark, sf_dir)
+    q, v = _queries_norm(spark, sf_dir)
+    out = hnsw.search_and_rerank_hnsw(index, q, v, K, budget=M * 500, m=M)
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_hnsw_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(budget, mean recall@10) for the HNSW baseline over the same
+    budget sweep as `ann_recall_report` — together they reproduce the
+    reference's RoarGraph-vs-HNSW comparison axes (recall at equal
+    budget; `scripts/hnsw/` + `tests/hnsw/search_rerank_hnsw.cpp`).
+    Deterministic (seeded levels, stable insert order), so the sf0.01
+    twin pins the exact curve."""
+    index = _hnsw_index(spark, sf_dir)
+    q, v = _queries_norm(spark, sf_dir)
+    gt = set_search.set_topk_sql(q, v, K).select(
+        "query_set_id", "data_set_id")
+    budgets = (50, 100, 400)
+    out = None
+    for b in budgets:
+        res = hnsw.search_and_rerank_hnsw(index, q, v, K, budget=b, m=M)
+        per_query = recall.recall_at_k(
+            res.select("query_set_id", "data_set_id"), gt, K)
+        row = per_query.agg(
+            F.lit(b).cast("long").alias("budget"),
+            F.round(F.avg("recall"), 5).alias("mean_recall"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("budget")
 
 
 # --------------------------------------------------------------------------
@@ -2051,6 +2133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_qpart_search": q_ann_qpart_search,
         "ann_recall_report": q_ann_recall_report,
         "ann_varcard_search": q_ann_varcard_search,
+        "hnsw_multivector_search": q_hnsw_multivector_search,
+        "hnsw_recall_report": q_hnsw_recall_report,
         "graph_connectivity": q_graph_connectivity,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -2155,6 +2239,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_sharded_search": SQL_CHAMFER_TOPK,
         "ann_qpart_search": SQL_CHAMFER_TOPK,
         "ann_recall_report": SQL_ANN_RECALL_REPORT,
+        # saturating ef (= whole sf0.01 base) on a fully reachable
+        # layer-0 graph == exact smooth-Chamfer top-k
+        "hnsw_multivector_search": SQL_CHAMFER_TOPK,
+        "hnsw_recall_report": SQL_HNSW_RECALL_REPORT,
         "ann_varcard_search": SQL_CHAMFER_VARCARD,
         "graph_connectivity": SQL_GRAPH_CONNECTIVITY,
         "random_vectors": SQL_RANDOM_VECTORS,

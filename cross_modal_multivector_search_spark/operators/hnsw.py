@@ -1,0 +1,359 @@
+"""HNSW baseline index — the reference's comparison system, re-expressed
+Spark-first.
+
+The reference benchmarks RoarGraph against an hnswlib index built with
+`M=35, ef_construction=500` (`scripts/hnsw/build_hnsw_index.sh:27-28`)
+and searched per member vector with `ef = total_budget / m`
+(`tests/hnsw/search_rerank_hnsw.cpp:134-151`), feeding the same
+smooth-Chamfer reranker. This module reproduces those semantics:
+
+- **Build** (`build_hnsw_df` / `build_hnsw`): the standard HNSW insert
+  loop (Malkov & Yashunin, TPAMI 2020; hnswlib's heuristic neighbor
+  selection) in pure NumPy inside ONE Spark task fed by a DataFrame of
+  vectors — O(1) driver memory, same shape as
+  `graph_build.build_roargraph_df`. Level assignment is deterministic
+  (seeded RNG over insertion order), so builds are reproducible across
+  runs and partitionings.
+- **Search** (`multivector_search_hnsw`): queries stay a DataFrame;
+  the index broadcasts; one Arrow batch of query sets at a time runs
+  the NumPy layer descent + layer-0 beam search (reusing
+  `_roar_core.BeamQueue` — hnswlib's searchKnn candidate list has the
+  same bounded-sorted-set semantics). Candidates feed the SAME
+  `operators/rerank.py` two-phase pipeline the RoarGraph path uses,
+  exactly like the reference shares `MultiVectorReranker` between its
+  RoarGraph and HNSW drivers.
+
+Distance convention: negated inner product on pre-normalized vectors
+(reference `InnerProductSpace` + normalize, `tests/hnsw/
+search_rerank_hnsw.cpp:124-128`), matching `_roar_core`.
+
+At saturating ef (>= n) the layer-0 beam expands every reachable node,
+so on a connected graph the search is EXACTLY the brute-force top-k —
+the same exact-equivalence oracle argument the `ann_multivector_search`
+driver row uses (tests additionally pin full directed reachability).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                               LongType, StructField, StructType)
+
+from . import _roar_core as core
+
+_LEVEL_GRAPH_SCHEMA = StructType([
+    StructField("level", IntegerType()),
+    StructField("src", LongType()),
+    StructField("nbrs", ArrayType(LongType())),
+    StructField("is_entry", IntegerType()),
+])
+
+_CAND_SCHEMA = StructType([
+    StructField("query_set_id", LongType()),
+    StructField("member_pos", IntegerType()),
+    StructField("base_vec_id", LongType()),
+    StructField("dist", DoubleType()),
+])
+
+
+@dataclass
+class HnswParams:
+    """Build knobs. The reference experiment uses M=35,
+    ef_construction=500 (`scripts/hnsw/build_hnsw_index.sh:27-28`);
+    defaults here are the same scaled-down regime the driver-scale
+    RoarGraph params use."""
+    m: int = 12                # max out-degree per layer (level 0: 2*m)
+    ef_construction: int = 60
+    seed: int = 7
+
+
+@dataclass
+class HnswIndex:
+    """Broadcastable handle: per-level adjacency over contiguous
+    indexes + the vector matrix."""
+    ids: np.ndarray            # index -> original vec_id
+    vecs: np.ndarray           # (n, d) normalized float64
+    levels: np.ndarray         # index -> top level of the node
+    adj: list                  # adj[level][index] -> np.ndarray of indexes
+    entry_point: int           # index (not vec_id)
+    max_level: int
+
+    def to_dataframe(self, spark: SparkSession) -> DataFrame:
+        rows = []
+        for lvl in range(self.max_level + 1):
+            for i in range(len(self.ids)):
+                if self.levels[i] >= lvl:
+                    rows.append((lvl, int(self.ids[i]),
+                                 [int(self.ids[j])
+                                  for j in self.adj[lvl][i]],
+                                 1 if (i == self.entry_point
+                                       and lvl == self.max_level) else 0))
+        return spark.createDataFrame(rows, schema=_LEVEL_GRAPH_SCHEMA)
+
+
+def _select_neighbors(cand_ids: np.ndarray, cand_dists: np.ndarray,
+                      vecs: np.ndarray, m: int) -> np.ndarray:
+    """hnswlib's `getNeighborsByHeuristic2`: scan candidates nearest-
+    first; keep c unless some already-kept r has d(c, r) < d(c, target).
+    No slack passes, no backfill (those are RoarGraph variants — see
+    `_roar_core.occlusion_prune`)."""
+    order = np.argsort(cand_dists, kind="stable")
+    ids = np.asarray(cand_ids, dtype=np.int64)[order]
+    dists = np.asarray(cand_dists)[order]
+    if len(ids) <= 1:
+        return ids[:m]
+    kept: list[int] = []
+    kept_vecs = []
+    for c, dc in zip(ids, dists):
+        if len(kept) >= m:
+            break
+        if kept and bool(np.any(
+                -(np.asarray(kept_vecs) @ vecs[c]) < dc)):
+            continue
+        kept.append(int(c))
+        kept_vecs.append(vecs[c])
+    return np.array(kept, dtype=np.int64)
+
+
+def _greedy_descend(adj_l: list, vecs: np.ndarray, q: np.ndarray,
+                    ep: int) -> int:
+    """Single-entry greedy walk at one layer (`searchKnn`'s upper-layer
+    loop): hop to the closest neighbor while it improves."""
+    cur = ep
+    cur_d = float(-(vecs[cur] @ q))
+    improved = True
+    while improved:
+        improved = False
+        nbrs = adj_l[cur]
+        if len(nbrs) == 0:
+            break
+        d = -(vecs[nbrs] @ q)
+        j = int(np.argmin(d))
+        if d[j] < cur_d:
+            cur, cur_d = int(nbrs[j]), float(d[j])
+            improved = True
+    return cur
+
+
+def _search_layer(adj_l: list, vecs: np.ndarray, q: np.ndarray,
+                  ep: int, ef: int):
+    """Beam search restricted to one layer (algorithm 2 of the paper);
+    layer-0 search and construction both use it. Returns (ids, dists)
+    ascending."""
+    bq = core.BeamQueue(ef)
+    bq.insert(ep, float(-(vecs[ep] @ q)))
+    visited = np.zeros(len(vecs), dtype=bool)
+    visited[ep] = True
+    while bq.has_unexpanded():
+        cur, _ = bq.closest_unexpanded()
+        core._expand(bq, visited, adj_l[cur], vecs, q)
+    return bq.ids[:bq.size].copy(), bq.dists[:bq.size].copy()
+
+
+def _hnsw_insert_pipeline(vecs: np.ndarray, params: HnswParams):
+    """Sequential HNSW construction over a local matrix (runs inside
+    one Spark task). Returns (levels, adj-per-level, entry, max_level).
+
+    Deterministic: node i's level is floor(-ln(u_i) * 1/ln(M)) with u_i
+    drawn once from a seeded generator — same index for the same input
+    order regardless of cluster layout."""
+    n = len(vecs)
+    m, efc = params.m, params.ef_construction
+    ml = 1.0 / math.log(m)
+    u = np.random.default_rng(params.seed).random(n)
+    levels = np.minimum(
+        (-np.log(np.clip(u, 1e-300, None)) * ml).astype(np.int64), 31)
+    max_level_cap = int(levels.max()) if n else 0
+    adj: list[list[np.ndarray]] = [
+        [np.empty(0, dtype=np.int64) for _ in range(n)]
+        for _ in range(max_level_cap + 1)]
+    entry, top = 0, int(levels[0]) if n else 0
+    for i in range(1, n):
+        q = vecs[i]
+        lvl = int(levels[i])
+        ep = entry
+        for lc in range(top, lvl, -1):
+            ep = _greedy_descend(adj[lc], vecs, q, ep)
+        for lc in range(min(top, lvl), -1, -1):
+            cids, cdists = _search_layer(adj[lc], vecs, q, ep, efc)
+            sel = _select_neighbors(cids, cdists, vecs, m)
+            adj[lc][i] = sel
+            cap = 2 * m if lc == 0 else m
+            for s in sel:
+                cur = adj[lc][s]
+                cur = np.append(cur, i)
+                if len(cur) > cap:
+                    d = -(vecs[cur] @ vecs[s])
+                    cur = _select_neighbors(cur, d, vecs, cap)
+                adj[lc][s] = cur
+            ep = int(sel[0]) if len(sel) else ep
+        if lvl > top:
+            entry, top = i, lvl
+    return levels, adj[:top + 1], entry, top
+
+
+def build_hnsw_df(base: DataFrame, params: HnswParams = HnswParams(),
+                  id_col: str = "vec_id",
+                  vec_col: str = "vec") -> DataFrame:
+    """Task-side build: (level, src, nbrs, is_entry) rows. The driver
+    only holds the plan; vectors and graph state live in one task
+    (`graph_build.build_roargraph_df` rationale — a single index must
+    fit one memory because it is searched from one memory)."""
+    payload = base.select(F.col(id_col).cast("long").alias("_id"),
+                          F.col(vec_col).alias("_vec")).repartition(1)
+    bc_params = (params.m, params.ef_construction, params.seed)
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_l, vec_l = [], []
+        for pdf in it:
+            ids_l.append(pdf["_id"].to_numpy())
+            vec_l.extend(pdf["_vec"])
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l).astype(np.int64)
+        if len(ids) == 0:
+            return
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = np.vstack([np.asarray(v, dtype=np.float64)
+                          for v in vec_l])[order]
+        p = HnswParams(*bc_params)
+        levels, adj, entry, top = _hnsw_insert_pipeline(vecs, p)
+        rows = {"level": [], "src": [], "nbrs": [], "is_entry": []}
+        for lvl in range(top + 1):
+            for i in range(len(ids)):
+                if levels[i] >= lvl:
+                    rows["level"].append(lvl)
+                    rows["src"].append(int(ids[i]))
+                    rows["nbrs"].append(
+                        [int(ids[j]) for j in adj[lvl][i]])
+                    rows["is_entry"].append(
+                        1 if (i == entry and lvl == top) else 0)
+        yield pd.DataFrame(rows)
+
+    return payload.mapInPandas(build, schema=_LEVEL_GRAPH_SCHEMA)
+
+
+def _assemble(rows: pd.DataFrame, ids: np.ndarray,
+              vecs: np.ndarray) -> HnswIndex:
+    ix = {int(v): i for i, v in enumerate(ids)}
+    max_level = int(rows["level"].max()) if len(rows) else 0
+    n = len(ids)
+    adj = [[np.empty(0, dtype=np.int64) for _ in range(n)]
+           for _ in range(max_level + 1)]
+    levels = np.zeros(n, dtype=np.int64)
+    entry = 0
+    for lvl, src, nbrs, is_ep in zip(
+            rows["level"].to_numpy(), rows["src"].to_numpy(),
+            rows["nbrs"].to_numpy(), rows["is_entry"].to_numpy()):
+        i = ix[int(src)]
+        adj[lvl][i] = np.array([ix[int(x)] for x in nbrs],
+                               dtype=np.int64)
+        levels[i] = max(levels[i], lvl)
+        if is_ep:
+            entry = i
+    return HnswIndex(ids=ids, vecs=vecs, levels=levels, adj=adj,
+                     entry_point=entry, max_level=max_level)
+
+
+def build_hnsw(base: DataFrame, params: HnswParams = HnswParams(),
+               id_col: str = "vec_id", vec_col: str = "vec") -> HnswIndex:
+    """Build and assemble the broadcastable in-memory handle."""
+    from .graph_build import _collect_matrix
+    rows = build_hnsw_df(base, params, id_col, vec_col).toPandas()
+    ids, vecs = _collect_matrix(base, id_col, vec_col)
+    return _assemble(rows, ids, vecs)
+
+
+def save_hnsw(index: HnswIndex, spark: SparkSession, path: str) -> None:
+    """Parquet per-level adjacency (the moral equivalent of hnswlib's
+    `saveIndex` binary blob, `tests/hnsw/build_hnsw.cpp`)."""
+    index.to_dataframe(spark).write.mode("overwrite") \
+        .parquet(f"{path}/adjacency.parquet")
+
+
+def load_hnsw(spark: SparkSession, path: str, base: DataFrame,
+              id_col: str = "vec_id", vec_col: str = "vec") -> HnswIndex:
+    from .graph_build import _collect_matrix
+    rows = spark.read.parquet(f"{path}/adjacency.parquet").toPandas()
+    ids, vecs = _collect_matrix(base, id_col, vec_col)
+    return _assemble(rows, ids, vecs)
+
+
+def search_knn_local(index: HnswIndex, q: np.ndarray, ef: int, k: int):
+    """One `searchKnn(query, k)` with ef = max(ef, k): greedy descent
+    through the upper layers, beam at layer 0. Returns (local indexes,
+    dists) ascending; callers map through ``index.ids``."""
+    ep = index.entry_point
+    for lc in range(index.max_level, 0, -1):
+        ep = _greedy_descend(index.adj[lc], index.vecs, q, ep)
+    ids, dists = _search_layer(index.adj[0], index.vecs, q, ep,
+                               max(ef, k))
+    return ids[:k], dists[:k]
+
+
+def multivector_search_hnsw(index: HnswIndex, query_vecs: DataFrame,
+                            budget: int, set_id: str = "set_id",
+                            vec_id: str = "vec_id",
+                            vec_col: str = "vec") -> DataFrame:
+    """The reference HNSW driver loop (`tests/hnsw/
+    search_rerank_hnsw.cpp:143-151`): per member vector j of each query
+    set, `searchKnn(q_j, budget / m)` — a FIXED per-member split of the
+    beam budget (this is precisely what RoarGraph's adaptive allocation
+    improves on). Emits the same candidate schema as
+    `graph_search.multivector_search`, so the same rerank applies."""
+    spark = query_vecs.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (index.ids, index.vecs, index.levels, index.adj,
+         index.entry_point, index.max_level, budget))
+
+    grouped = (query_vecs.groupBy(F.col(set_id).alias("query_set_id"))
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   F.col(vec_id).alias("vid"),
+                   F.col(vec_col).alias("v")))).alias("members"))
+               .select("query_set_id",
+                       F.col("members.v").alias("mats")))
+
+    def search_batches(it: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        ids, vecs, levels, adj, ep0, maxl, bud = bc.value
+        idx = HnswIndex(ids=ids, vecs=vecs, levels=levels, adj=adj,
+                        entry_point=ep0, max_level=maxl)
+        for pdf in it:
+            frames = []
+            for qsid, mats in zip(pdf["query_set_id"], pdf["mats"]):
+                mvecs = [np.asarray(r, dtype=np.float64) for r in mats]
+                ef = max(1, bud // len(mvecs))
+                for pos, q in enumerate(mvecs):
+                    cids, cdists = search_knn_local(idx, q, ef, ef)
+                    frames.append(pd.DataFrame({
+                        "query_set_id": np.full(len(cids), int(qsid),
+                                                dtype=np.int64),
+                        "member_pos": np.full(len(cids), pos,
+                                              dtype=np.int32),
+                        "base_vec_id": ids[cids],
+                        "dist": cdists,
+                    }))
+            if frames:
+                yield pd.concat(frames)
+
+    return grouped.mapInPandas(search_batches, schema=_CAND_SCHEMA)
+
+
+def search_and_rerank_hnsw(index: HnswIndex, query_vecs: DataFrame,
+                           data_vecs: DataFrame, k: int, budget: int,
+                           m: int | None = None,
+                           metric: str = "smooth_chamfer") -> DataFrame:
+    """Two-phase HNSW baseline: fixed-split member searches -> set-level
+    rerank — the complete `search_rerank_hnsw.cpp` pipeline."""
+    from . import rerank
+    cands = multivector_search_hnsw(index, query_vecs, budget)
+    return rerank.rerank(cands.select("query_set_id", "base_vec_id"),
+                         query_vecs, data_vecs, k, m=m, metric=metric)

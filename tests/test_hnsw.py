@@ -1,0 +1,175 @@
+"""HNSW baseline: build invariants, recall vs the exact oracle, and
+parity of the Spark pipeline with the reference's HNSW driver semantics
+(`/root/reference/tests/hnsw/search_rerank_hnsw.cpp`: per-member
+searchKnn with ef = budget/m, then smooth-Chamfer rerank)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cross_modal_multivector_search_spark import testdata as TD
+from cross_modal_multivector_search_spark.operators import (
+    hnsw, recall, set_search,
+)
+
+from conftest import SF_SMOKE
+
+
+def _unit_rows(n, d, seed):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, d))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def local_index():
+    vecs = _unit_rows(400, 12, 3)
+    levels, adj, entry, top = hnsw._hnsw_insert_pipeline(
+        vecs, hnsw.HnswParams(m=10, ef_construction=50, seed=1))
+    return vecs, levels, adj, entry, top
+
+
+def test_build_invariants(local_index):
+    vecs, levels, adj, entry, top = local_index
+    n = len(vecs)
+    assert top == int(levels.max()) and levels[entry] == top
+    for lvl, layer in enumerate(adj):
+        cap = 20 if lvl == 0 else 10
+        for i, nbrs in enumerate(layer):
+            if levels[i] < lvl:
+                assert len(nbrs) == 0
+                continue
+            assert len(nbrs) <= cap
+            assert i not in set(nbrs.tolist())          # no self loops
+            assert len(set(nbrs.tolist())) == len(nbrs)  # no dups
+            # neighbors exist at this level
+            assert all(levels[j] >= lvl for j in nbrs)
+
+
+def test_layer0_fully_reachable_from_entry(local_index):
+    """Directed reachability at layer 0 — the property the saturating-ef
+    exact-equivalence oracle (`hnsw_multivector_search`) rests on."""
+    vecs, levels, adj, entry, top = local_index
+    ep = entry
+    for lc in range(top, 0, -1):
+        ep = hnsw._greedy_descend(adj[lc], vecs, vecs[0], ep)
+    seen = {ep}
+    stack = [ep]
+    while stack:
+        u = stack.pop()
+        for v in adj[0][u]:
+            if int(v) not in seen:
+                seen.add(int(v))
+                stack.append(int(v))
+    assert len(seen) == len(vecs)
+
+
+def test_build_deterministic(local_index):
+    vecs, levels, adj, entry, top = local_index
+    l2, a2, e2, t2 = hnsw._hnsw_insert_pipeline(
+        vecs, hnsw.HnswParams(m=10, ef_construction=50, seed=1))
+    assert np.array_equal(levels, l2) and entry == e2 and top == t2
+    for la, lb in zip(adj, a2):
+        for x, y in zip(la, lb):
+            assert np.array_equal(x, y)
+
+
+def test_saturating_ef_is_exact(local_index):
+    vecs, levels, adj, entry, top = local_index
+    idx = hnsw.HnswIndex(ids=np.arange(len(vecs)), vecs=vecs,
+                         levels=levels, adj=adj, entry_point=entry,
+                         max_level=top)
+    qs = _unit_rows(20, 12, 9)
+    for q in qs:
+        ids, dists = hnsw.search_knn_local(idx, q, len(vecs), 10)
+        exact = np.argsort(-(vecs @ q), kind="stable")[:10]
+        assert set(ids.tolist()) == set(exact.tolist())
+        assert np.all(np.diff(dists) >= 0)
+
+
+def test_recall_at_modest_ef(local_index):
+    """The reference's quality gate shape: high recall@10 at a modest
+    beam (hnswlib M=35/efC=500 at full scale; scaled-down params here)."""
+    vecs, levels, adj, entry, top = local_index
+    idx = hnsw.HnswIndex(ids=np.arange(len(vecs)), vecs=vecs,
+                         levels=levels, adj=adj, entry_point=entry,
+                         max_level=top)
+    qs = _unit_rows(50, 12, 10)
+    hits = 0
+    for q in qs:
+        ids, _ = hnsw.search_knn_local(idx, q, 40, 10)
+        exact = np.argsort(-(vecs @ q), kind="stable")[:10]
+        hits += len(set(ids.tolist()) & set(exact.tolist()))
+    assert hits / 500 >= 0.9
+
+
+def test_select_neighbors_occlusion_predicate():
+    """Candidate c is dropped iff some kept r is closer to c than c is
+    to the target (hnswlib getNeighborsByHeuristic2)."""
+    # b nearly duplicates a -> occluded by a; c is on the OTHER angular
+    # side of the target (closer to t than to a) -> kept
+    t = np.array([1.0, 0.0])
+    a = np.array([0.9, 0.1])
+    b = np.array([0.89, 0.11])
+    c = np.array([0.7, -0.7])
+    vecs = np.vstack([x / np.linalg.norm(x) for x in (t, a, b, c)])
+    cand = np.array([1, 2, 3])
+    dists = -(vecs[cand] @ vecs[0])
+    kept = hnsw._select_neighbors(cand, dists, vecs, 3)
+    assert 1 in kept.tolist() and 3 in kept.tolist()
+    assert 2 not in kept.tolist()
+    # m bound respected
+    assert len(hnsw._select_neighbors(cand, dists, vecs, 1)) == 1
+
+
+def test_build_df_save_load_roundtrip(spark):
+    base_np = _unit_rows(120, 8, 5)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base_np)],
+        "vec_id long, vec array<double>")
+    p = hnsw.HnswParams(m=8, ef_construction=30, seed=2)
+    idx = hnsw.build_hnsw(base, p)
+    assert len(idx.ids) == 120
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        hnsw.save_hnsw(idx, spark, tmp)
+        idx2 = hnsw.load_hnsw(spark, tmp, base)
+    assert idx2.entry_point == idx.entry_point
+    assert idx2.max_level == idx.max_level
+    for lvl in range(idx.max_level + 1):
+        for a, b in zip(idx.adj[lvl], idx2.adj[lvl]):
+            assert np.array_equal(a, b)
+
+
+def test_spark_pipeline_matches_exact_chamfer(spark):
+    """End-to-end parity with the exact set-level oracle at saturating
+    budget on the driver testdata (the `hnsw_multivector_search` row's
+    argument, asserted here without DuckDB)."""
+    v = TD.embeddings_norm(spark, SF_SMOKE)
+    q = v.filter(F.col("set_id") < 5)
+    n = v.count()
+    idx = hnsw.build_hnsw(v.select("vec_id", "vec"),
+                          hnsw.HnswParams(m=12, ef_construction=60,
+                                          seed=7))
+    out = hnsw.search_and_rerank_hnsw(idx, q, v, 10,
+                                      budget=TD.M_FIXED * n, m=TD.M_FIXED)
+    gt = set_search.set_topk_sql(q, v, 10).select(
+        "query_set_id", "data_set_id")
+    r = recall.recall_at_k(out.select("query_set_id", "data_set_id"),
+                           gt, 10)
+    assert r.agg(F.min("recall")).first()[0] == pytest.approx(1.0)
+
+
+def test_fixed_split_budget_semantics(spark):
+    """ef = budget // m exactly (the reference's total_beam_width /
+    query_multivector_size): each member emits at most ef candidates."""
+    v = TD.embeddings_norm(spark, SF_SMOKE)
+    q = v.filter(F.col("set_id") < 3)
+    idx = hnsw.build_hnsw(v.select("vec_id", "vec"),
+                          hnsw.HnswParams(m=12, ef_construction=60,
+                                          seed=7))
+    cands = hnsw.multivector_search_hnsw(idx, q, budget=50)
+    per_member = (cands.groupBy("query_set_id", "member_pos")
+                  .count().collect())
+    assert all(r["count"] <= 10 for r in per_member)   # 50 // 5 = 10
+    assert len(per_member) == 3 * TD.M_FIXED

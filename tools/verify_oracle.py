@@ -50,7 +50,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 # engine-side results are still exercised; see the recall gates in
 # tests/test_roargraph.py for the scale-independent quality check).
 SF001_CALIBRATED = {"ann_sharded_search", "ann_varcard_search",
-                    "ann_recall_report", "graph_connectivity"}
+                    "ann_recall_report", "graph_connectivity",
+                    "hnsw_multivector_search", "hnsw_recall_report"}
 
 
 def main() -> int:
