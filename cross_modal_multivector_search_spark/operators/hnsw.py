@@ -382,3 +382,197 @@ def search_and_rerank_hnsw(index: HnswIndex, query_vecs: DataFrame,
     cands = multivector_search_hnsw(index, query_vecs, budget)
     return rerank.rerank(cands.select("query_set_id", "base_vec_id"),
                          query_vecs, data_vecs, k, m=m, metric=metric)
+
+
+# ---------------------------------------------------------------------------
+# Sharded HNSW — the 100 TB execution shape for the baseline index:
+# hash-sharded sub-indexes built in parallel (one task per shard, the
+# same repartition_by_shard + mapInPandas layout as sharded.build_sharded),
+# fan-out fixed-split search, global per-member top-k merge. A single
+# HNSW build is inherently sequential (every insert searches the graph
+# so far); the distributed answer is many independent sub-indexes, which
+# also matches how multi-billion-vector HNSW deployments actually shard.
+# ---------------------------------------------------------------------------
+
+_SHARD_LEVEL_GRAPH_SCHEMA = StructType([
+    StructField("shard", IntegerType()),
+    StructField("level", IntegerType()),
+    StructField("src", LongType()),
+    StructField("nbrs", ArrayType(LongType())),
+    StructField("is_entry", IntegerType()),
+])
+
+
+def build_hnsw_sharded(base: DataFrame, n_shards: int,
+                       params: HnswParams = HnswParams(),
+                       id_col: str = "vec_id", vec_col: str = "vec",
+                       shard_col: str | None = None) -> DataFrame:
+    """(shard, level, src, nbrs, is_entry) adjacency for every shard.
+
+    Hash(id) % n_shards by default (uniform, no skew); ``shard_col``
+    accepts a precomputed assignment (e.g. ``sharded.spatial_shards``)
+    for routable sub-indexes. One sequential insert pipeline per shard,
+    S-way parallel, zero cross-shard traffic."""
+    from .partitioning import repartition_by_shard
+    from .sharded import _shard_expr
+    bc_params = (params.m, params.ef_construction, params.seed)
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur, ids_acc, vec_acc = None, [], []
+
+        def emit(shard, ids_l, vecs_l):
+            ids = np.array(ids_l, dtype=np.int64)
+            vecs = np.vstack(vecs_l).astype(np.float64)
+            p = HnswParams(*bc_params)
+            levels, adj, entry, top = _hnsw_insert_pipeline(vecs, p)
+            rows = {"shard": [], "level": [], "src": [], "nbrs": [],
+                    "is_entry": []}
+            for lvl in range(top + 1):
+                for i in range(len(ids)):
+                    if levels[i] >= lvl:
+                        rows["shard"].append(int(shard))
+                        rows["level"].append(lvl)
+                        rows["src"].append(int(ids[i]))
+                        rows["nbrs"].append(
+                            [int(ids[j]) for j in adj[lvl][i]])
+                        rows["is_entry"].append(
+                            1 if (i == entry and lvl == top) else 0)
+            return pd.DataFrame(rows)
+
+        for pdf in it:
+            for shard, vid, vec in zip(pdf["shard"], pdf[id_col],
+                                       pdf[vec_col]):
+                if cur is not None and shard != cur:
+                    yield emit(cur, ids_acc, vec_acc)
+                    ids_acc, vec_acc = [], []
+                cur = shard
+                ids_acc.append(int(vid))
+                vec_acc.append(np.asarray(vec, dtype=np.float64))
+        if ids_acc:
+            yield emit(cur, ids_acc, vec_acc)
+
+    if shard_col is None:
+        sharded_b = base.withColumn("shard", _shard_expr(id_col, n_shards))
+    else:
+        sharded_b = base.withColumn("shard", F.col(shard_col).cast("int"))
+    return (repartition_by_shard(sharded_b, n_shards, "shard")
+            .sortWithinPartitions("shard", id_col)
+            .mapInPandas(build, schema=_SHARD_LEVEL_GRAPH_SCHEMA))
+
+
+def prepare_hnsw_work(shard_graph: DataFrame, base: DataFrame,
+                      n_shards: int, id_col: str = "vec_id",
+                      vec_col: str = "vec",
+                      shard_col: str | None = None) -> DataFrame:
+    """Join the per-level shard adjacency to its vectors, grouped+sorted
+    by shard — the search-ready layout (cache() for build-once /
+    search-many). A node appearing on L levels repeats its vector L
+    times; levels above 0 hold <1/m of the nodes, so the overhead is
+    a few percent and the search task needs no second join."""
+    from .partitioning import repartition_by_shard
+    from .sharded import _shard_expr
+    if shard_col is not None:
+        vecs_sharded = base.withColumn("shard",
+                                       F.col(shard_col).cast("int"))
+    else:
+        vecs_sharded = base.withColumn("shard",
+                                       _shard_expr(id_col, n_shards))
+    joined = shard_graph.join(
+        vecs_sharded.select("shard", F.col(id_col).alias("src"),
+                            F.col(vec_col).alias("v")),
+        ["shard", "src"])
+    return repartition_by_shard(joined, n_shards, "shard") \
+        .sortWithinPartitions("shard", "level", "src")
+
+
+def search_hnsw_sharded(work: DataFrame, query_vecs: DataFrame,
+                        budget: int, set_id: str = "set_id",
+                        vec_id: str = "vec_id",
+                        vec_col: str = "vec") -> DataFrame:
+    """Fan-out fixed-split search over the per-shard sub-indexes:
+    every shard searches every member with ef = budget/m; the global
+    merge keeps each member's best ef candidates across shards (the
+    multi-index analog of `searchKnn` + result heap union). Candidates
+    feed the same reranker."""
+    from .topk import grouped_topk
+    spark = query_vecs.sparkSession
+    q_pdf = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
+             .agg(F.sort_array(F.collect_list(F.struct(
+                 F.col(vec_id).alias("o"), F.col(vec_col).alias("v"))))
+                 .alias("rows"))
+             .select("qsid", F.col("rows.v").alias("mats")).toPandas())
+    q_sets = [(int(s), np.array([np.asarray(v) for v in m],
+                                dtype=np.float64))
+              for s, m in zip(q_pdf["qsid"], q_pdf["mats"])]
+    bc_q = spark.sparkContext.broadcast((q_sets, budget))
+
+    def search(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_sets_l, budget_l = bc_q.value
+        cur = None
+        rows_acc: list[tuple] = []
+
+        def run_shard():
+            ids_order = []           # contiguous local ids, level-0 order
+            ix: dict[int, int] = {}
+            for lvl, src, nbrs, is_ep, v in rows_acc:
+                if lvl == 0:
+                    ix[int(src)] = len(ids_order)
+                    ids_order.append((int(src), v))
+            n_loc = len(ids_order)
+            ids = np.array([s for s, _ in ids_order], dtype=np.int64)
+            vecs = np.vstack([np.asarray(v, dtype=np.float64)
+                              for _, v in ids_order])
+            max_level = max(r[0] for r in rows_acc)
+            adj = [[np.empty(0, dtype=np.int64) for _ in range(n_loc)]
+                   for _ in range(max_level + 1)]
+            levels = np.zeros(n_loc, dtype=np.int64)
+            entry = 0
+            for lvl, src, nbrs, is_ep, _ in rows_acc:
+                i = ix[int(src)]
+                adj[lvl][i] = np.array([ix[int(x)] for x in nbrs],
+                                       dtype=np.int64)
+                levels[i] = max(levels[i], lvl)
+                if is_ep:
+                    entry = i
+            idx = HnswIndex(ids=ids, vecs=vecs, levels=levels, adj=adj,
+                            entry_point=entry, max_level=max_level)
+            frames = []
+            for qsid, qmat in q_sets_l:
+                ef = max(1, budget_l // len(qmat))
+                for pos in range(len(qmat)):
+                    cids, cdists = search_knn_local(
+                        idx, np.asarray(qmat[pos], dtype=np.float64),
+                        ef, ef)
+                    frames.append(pd.DataFrame({
+                        "query_set_id": np.full(len(cids), qsid,
+                                                dtype=np.int64),
+                        "member_pos": np.full(len(cids), pos,
+                                              dtype=np.int32),
+                        "base_vec_id": ids[cids],
+                        "dist": cdists,
+                    }))
+            return pd.concat(frames) if frames else None
+
+        for pdf in it:
+            for shard, lvl, src, nbrs, is_ep, v in zip(
+                    pdf["shard"], pdf["level"], pdf["src"], pdf["nbrs"],
+                    pdf["is_entry"], pdf["v"]):
+                if cur is not None and shard != cur:
+                    out = run_shard()
+                    if out is not None:
+                        yield out
+                    rows_acc = []
+                cur = shard
+                rows_acc.append((int(lvl), src, nbrs, is_ep, v))
+        if rows_acc:
+            out = run_shard()
+            if out is not None:
+                yield out
+
+    partials = work.mapInPandas(search, schema=_CAND_SCHEMA)
+    m_guess = max(len(m) for _, m in q_sets) if q_sets else 1
+    return grouped_topk(
+        partials, ["query_set_id", "member_pos"],
+        [F.col("dist").asc(), F.col("base_vec_id").asc()],
+        max(1, budget // m_guess)
+    ).drop("rank")

@@ -173,3 +173,52 @@ def test_fixed_split_budget_semantics(spark):
                   .count().collect())
     assert all(r["count"] <= 10 for r in per_member)   # 50 // 5 = 10
     assert len(per_member) == 3 * TD.M_FIXED
+
+
+def test_sharded_build_partitions_nodes(spark):
+    v = TD.embeddings_norm(spark, SF_SMOKE)
+    g = hnsw.build_hnsw_sharded(v.select("vec_id", "vec"), 4,
+                                hnsw.HnswParams(m=8, ef_construction=30,
+                                                seed=2))
+    pdf = g.toPandas()
+    n = v.count()
+    lvl0 = pdf[pdf.level == 0]
+    assert len(lvl0) == n                       # every node, exactly once
+    assert lvl0["src"].is_unique
+    assert set(pdf["shard"].unique()) == set(range(4))
+    # one entry per shard, at that shard's top level
+    entries = pdf[pdf.is_entry == 1]
+    assert sorted(entries["shard"].tolist()) == [0, 1, 2, 3]
+    for s in range(4):
+        sh = pdf[pdf.shard == s]
+        assert entries[entries.shard == s]["level"].iloc[0] == \
+            sh["level"].max()
+    # intra-shard edges only
+    shard_of = dict(zip(lvl0["src"], lvl0["shard"]))
+    for _, row in pdf.iterrows():
+        assert all(shard_of[x] == row["shard"] for x in row["nbrs"])
+
+
+def test_sharded_search_saturating_is_exact(spark):
+    """Fan-out at saturating ef: each shard returns its whole
+    population, the global merge keeps the true per-member top-ef, and
+    rerank reproduces the exact set-level top-k — the sharded analog of
+    the single-index saturation argument."""
+    from cross_modal_multivector_search_spark.operators import rerank
+
+    v = TD.embeddings_norm(spark, SF_SMOKE)
+    q = v.filter(F.col("set_id") < 5)
+    n = v.count()
+    g = hnsw.build_hnsw_sharded(v.select("vec_id", "vec"), 4,
+                                hnsw.HnswParams(m=8, ef_construction=30,
+                                                seed=2))
+    work = hnsw.prepare_hnsw_work(g, v.select("vec_id", "vec"), 4).cache()
+    cands = hnsw.search_hnsw_sharded(work, q, budget=TD.M_FIXED * n)
+    out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
+                        q, v, 10, m=TD.M_FIXED)
+    gt = set_search.set_topk_sql(q, v, 10).select(
+        "query_set_id", "data_set_id")
+    r = recall.recall_at_k(out.select("query_set_id", "data_set_id"),
+                           gt, 10)
+    assert r.agg(F.min("recall")).first()[0] == pytest.approx(1.0)
+    work.unpersist()
