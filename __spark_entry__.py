@@ -945,6 +945,46 @@ def q_hnsw_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("budget")
 
 
+_HNSW_SHARD_CACHE: dict[str, DataFrame] = {}
+
+
+def _hnsw_sharded_work(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-or-load the per-shard HNSW sub-indexes and cache the
+    search-ready graph⋈vectors layout (same protocol as
+    ``_sharded_work``)."""
+    import os
+    if sf_dir in _HNSW_SHARD_CACHE:
+        return _HNSW_SHARD_CACHE[sf_dir]
+    v = TD.embeddings_norm(spark, sf_dir)
+    p = _HNSW_PARAMS
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    cache = (f"{os.path.dirname(os.path.abspath(__file__))}/.roar_cache/"
+             f"hnsw-sharded-{tag}-s{N_SHARDS}-m{p.m}"
+             f"-efc{p.ef_construction}-s{p.seed}-v1")
+    if not os.path.exists(cache):
+        hnsw.build_hnsw_sharded(v.select("vec_id", "vec"), N_SHARDS, p) \
+            .write.mode("overwrite").parquet(cache)
+    work = hnsw.prepare_hnsw_work(
+        spark.read.parquet(cache), v.select("vec_id", "vec"),
+        N_SHARDS).cache()
+    work.count()
+    _HNSW_SHARD_CACHE[sf_dir] = work
+    return work
+
+
+def q_hnsw_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded HNSW at saturating budget: every shard returns its whole
+    population (ef >= shard size), the global merge keeps the true
+    per-member top-ef, and rerank reproduces the exact set-level top-k
+    — the sharded analog of `hnsw_multivector_search`'s argument."""
+    work = _hnsw_sharded_work(spark, sf_dir)
+    q, v = _queries_norm(spark, sf_dir)
+    cands = hnsw.search_hnsw_sharded(work, q, budget=M * 500)
+    out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
+                        q, v, K, m=M)
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
 # --------------------------------------------------------------------------
 # generic relational path (engine completeness demo on the TPC-H-ish tables)
 # --------------------------------------------------------------------------
@@ -2135,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_varcard_search": q_ann_varcard_search,
         "hnsw_multivector_search": q_hnsw_multivector_search,
         "hnsw_recall_report": q_hnsw_recall_report,
+        "hnsw_sharded_search": q_hnsw_sharded_search,
         "graph_connectivity": q_graph_connectivity,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -2243,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
         # layer-0 graph == exact smooth-Chamfer top-k
         "hnsw_multivector_search": SQL_CHAMFER_TOPK,
         "hnsw_recall_report": SQL_HNSW_RECALL_REPORT,
+        "hnsw_sharded_search": SQL_CHAMFER_TOPK,
         "ann_varcard_search": SQL_CHAMFER_VARCARD,
         "graph_connectivity": SQL_GRAPH_CONNECTIVITY,
         "random_vectors": SQL_RANDOM_VECTORS,

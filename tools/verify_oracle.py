@@ -51,7 +51,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 # tests/test_roargraph.py for the scale-independent quality check).
 SF001_CALIBRATED = {"ann_sharded_search", "ann_varcard_search",
                     "ann_recall_report", "graph_connectivity",
-                    "hnsw_multivector_search", "hnsw_recall_report"}
+                    "hnsw_multivector_search", "hnsw_recall_report",
+                    "hnsw_sharded_search"}
 
 
 def main() -> int:
