@@ -647,6 +647,210 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     return bytes(out)
 
 
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """Encoder-side pyramid reduction: 2x2 mean with edge-replicated
+    odd rows/columns (the downsampling filter is an encoder choice,
+    T.81 J.1.1.1 note — only EXP's upsampler is normative)."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h & 1), (0, w & 1)), mode="edge")
+    return p.reshape((h + (h & 1)) // 2, 2, (w + (w & 1)) // 2, 2) \
+            .mean(axis=(1, 3))
+
+
+def encode_jpeg_hierarchical(img: np.ndarray, quality: int = 85,
+                             levels: int = 2,
+                             progressive: bool = False) -> bytes:
+    """Hierarchical (T.81 Annex J) encoder — the fixture partner of the
+    Annex-J decode path, the role `encode_webp_lossless` plays for
+    VP8L (no third-party hierarchical codec exists: libjpeg never
+    implemented Annex J).
+
+    Emits DHP, then a non-differential SOF0 frame at 1/2^(levels-1)
+    resolution, then per level an EXP(1,1) segment and a differential
+    SOF5 frame coding `level_image - EXP(reference)` with no level
+    shift (scan coding itself is the unchanged sequential Huffman
+    procedure, DC prediction included). The encoder tracks the
+    decoder's reconstruction exactly (same IDCT, same EXP filter, same
+    round+clamp), so the coded difference is against what the decoder
+    will actually hold. 8-bit gray or RGB (4:4:4).
+
+    ``progressive=True`` emits SOF2/SOF6 frames with the standard
+    simple scan script instead, exercising the progressive-differential
+    decode path (the scripts reconstruct the exact quantized
+    coefficients, so the pixel results are identical to the sequential
+    twin — the same lossless-entropy argument tests/test_jpeg.py pins
+    for non-hierarchical progressive)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_hierarchical expects uint8 pixels")
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = _scale_quant(QUANT_LUM, quality)
+    qc = _scale_quant(QUANT_CHROM, quality)
+    if gray:
+        full_planes = [img.astype(np.float64)]
+        qsel = [0]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(img, 128.0)
+        full_planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+    ncomp = len(full_planes)
+    qtabs = [ql, qc]
+    tabsel = [0] + [1] * (ncomp - 1)
+    dc_tabs = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+               _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
+    ac_tabs = [_canonical_codes(AC_LUM_BITS, AC_LUM_VALS),
+               _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)]
+
+    # image pyramid, full resolution first
+    pyramids = [[p] for p in full_planes]
+    for _ in range(levels - 1):
+        for pyr in pyramids:
+            pyr.append(_downsample2(pyr[-1]))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    def frame_hdr(marker: int, fh: int, fw: int) -> bytes:
+        body = bytearray([8]) + fh.to_bytes(2, "big") \
+            + fw.to_bytes(2, "big") + bytes([ncomp])
+        for ci in range(ncomp):
+            body += bytes((ci + 1, 0x11, qsel[ci]))
+        return seg(marker, bytes(body))
+
+    ac_prog = _canonical_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+    def sos_hdr(comp_ids: list, ss: int, se: int, ah: int,
+                al: int) -> bytes:
+        body = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            t = tabsel[ci]
+            body += bytes((ci + 1, (t << 4) | (t if not progressive
+                                               else 0)))
+        body += bytes((ss, se, (ah << 4) | al))
+        return seg(0xDA, bytes(body))
+
+    def entropy(fn, *args) -> bytes:
+        bw = _BitWriter()
+        fn(bw, *args)
+        bw.pad_to_byte()
+        return bytes(bw.buf)
+
+    def encode_frame(planes_lvl: list, fh: int, fw: int,
+                     diff: bool) -> tuple[bytes, list]:
+        """Scans over 4:4:4 components (sequential single scan, or the
+        simple progressive script); returns scan-header+entropy bytes
+        and each component's quantized blocks (for the encoder's
+        decoder-tracking reconstruction)."""
+        mcus_x, mcus_y = -(-fw // 8), -(-fh // 8)
+        comp_blocks = [
+            _plane_to_blocks(_pad_to(p, mcus_y * 8, mcus_x * 8),
+                             qtabs[qi], 0.0 if diff else 128.0)
+            for p, qi in zip(planes_lvl, qsel)]
+        data = bytearray()
+        if progressive:
+            samp = [(1, 1)] * ncomp
+            dims = [(mcus_y, mcus_x)] * ncomp
+            all_ids = list(range(ncomp))
+            data += sos_hdr(all_ids, 0, 0, 0, 1)
+            data += entropy(_enc_dc_scan, comp_blocks, samp, dc_tabs,
+                            tabsel, mcus_y, mcus_x, 1, False)
+            for ci in all_ids:
+                ch_, cw_ = dims[ci]
+                data += sos_hdr([ci], 1, 63, 0, 1)
+                data += entropy(_enc_ac_first,
+                                _comp_zz_iter(comp_blocks[ci], ch_, cw_),
+                                ac_prog, 1, 63, 1)
+            for ci in all_ids:
+                ch_, cw_ = dims[ci]
+                data += sos_hdr([ci], 1, 63, 1, 0)
+                data += entropy(_enc_ac_refine,
+                                _comp_zz_iter(comp_blocks[ci], ch_, cw_),
+                                ac_prog, 1, 63, 0)
+            data += sos_hdr(all_ids, 0, 0, 1, 0)
+            data += entropy(_enc_dc_scan, comp_blocks, samp, dc_tabs,
+                            tabsel, mcus_y, mcus_x, 0, True)
+            return bytes(data), comp_blocks
+        data += sos_hdr(list(range(ncomp)), 0, 63, 0, 0)
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    preds[ci] = _encode_block(
+                        bw, comp_blocks[ci][my, mx], preds[ci],
+                        dc_tabs[tabsel[ci]], ac_tabs[tabsel[ci]])
+        bw.pad_to_byte()
+        data += bytes(bw.buf)
+        return bytes(data), comp_blocks
+
+    def reconstruct(comp_blocks: list, fh: int, fw: int,
+                    diff: bool) -> list:
+        """Exactly the decoder's `_frame_planes`: dequant + IDCT (+128
+        for non-differential), cropped to frame dims."""
+        out = []
+        for blocks, qi in zip(comp_blocks, qsel):
+            zz = blocks.reshape(-1, 64)
+            coef = np.zeros_like(zz, dtype=np.float64)
+            coef[:, ZIGZAG] = zz * qtabs[qi].reshape(64)[ZIGZAG][None, :]
+            pix = _idct2_batch(coef.reshape(-1, 8, 8))
+            if not diff:
+                pix = pix + 128.0
+            by, bx = blocks.shape[:2]
+            plane = (pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+                     .reshape(by * 8, bx * 8))
+            out.append(plane[:fh, :fw])
+        return out
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid in range(2 if not gray else 1):
+        zzvals = qtabs[tid].reshape(64)[ZIGZAG]
+        out += seg(0xDB, bytes((tid,)) + bytes(zzvals.tolist()))
+    if progressive:
+        tables = [(0, 0, DC_LUM_BITS, DC_LUM_VALS),
+                  (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+                  (1, 0, AC_PROG_BITS, AC_PROG_VALS)]
+    else:
+        tables = [(0, 0, DC_LUM_BITS, DC_LUM_VALS),
+                  (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+                  (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+                  (1, 1, AC_CHROM_BITS, AC_CHROM_VALS)]
+    for cls, tid, bits, vals in tables:
+        if gray and tid == 1:
+            continue
+        out += seg(0xC4, bytes(((cls << 4) | tid,)) + bytes(bits)
+                   + bytes(vals))
+    out += frame_hdr(0xDE, h, w)                      # DHP
+
+    first_marker = 0xC2 if progressive else 0xC0
+    diff_marker = 0xC6 if progressive else 0xC5
+    refs = None
+    for lvl in range(levels - 1, -1, -1):
+        planes_lvl = [pyr[lvl] for pyr in pyramids]
+        fh, fw = planes_lvl[0].shape
+        if refs is None:                              # initial frame
+            out += frame_hdr(first_marker, fh, fw)
+            data, blocks = encode_frame(planes_lvl, fh, fw, diff=False)
+            out += data
+            refs = [np.clip(np.round(p), 0, 255)
+                    for p in reconstruct(blocks, fh, fw, diff=False)]
+        else:                                         # differential
+            out += seg(0xDF, b"\x11")                 # EXP(1, 1)
+            refs = [_exp_expand(r, 1, 1)[:fh, :fw] for r in refs]
+            diffs = [p - r for p, r in zip(planes_lvl, refs)]
+            out += frame_hdr(diff_marker, fh, fw)
+            data, blocks = encode_frame(diffs, fh, fw, diff=True)
+            out += data
+            refs = [np.clip(np.round(r + d), 0, 255) for r, d in
+                    zip(refs, reconstruct(blocks, fh, fw, diff=True))]
+    out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
 # --- decoder ---------------------------------------------------------
 
 
@@ -1240,14 +1444,102 @@ def _scan_arith_ac_refine(ad, c, ri, ss, se, al):
     return ad
 
 
+def _exp_expand(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """EXP reference upsample (T.81 J.1.1.2 / figure J.4): double the
+    resolution with out(2x) = in(x), out(2x+1) = (in(x) + in(x+1) + 1)
+    >> 1, the final output column/row replicating the last input
+    sample. ``eh``/``ev`` are the EXP segment's expand-horizontally /
+    expand-vertically flags."""
+    p = plane
+    if eh:
+        out = np.empty((p.shape[0], p.shape[1] * 2), dtype=np.float64)
+        out[:, 0::2] = p
+        out[:, 1:-1:2] = np.floor((p[:, :-1] + p[:, 1:] + 1) / 2)
+        out[:, -1] = p[:, -1]
+        p = out
+    if ev:
+        out = np.empty((p.shape[0] * 2, p.shape[1]), dtype=np.float64)
+        out[0::2, :] = p
+        out[1:-1:2, :] = np.floor((p[:-1, :] + p[1:, :] + 1) / 2)
+        out[-1, :] = p[-1, :]
+        p = out
+    return p
+
+
+def _frame_planes(frame: dict, qt: dict) -> list[np.ndarray]:
+    """Dequantize + IDCT a decoded frame's components to spatial
+    planes at COMPONENT resolution (cropped to the actual, non-padded
+    component dims). Level shift applies to non-differential frames
+    only (T.81 J.1: differential frames code the difference signal,
+    which is not shifted)."""
+    mid = 0.0 if frame.get("diff") else float(1 << (frame["prec"] - 1))
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    planes = []
+    for c in frame["comps"]:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("component references undefined quant table")
+        zz = c["zz"].reshape(-1, 64)
+        coef = np.zeros_like(zz, dtype=np.float64)
+        coef[:, ZIGZAG] = zz * q.reshape(64)[ZIGZAG][None, :]
+        pix = _idct2_batch(coef.reshape(-1, 8, 8)) + mid
+        plane = (pix.reshape(c["by"], c["bx"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["by"] * 8, c["bx"] * 8))
+        comp_w = -(-frame["w"] * c["h"] // hmax)
+        comp_h = -(-frame["h"] * c["v"] // vmax)
+        planes.append(plane[:comp_h, :comp_w])
+    return planes
+
+
+def _hier_fold(hier: dict, frame: dict, qt: dict) -> None:
+    """Fold a completed hierarchical frame into the reference
+    components (T.81 Annex J): apply any pending EXP expansion to the
+    references, then either replace (non-differential frame) or add
+    the decoded difference signal (differential frame), rounding and
+    clamping to the sample range — the reference for the NEXT frame is
+    the reconstructed output of this one (J.1.1.3)."""
+    maxv = (1 << frame["prec"]) - 1
+    exp = frame.pop("_exp_before", None)   # EXP seen before THIS frame
+    if exp is not None:
+        eh, ev = exp
+        for cid in hier["ref"]:
+            hier["ref"][cid] = _exp_expand(hier["ref"][cid], eh, ev)
+    for c, plane in zip(frame["comps"], _frame_planes(frame, qt)):
+        if frame.get("diff"):
+            ref = hier["ref"].get(c["id"])
+            if ref is None:
+                raise ValueError(
+                    "differential frame without a reference component")
+            ph, pw = plane.shape
+            if ref.shape[0] < ph or ref.shape[1] < pw:
+                raise ValueError(
+                    "reference component smaller than differential "
+                    "frame (missing EXP segment?)")
+            plane = ref[:ph, :pw] + plane
+        hier["ref"][c["id"]] = np.clip(np.round(plane), 0, maxv)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode Huffman JPEG bytes to uint8 (H,W) gray or (H,W,3) RGB.
 
     Handles baseline (SOF0/SOF1, single- or multi-scan), progressive
-    (SOF2), and ARITHMETIC-coded (SOF9/SOF10) frames. Raises
-    NotImplementedError for hierarchical modes so the
+    (SOF2), ARITHMETIC-coded (SOF9/SOF10), and HIERARCHICAL (T.81
+    Annex J: DHP + EXP, differential frames SOF5/SOF6/SOF13/SOF14 —
+    Huffman/arithmetic, sequential/progressive) streams. Raises
+    NotImplementedError for the lossless modes (SOF3/7/11/15) so the
     caller can dispatch to an external codec; malformed data raises
     ValueError.
+
+    Hierarchical semantics: scans of a differential frame decode with
+    the UNCHANGED entropy procedures (DC prediction runs as usual over
+    the differential coefficients); the frame's IDCT output skips the
+    level shift and adds to the (possibly EXP-expanded) reference
+    component, rounded and clamped (`_hier_fold`). NOTE no independent
+    hierarchical codec exists in this container (libjpeg62 does not
+    implement Annex J), so parity is pinned by the in-repo encoder
+    twin + hand-computable fixtures (tests/test_jpeg_hier.py), the
+    same fixture-writer strategy the VP8L decoder started with.
     """
     d = payload
     if d[:2] != b"\xff\xd8":
@@ -1262,6 +1554,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     arith = False
     cond = {"dc": {}, "ac": {}}
     saw_scan = False
+    hier = None                 # Annex J state: {"ref": {cid: plane}}
     while True:
         if i + 1 >= len(d):
             # scan data complete but trailing EOI missing — a common
@@ -1330,9 +1623,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     cond["ac"][tid] = body[j + 1]           # Kx
                 j += 2
-        elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):      # SOF0/1/2/9/10
-            progressive = m in (0xC2, 0xCA)
-            arith = m in (0xC9, 0xCA)
+        elif m == 0xDE:                                # DHP (Annex J)
+            hier = {"prec": body[0],
+                    "h": int.from_bytes(body[1:3], "big"),
+                    "w": int.from_bytes(body[3:5], "big"),
+                    "ref": {}}
+        elif m == 0xDF:                                # EXP (Annex J)
+            if hier is None:
+                raise ValueError("EXP segment outside hierarchical mode")
+            # applies to the references when the NEXT frame folds
+            hier["_exp"] = (body[0] >> 4, body[0] & 15)
+        elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA,       # SOF0/1/2/9/10
+                   0xC5, 0xC6, 0xCD, 0xCE):            # diff SOF5/6/13/14
+            diff = m in (0xC5, 0xC6, 0xCD, 0xCE)
+            if diff and hier is None:
+                raise ValueError(
+                    "differential frame outside hierarchical mode "
+                    "(missing DHP)")
+            if (hier is not None and frame is not None
+                    and frame.get("scanned")):
+                _hier_fold(hier, frame, qt)   # previous frame completed
+            progressive = m in (0xC2, 0xCA, 0xC6, 0xCE)
+            arith = m in (0xC9, 0xCA, 0xCD, 0xCE)
             # 12-bit is legal for extended/progressive frames (T.81
             # Table B.2); baseline SOF0 is 8-bit by definition
             if not (body[0] == 8 or (body[0] == 12 and m != 0xC0)):
@@ -1351,9 +1663,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             frame = {"h": fh, "w": fw, "comps": comps, "prec": prec,
-                     "hmax": hmax, "vmax": vmax,
+                     "hmax": hmax, "vmax": vmax, "diff": diff,
                      "mcus_x": -(-fw // (8 * hmax)),
                      "mcus_y": -(-fh // (8 * vmax))}
+            if hier is not None:
+                # an EXP between the previous frame and this header
+                # expands the references when THIS frame folds
+                frame["_exp_before"] = hier.pop("_exp", None)
             for c in comps:
                 c["bx"] = frame["mcus_x"] * c["h"]
                 c["by"] = frame["mcus_y"] * c["v"]
@@ -1364,10 +1680,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 c["cw"] = -(-comp_w // 8)
                 c["ch"] = -(-comp_h // 8)
                 c["zz"] = np.zeros((c["by"], c["bx"], 64), dtype=np.int64)
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
-                   0xCD, 0xCE, 0xCF):
+        elif m in (0xC3, 0xC7, 0xCB, 0xCF):       # lossless modes
             raise NotImplementedError(
-                f"non-baseline JPEG frame type 0xFF{m:02X}")
+                f"lossless JPEG frame type 0xFF{m:02X}")
         elif m == 0xDA:                                # SOS
             if frame is None:
                 raise ValueError("JPEG scan before frame header")
@@ -1407,6 +1722,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         ad = _scan_arith_ac_refine(ad, scan_comps[0],
                                                    ri, ss, se, al)
                 saw_scan = True
+                frame["scanned"] = True
                 i = _skip_to_marker(
                     d, ad.marker if ad.marker is not None else ad.i)
                 continue
@@ -1430,6 +1746,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     _scan_ac_refine(br, scan_comps[0], hac, ri, ss, se,
                                     al)
             saw_scan = True
+            frame["scanned"] = True
             i = _skip_to_marker(d, br.i)
         # APPn / COM / others: skipped
     if frame is None or not saw_scan:
@@ -1443,18 +1760,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     maxv = (1 << frame["prec"]) - 1
     out_dtype = np.uint8 if frame["prec"] == 8 else np.uint16
 
+    if hier is not None:
+        if frame.get("scanned"):
+            _hier_fold(hier, frame, qt)    # the last frame of the stream
+        base_planes = []
+        for c in comps:
+            ref = hier["ref"].get(c["id"])
+            if ref is None:
+                raise ValueError(
+                    "hierarchical stream ended without a reconstructed "
+                    f"component {c['id']}")
+            base_planes.append(ref)
+    else:
+        base_planes = _frame_planes(frame, qt)
+
     planes = []
-    for c in comps:
-        q = qt.get(c["tq"])
-        if q is None:
-            raise ValueError("component references undefined quant table")
-        zz = c["zz"].reshape(-1, 64)
-        coef = np.zeros_like(zz, dtype=np.float64)
-        coef[:, ZIGZAG] = zz * q.reshape(64)[ZIGZAG][None, :]
-        pix = _idct2_batch(coef.reshape(-1, 8, 8)) + mid
-        plane = (pix.reshape(c["by"], c["bx"], 8, 8)
-                 .transpose(0, 2, 1, 3)
-                 .reshape(c["by"] * 8, c["bx"] * 8))
+    for c, plane in zip(comps, base_planes):
         fh, fw = hmax // c["h"], vmax // c["v"]
         if hmax % c["h"] or vmax % c["v"]:
             raise NotImplementedError("non-integer sampling ratio")

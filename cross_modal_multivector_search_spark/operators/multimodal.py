@@ -9,11 +9,12 @@ PCM 8/16/24,
 IEEE float 32/64, G.711 A-law/mu-law, EXTENSIBLE headers), PNG at
 bit depths 1/2/4/8/16, plain or Adam7-interlaced (stdlib-zlib DEFLATE
 inflate + NumPy scanline unfiltering), JPEG
-(Huffman baseline + progressive AND arithmetic SOF9/SOF10 —
+(Huffman baseline + progressive, arithmetic SOF9/SOF10, AND
+hierarchical Annex-J DHP/EXP/differential frames —
 functions/jpeg.py), and WebP (lossless VP8L and lossy VP8 keyframes
 with alpha — functions/webp.py, functions/vp8.py). The few residual
-variants that genuinely need an external library (hierarchical
-JPEG, VP8 interframes) route through an import-guarded PIL/cv2
+variants that genuinely need an external library (lossless
+JPEG SOF3, VP8 interframes) route through an import-guarded PIL/cv2
 dispatch whose seam is stub-tested, raising a clearly-marked
 NotImplementedError only when neither is installed. The Spark-side
 contract — schema, batch shape, partitioning, UDF signature — is
@@ -338,13 +339,14 @@ def decode_image(payload: bytes) -> np.ndarray:
     In-container (no external library): binary netpbm P5/P6,
     uncompressed 24/32-bit BMP, REAL 8-bit PNG (stdlib zlib inflate +
     NumPy unfilter), REAL JPEG — baseline, progressive SOF2, AND
-    arithmetic-coded SOF9/SOF10 (pure-NumPy Huffman/QM-coder + IDCT,
+    arithmetic-coded SOF9/SOF10 AND hierarchical Annex-J streams
+    (pure-NumPy Huffman/QM-coder + IDCT + EXP composition,
     ``functions.jpeg``) — and REAL WebP, lossless VP8L
     (``functions.webp``) and lossy VP8 keyframes + ALPH alpha
-    (``functions.vp8``). The residual modes (hierarchical
-    JPEG, VP8 interframes) route through the import-guarded PIL/cv2
-    dispatch and raise NotImplementedError only when neither is
-    installed.
+    (``functions.vp8``). The residual modes (lossless
+    JPEG SOF3, VP8 interframes) route through the import-guarded
+    PIL/cv2 dispatch and raise NotImplementedError only when neither
+    is installed.
     """
     if payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         return _decode_netpbm(payload)
@@ -361,7 +363,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         try:
             return _jpeg.decode_jpeg(payload)
         except NotImplementedError:
-            # hierarchical: needs a full codec library
+            # lossless modes (SOF3/7/11/15): need a full codec library
             return _decode_with_library(payload, "JPEG")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ..functions import webp as _webp
@@ -374,8 +376,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         "unrecognized image payload; supported in-container: netpbm "
         "P1-P6, uncompressed BMP, 8-bit PNG, JPEG (baseline/"
         "progressive/arithmetic), WebP (lossless VP8L and lossy VP8 "
-        "keyframes, with alpha); via PIL/cv2: hierarchical "
-        "JPEG")
+        "keyframes, with alpha, plus animations; JPEG incl. "
+        "arithmetic and hierarchical); via PIL/cv2: lossless JPEG")
 
 
 def encode_png(img: np.ndarray) -> bytes:

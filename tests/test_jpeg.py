@@ -96,14 +96,19 @@ def test_quality_monotonic():
     assert p_hi > p_lo
 
 
-def test_hierarchical_raises_not_implemented():
-    """Arithmetic (SOF9/SOF10) now decodes in-repo (tests/
-    test_jpeg_arith.py); hierarchical frames remain the declared seam."""
+def test_lossless_raises_not_implemented():
+    """Hierarchical (Annex J) now decodes in-repo (tests/
+    test_jpeg_hier.py); the lossless modes (SOF3/7/11/15) remain the
+    declared seam. A differential SOF5 without a DHP is malformed and
+    must say so, not decode garbage."""
     img = _smooth_rgb(16, 16)
     data = bytearray(jpeg.encode_jpeg(img))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC5                      # SOF5: differential frame
-    with pytest.raises(NotImplementedError, match="0xFFC5"):
+    data[i + 1] = 0xC3                      # SOF3: lossless sequential
+    with pytest.raises(NotImplementedError, match="0xFFC3"):
+        jpeg.decode_jpeg(bytes(data))
+    data[i + 1] = 0xC5                      # differential without DHP
+    with pytest.raises(ValueError, match="missing DHP"):
         jpeg.decode_jpeg(bytes(data))
 
 
