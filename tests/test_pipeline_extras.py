@@ -305,26 +305,27 @@ def test_multimodal_plumbing(spark):
     assert all(r["count"] == 5 for r in per_video)  # 5000ms / 1000ms
 
 
-def _hierarchical_jpeg_stub() -> bytes:
-    """Minimal SOI + SOF5 (hierarchical, differential Huffman) payload:
-    the pure-NumPy decoder declines it with NotImplementedError,
-    exercising the external-codec dispatch. (Progressive SOF2 decodes
-    in-container since r5 and arithmetic SOF9/SOF10 since r8, so
-    neither reaches the seam any more.)"""
-    sof5_body = bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0])
-    return (b"\xff\xd8\xff\xc5"
-            + (len(sof5_body) + 2).to_bytes(2, "big") + sof5_body)
+def _lossless_jpeg_stub() -> bytes:
+    """Minimal SOI + SOF3 (lossless sequential Huffman) payload: the
+    pure-NumPy decoder declines it with NotImplementedError, exercising
+    the external-codec dispatch. (Progressive SOF2 decodes in-container
+    since r5, arithmetic SOF9/SOF10 since r8, and hierarchical Annex-J
+    since r9, so none of those reach the seam any more.)"""
+    sof3_body = bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0])
+    return (b"\xff\xd8\xff\xc3"
+            + (len(sof3_body) + 2).to_bytes(2, "big") + sof3_body)
 
 
 def test_decode_codec_dispatch_seam():
-    """Huffman + arithmetic JPEG decode in-container (functions.jpeg);
-    the import-guarded PIL/cv2 seam remains the path for hierarchical /
-    12-bit modes: absent both libs, a clear NotImplementedError; with a
-    (stubbed) PIL installed, bytes decode through the seam unchanged."""
+    """Huffman, arithmetic, AND hierarchical JPEG decode in-container
+    (functions.jpeg); the import-guarded PIL/cv2 seam remains the path
+    for the lossless modes (SOF3/7/11/15): absent both libs, a clear
+    NotImplementedError; with a (stubbed) PIL installed, bytes decode
+    through the seam unchanged."""
     import sys
     import types
     with pytest.raises(NotImplementedError, match="PIL or cv2"):
-        multimodal.decode_image(_hierarchical_jpeg_stub())
+        multimodal.decode_image(_lossless_jpeg_stub())
     stub_img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
 
     class _Im:
@@ -338,7 +339,7 @@ def test_decode_codec_dispatch_seam():
     sys.modules["PIL"] = pil
     sys.modules["PIL.Image"] = image_mod
     try:
-        out = multimodal.decode_image(_hierarchical_jpeg_stub())
+        out = multimodal.decode_image(_lossless_jpeg_stub())
         assert np.array_equal(out, stub_img)
     finally:
         del sys.modules["PIL"], sys.modules["PIL.Image"]
