@@ -647,6 +647,137 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     return bytes(out)
 
 
+# Lossless (Annex H) difference categories run 0..16; the Annex-K DC
+# tables stop at 11. A flat canonical table carrying all 17 symbols at
+# 5 bits is valid for any lossless scan (17/32 < 1 Kraft slack).
+LL_DC_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+LL_DC_VALS = list(range(17))
+
+
+def _lossless_predict(plane: np.ndarray, y: int, x: int, sel: int,
+                      default: int) -> int:
+    """T.81 H.1.2.1 sample prediction: first sample uses the default
+    (2^(P-Pt-1)), the rest of the first line predictor 1 (Ra), the
+    first column predictor 2 (Rb), everything else the scan's selected
+    predictor over Ra=left, Rb=above, Rc=above-left."""
+    if y == 0:
+        return default if x == 0 else int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra, rb, rc = (int(plane[y, x - 1]), int(plane[y - 1, x]),
+                  int(plane[y - 1, x - 1]))
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"invalid lossless predictor {sel}")
+
+
+def _scan_lossless(br: _BitReader, frame: dict, comps: list,
+                   hdc: dict, sel: int, pt: int) -> None:
+    """Lossless sequential scan (T.81 Annex H): per-sample Huffman
+    difference category from the DC table, EXTEND, prediction add
+    modulo 2^16 (H.1.2.3). Interleaved raster over 1x1-sampled
+    components (lossless MCU = one sample per component)."""
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "lossless scan supports 1x1 sampling factors only")
+    default = 1 << (frame["prec"] - pt - 1)
+    h, w = frame["h"], frame["w"]
+    tabs = []
+    for c in comps:
+        t = hdc.get(c["dc"])
+        if t is None:
+            raise ValueError("scan uses undefined Huffman table")
+        tabs.append(t)
+    planes = [c["plane"] for c in comps]
+    for y in range(h):
+        for x in range(w):
+            for c, tab, plane in zip(comps, tabs, planes):
+                s = _decode_huff(br, tab)
+                if s == 16:
+                    diff = 32768       # SSSS=16: no extra bits (H.1.2.2)
+                else:
+                    diff = _extend(br.bits(s), s)
+                pred = _lossless_predict(plane, y, x, sel, default)
+                plane[y, x] = (pred + diff) & 0xFFFF
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
+                         point_transform: int = 0) -> bytes:
+    """Lossless JPEG (SOF3, T.81 Annex H) encoder — fixture partner of
+    the lossless decode path. uint8 (P=8) or uint16 (P=16) gray (H,W)
+    or 3-channel (H,W,3); 3-channel payloads code the channels as
+    three 1x1 components directly (no color transform — lossless must
+    roundtrip bit-exactly). With ``point_transform`` Pt > 0, samples
+    are coded at precision P-Pt and decode to ``(x >> Pt) << Pt``."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        prec = 8
+    elif img.dtype == np.uint16:
+        prec = 16
+    else:
+        raise ValueError("encode_jpeg_lossless expects uint8/uint16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be in 1..7")
+    h, w = img.shape[:2]
+    chans = [img] if img.ndim == 2 else \
+        [img[:, :, i] for i in range(img.shape[2])]
+    ncomp = len(chans)
+    tab = _canonical_codes(LL_DC_BITS, LL_DC_VALS)
+    default = 1 << (prec - point_transform - 1)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xC4, bytes((0x00,)) + bytes(LL_DC_BITS)
+               + bytes(LL_DC_VALS))
+    sof = bytearray([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes((ci + 1, 0x11, 0))
+    out += seg(0xC3, bytes(sof))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes((ci + 1, 0x00))
+    sos += bytes((predictor, 0, point_transform))
+    out += seg(0xDA, bytes(sos))
+
+    planes = [(c.astype(np.int64) >> point_transform) for c in chans]
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for plane in planes:
+                pred = _lossless_predict(plane, y, x, predictor, default)
+                diff = (int(plane[y, x]) - pred) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:
+                    hc, hl = tab[16]   # SSSS=16 codes +32768 == -32768
+                    bw.write(hc, hl)
+                    continue
+                s, code = _magnitude(diff)
+                hc, hl = tab[s]
+                bw.write(hc, hl)
+                bw.write(code, s)
+    bw.pad_to_byte()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _downsample2(plane: np.ndarray) -> np.ndarray:
     """Encoder-side pyramid reduction: 2x2 mean with edge-replicated
     odd rows/columns (the downsampling filter is an encoder choice,
@@ -1524,12 +1655,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode Huffman JPEG bytes to uint8 (H,W) gray or (H,W,3) RGB.
 
     Handles baseline (SOF0/SOF1, single- or multi-scan), progressive
-    (SOF2), ARITHMETIC-coded (SOF9/SOF10), and HIERARCHICAL (T.81
+    (SOF2), ARITHMETIC-coded (SOF9/SOF10), HIERARCHICAL (T.81
     Annex J: DHP + EXP, differential frames SOF5/SOF6/SOF13/SOF14 —
-    Huffman/arithmetic, sequential/progressive) streams. Raises
-    NotImplementedError for the lossless modes (SOF3/7/11/15) so the
-    caller can dispatch to an external codec; malformed data raises
-    ValueError.
+    Huffman/arithmetic, sequential/progressive), and LOSSLESS Huffman
+    (SOF3, Annex H: prediction + difference coding, precisions 2-16,
+    point transform; 3-channel payloads return the components
+    directly, no color transform) streams. Raises NotImplementedError
+    for the residual lossless modes (SOF7/11/15 —
+    differential/arithmetic lossless) so the caller can dispatch to an
+    external codec; malformed data raises ValueError.
 
     Hierarchical semantics: scans of a differential frame decode with
     the UNCHANGED entropy procedures (DC prediction runs as usual over
@@ -1634,8 +1768,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             # applies to the references when the NEXT frame folds
             hier["_exp"] = (body[0] >> 4, body[0] & 15)
         elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA,       # SOF0/1/2/9/10
-                   0xC5, 0xC6, 0xCD, 0xCE):            # diff SOF5/6/13/14
+                   0xC5, 0xC6, 0xCD, 0xCE,             # diff SOF5/6/13/14
+                   0xC3):                              # lossless SOF3
             diff = m in (0xC5, 0xC6, 0xCD, 0xCE)
+            lossless = m == 0xC3
             if diff and hier is None:
                 raise ValueError(
                     "differential frame outside hierarchical mode "
@@ -1646,8 +1782,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             progressive = m in (0xC2, 0xCA, 0xC6, 0xCE)
             arith = m in (0xC9, 0xCA, 0xCD, 0xCE)
             # 12-bit is legal for extended/progressive frames (T.81
-            # Table B.2); baseline SOF0 is 8-bit by definition
-            if not (body[0] == 8 or (body[0] == 12 and m != 0xC0)):
+            # Table B.2); baseline SOF0 is 8-bit by definition;
+            # lossless allows 2..16 (Table B.2 column "lossless")
+            if lossless:
+                if not 2 <= body[0] <= 16:
+                    raise ValueError(
+                        f"bad lossless precision {body[0]}")
+            elif not (body[0] == 8 or (body[0] == 12 and m != 0xC0)):
                 raise NotImplementedError(f"{body[0]}-bit JPEG precision")
             prec = body[0]
             fh = int.from_bytes(body[1:3], "big")
@@ -1664,6 +1805,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             vmax = max(c["v"] for c in comps)
             frame = {"h": fh, "w": fw, "comps": comps, "prec": prec,
                      "hmax": hmax, "vmax": vmax, "diff": diff,
+                     "lossless": lossless,
                      "mcus_x": -(-fw // (8 * hmax)),
                      "mcus_y": -(-fh // (8 * vmax))}
             if hier is not None:
@@ -1679,10 +1821,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp_h = -(-fh * c["v"] // vmax)
                 c["cw"] = -(-comp_w // 8)
                 c["ch"] = -(-comp_h // 8)
-                c["zz"] = np.zeros((c["by"], c["bx"], 64), dtype=np.int64)
-        elif m in (0xC3, 0xC7, 0xCB, 0xCF):       # lossless modes
+                if lossless:
+                    c["plane"] = np.zeros((comp_h, comp_w),
+                                          dtype=np.int64)
+                else:
+                    c["zz"] = np.zeros((c["by"], c["bx"], 64),
+                                       dtype=np.int64)
+        elif m in (0xC7, 0xCB, 0xCF):             # residual lossless
             raise NotImplementedError(
-                f"lossless JPEG frame type 0xFF{m:02X}")
+                "lossless JPEG frame type "
+                f"0xFF{m:02X} (differential/arithmetic)")
         elif m == 0xDA:                                # SOS
             if frame is None:
                 raise ValueError("JPEG scan before frame header")
@@ -1697,6 +1845,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan_comps.append(by_id[cid])
             ss, se, ahal = body[1 + 2 * nc:4 + 2 * nc]
             ah, al = ahal >> 4, ahal & 15
+            if frame.get("lossless"):
+                if ri:
+                    raise NotImplementedError(
+                        "restart intervals in lossless scans")
+                br = _BitReader(d, i)
+                _scan_lossless(br, frame, scan_comps, hdc, ss, al)
+                frame["pt"] = al
+                saw_scan = True
+                frame["scanned"] = True
+                i = _skip_to_marker(d, br.i)
+                continue
             if arith:
                 ad = _ArithDecoder(d, i)
                 if not progressive:
@@ -1758,7 +1917,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     # A.3.1); 12-bit output is uint16
     mid = float(1 << (frame["prec"] - 1))
     maxv = (1 << frame["prec"]) - 1
-    out_dtype = np.uint8 if frame["prec"] == 8 else np.uint16
+    out_dtype = np.uint8 if frame["prec"] <= 8 else np.uint16
+
+    if frame.get("lossless"):
+        # Annex H output: decoded samples << Pt; components are stored
+        # DIRECTLY (no color transform — lossless 3-channel payloads
+        # carry the channels as-is, e.g. RGB in DNG-style files)
+        pt = frame.get("pt", 0)
+        planes = [np.clip(c["plane"] << pt, 0, maxv).astype(out_dtype)
+                  for c in comps]
+        if len(planes) == 1:
+            return planes[0]
+        return np.stack(planes, axis=-1)
 
     if hier is not None:
         if frame.get("scanned"):

@@ -96,16 +96,17 @@ def test_quality_monotonic():
     assert p_hi > p_lo
 
 
-def test_lossless_raises_not_implemented():
-    """Hierarchical (Annex J) now decodes in-repo (tests/
-    test_jpeg_hier.py); the lossless modes (SOF3/7/11/15) remain the
-    declared seam. A differential SOF5 without a DHP is malformed and
-    must say so, not decode garbage."""
+def test_residual_lossless_raises_not_implemented():
+    """Hierarchical (Annex J, tests/test_jpeg_hier.py) and Huffman
+    lossless SOF3 (tests/test_jpeg_lossless.py) now decode in-repo;
+    the residual lossless modes (SOF7/11/15) remain the declared seam.
+    A differential SOF5 without a DHP is malformed and must say so,
+    not decode garbage."""
     img = _smooth_rgb(16, 16)
     data = bytearray(jpeg.encode_jpeg(img))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC3                      # SOF3: lossless sequential
-    with pytest.raises(NotImplementedError, match="0xFFC3"):
+    data[i + 1] = 0xCB                      # SOF11: arith lossless
+    with pytest.raises(NotImplementedError, match="0xFFCB"):
         jpeg.decode_jpeg(bytes(data))
     data[i + 1] = 0xC5                      # differential without DHP
     with pytest.raises(ValueError, match="missing DHP"):

@@ -1,0 +1,93 @@
+"""Lossless JPEG (SOF3, T.81 Annex H): prediction + Huffman difference
+coding, no DCT. The verification property is absolute: encode(decode)
+must be BIT-EXACT for every predictor, precision, and shape — no
+tolerance, no oracle needed (libjpeg62 never implemented Annex H
+either, so the in-repo encoder twin is the only encoder available)."""
+
+import numpy as np
+import pytest
+
+from cross_modal_multivector_search_spark.functions import jpeg as J
+
+
+def _markers(d: bytes) -> list[int]:
+    return [b for a, b in zip(d, d[1:]) if a == 0xFF and b not in (0, 0xFF)]
+
+
+@pytest.mark.parametrize("pred", range(1, 8))
+def test_exact_roundtrip_every_predictor(pred):
+    rng = np.random.default_rng(pred)
+    img = rng.integers(0, 256, (19, 23), dtype=np.uint8)
+    d = J.encode_jpeg_lossless(img, predictor=pred)
+    assert 0xC3 in _markers(d)
+    np.testing.assert_array_equal(J.decode_jpeg(d), img)
+
+
+def test_exact_roundtrip_rgb_and_gradient():
+    rng = np.random.default_rng(42)
+    rgb = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_lossless(rgb, 4)), rgb)
+    # smooth content: predictors make diffs tiny, still exact
+    grad = np.add.outer(np.arange(30), np.arange(40)) % 256
+    grad = grad.astype(np.uint8)
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_lossless(grad, 7)), grad)
+
+
+def test_exact_roundtrip_16bit():
+    """P=16 exercises the full modulo-2^16 arithmetic incl. the
+    SSSS=16 no-extra-bits escape (H.1.2.2)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65536, (9, 11)).astype(np.uint16)
+    out = J.decode_jpeg(J.encode_jpeg_lossless(img, 7))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img)
+    # adversarial: alternating extremes force +-32768-class diffs
+    ext = np.zeros((4, 8), dtype=np.uint16)
+    ext[:, 1::2] = 65535
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_lossless(ext, 1)), ext)
+
+
+def test_point_transform():
+    """Pt > 0 codes samples at precision P-Pt; decode returns
+    (x >> Pt) << Pt (A.4 point transform)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (10, 14), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_lossless(img, 2,
+                                               point_transform=3))
+    np.testing.assert_array_equal(out, (img >> 3) << 3)
+
+
+def test_predictor_edges_literal():
+    """H.1.2.1 edge rules, pinned directly: first sample = default,
+    first row = Ra, first column = Rb, interior = selected."""
+    plane = np.array([[10, 20], [30, 40]], dtype=np.int64)
+    assert J._lossless_predict(plane, 0, 0, 4, 128) == 128
+    assert J._lossless_predict(plane, 0, 1, 4, 128) == 10   # Ra
+    assert J._lossless_predict(plane, 1, 0, 4, 128) == 10   # Rb
+    # interior: Ra=left=30, Rb=above=20, Rc=above-left=10
+    assert J._lossless_predict(plane, 1, 1, 4, 128) == 30 + 20 - 10
+    assert J._lossless_predict(plane, 1, 1, 7, 128) == (30 + 20) >> 1
+    with pytest.raises(ValueError, match="invalid lossless predictor"):
+        J._lossless_predict(plane, 1, 1, 8, 128)
+
+
+def test_residual_lossless_modes_still_seam():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    d = bytearray(J.encode_jpeg_lossless(img, 1))
+    i = bytes(d).index(b"\xff\xc3")
+    d[i + 1] = 0xCB                       # SOF11: arithmetic lossless
+    with pytest.raises(NotImplementedError, match="0xFFCB"):
+        J.decode_jpeg(bytes(d))
+
+
+def test_decode_image_dispatches_lossless():
+    from cross_modal_multivector_search_spark.operators import (
+        multimodal as M,
+    )
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    d = J.encode_jpeg_lossless(img, 5)
+    np.testing.assert_array_equal(M.decode_image(d), img)

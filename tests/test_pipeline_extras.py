@@ -306,14 +306,15 @@ def test_multimodal_plumbing(spark):
 
 
 def _lossless_jpeg_stub() -> bytes:
-    """Minimal SOI + SOF3 (lossless sequential Huffman) payload: the
-    pure-NumPy decoder declines it with NotImplementedError, exercising
-    the external-codec dispatch. (Progressive SOF2 decodes in-container
+    """Minimal SOI + SOF11 (arithmetic lossless) payload: the pure-NumPy
+    decoder declines it with NotImplementedError, exercising the
+    external-codec dispatch. (Progressive SOF2 decodes in-container
     since r5, arithmetic SOF9/SOF10 since r8, and hierarchical Annex-J
-    since r9, so none of those reach the seam any more.)"""
-    sof3_body = bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0])
-    return (b"\xff\xd8\xff\xc3"
-            + (len(sof3_body) + 2).to_bytes(2, "big") + sof3_body)
+    plus Huffman lossless SOF3 since r9, so only the residual lossless
+    modes SOF7/11/15 reach the seam.)"""
+    sof11_body = bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0])
+    return (b"\xff\xd8\xff\xcb"
+            + (len(sof11_body) + 2).to_bytes(2, "big") + sof11_body)
 
 
 def test_decode_codec_dispatch_seam():
