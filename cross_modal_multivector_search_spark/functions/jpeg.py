@@ -660,6 +660,8 @@ def _lossless_predict(plane: np.ndarray, y: int, x: int, sel: int,
     (2^(P-Pt-1)), the rest of the first line predictor 1 (Ra), the
     first column predictor 2 (Rb), everything else the scan's selected
     predictor over Ra=left, Rb=above, Rc=above-left."""
+    if sel == 0:
+        return 0        # differential frames: no prediction (Table H.1)
     if y == 0:
         return default if x == 0 else int(plane[0, x - 1])
     if x == 0:
@@ -692,6 +694,13 @@ def _scan_lossless(br: _BitReader, frame: dict, comps: list,
     if any(c["h"] != 1 or c["v"] != 1 for c in comps):
         raise NotImplementedError(
             "lossless scan supports 1x1 sampling factors only")
+    if frame.get("diff"):
+        if sel != 0:
+            raise ValueError(
+                "differential lossless scans require predictor 0 "
+                "(Table H.1)")
+    elif sel == 0:
+        raise ValueError("predictor 0 is differential-frame-only")
     default = 1 << (frame["prec"] - pt - 1)
     h, w = frame["h"], frame["w"]
     tabs = []
@@ -790,7 +799,8 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
 
 def encode_jpeg_hierarchical(img: np.ndarray, quality: int = 85,
                              levels: int = 2,
-                             progressive: bool = False) -> bytes:
+                             progressive: bool = False,
+                             final_lossless: bool = False) -> bytes:
     """Hierarchical (T.81 Annex J) encoder — the fixture partner of the
     Annex-J decode path, the role `encode_webp_lossless` plays for
     VP8L (no third-party hierarchical codec exists: libjpeg never
@@ -810,7 +820,14 @@ def encode_jpeg_hierarchical(img: np.ndarray, quality: int = 85,
     decode path (the scripts reconstruct the exact quantized
     coefficients, so the pixel results are identical to the sequential
     twin — the same lossless-entropy argument tests/test_jpeg.py pins
-    for non-hierarchical progressive)."""
+    for non-hierarchical progressive).
+
+    ``final_lossless=True`` appends a SOF7 differential LOSSLESS frame
+    (predictor 0, modulo-2^16 correction — Annex J's documented
+    "lossless refinement of a lossy pyramid" use): the decode then
+    reproduces the coded component samples EXACTLY — bit-exact for
+    gray; for RGB exact in the coded YCbCr domain (the color transform
+    itself rounds +-1 each way)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg_hierarchical expects uint8 pixels")
@@ -978,6 +995,39 @@ def encode_jpeg_hierarchical(img: np.ndarray, quality: int = 85,
             out += data
             refs = [np.clip(np.round(r + d), 0, 255) for r, d in
                     zip(refs, reconstruct(blocks, fh, fw, diff=True))]
+    if final_lossless:
+        # SOF7 lossless refinement: code (target - reference) mod 2^16
+        # per sample with predictor 0 — the decoder's fold reproduces
+        # the targets exactly
+        out += seg(0xC4, bytes((0x02,)) + bytes(LL_DC_BITS)
+                   + bytes(LL_DC_VALS))
+        out += frame_hdr(0xC7, h, w)
+        sos7 = bytearray([ncomp])
+        for ci in range(ncomp):
+            sos7 += bytes((ci + 1, 0x20))             # Td=2, Ta=0
+        sos7 += bytes((0, 0, 0))                      # Ss=0 (pred 0)
+        out += seg(0xDA, bytes(sos7))
+        lltab = _canonical_codes(LL_DC_BITS, LL_DC_VALS)
+        targets = [np.clip(np.round(p), 0, 255).astype(np.int64)
+                   for p in full_planes]
+        refs_i = [np.round(r).astype(np.int64) for r in refs]
+        bw = _BitWriter()
+        for y in range(h):
+            for x in range(w):
+                for t, r in zip(targets, refs_i):
+                    dv = (int(t[y, x]) - int(r[y, x])) & 0xFFFF
+                    if dv >= 32768:
+                        dv -= 65536
+                    if dv == -32768:
+                        hc, hl = lltab[16]
+                        bw.write(hc, hl)
+                        continue
+                    sbits, code = _magnitude(dv)
+                    hc, hl = lltab[sbits]
+                    bw.write(hc, hl)
+                    bw.write(code, sbits)
+        bw.pad_to_byte()
+        out += bw.buf
     out += b"\xff\xd9"                                # EOI
     return bytes(out)
 
@@ -1636,7 +1686,11 @@ def _hier_fold(hier: dict, frame: dict, qt: dict) -> None:
         eh, ev = exp
         for cid in hier["ref"]:
             hier["ref"][cid] = _exp_expand(hier["ref"][cid], eh, ev)
-    for c, plane in zip(frame["comps"], _frame_planes(frame, qt)):
+    if frame.get("lossless"):
+        planes = [c["plane"].astype(np.float64) for c in frame["comps"]]
+    else:
+        planes = _frame_planes(frame, qt)
+    for c, plane in zip(frame["comps"], planes):
         if frame.get("diff"):
             ref = hier["ref"].get(c["id"])
             if ref is None:
@@ -1647,7 +1701,13 @@ def _hier_fold(hier: dict, frame: dict, qt: dict) -> None:
                 raise ValueError(
                     "reference component smaller than differential "
                     "frame (missing EXP segment?)")
-            plane = ref[:ph, :pw] + plane
+            if frame.get("lossless"):
+                # SOF7: modulo-2^16 correction (H.1.2.3) — a final
+                # lossless differential frame makes the pyramid exact
+                plane = ((np.round(ref[:ph, :pw]).astype(np.int64)
+                          + plane.astype(np.int64)) & 0xFFFF)                     .astype(np.float64)
+            else:
+                plane = ref[:ph, :pw] + plane
         hier["ref"][c["id"]] = np.clip(np.round(plane), 0, maxv)
 
 
@@ -1658,12 +1718,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (SOF2), ARITHMETIC-coded (SOF9/SOF10), HIERARCHICAL (T.81
     Annex J: DHP + EXP, differential frames SOF5/SOF6/SOF13/SOF14 —
     Huffman/arithmetic, sequential/progressive), and LOSSLESS Huffman
-    (SOF3, Annex H: prediction + difference coding, precisions 2-16,
-    point transform; 3-channel payloads return the components
-    directly, no color transform) streams. Raises NotImplementedError
-    for the residual lossless modes (SOF7/11/15 —
-    differential/arithmetic lossless) so the caller can dispatch to an
-    external codec; malformed data raises ValueError.
+    (SOF3 + differential SOF7, Annex H: prediction + difference
+    coding, precisions 2-16, point transform, modulo-2^16 differential
+    correction; 3-channel payloads return the components directly, no
+    color transform) streams. Raises NotImplementedError for the
+    arithmetic lossless modes (SOF11/15) so the caller can dispatch to
+    an external codec; malformed data raises ValueError.
 
     Hierarchical semantics: scans of a differential frame decode with
     the UNCHANGED entropy procedures (DC prediction runs as usual over
@@ -1769,9 +1829,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             hier["_exp"] = (body[0] >> 4, body[0] & 15)
         elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA,       # SOF0/1/2/9/10
                    0xC5, 0xC6, 0xCD, 0xCE,             # diff SOF5/6/13/14
-                   0xC3):                              # lossless SOF3
-            diff = m in (0xC5, 0xC6, 0xCD, 0xCE)
-            lossless = m == 0xC3
+                   0xC3, 0xC7):                        # lossless SOF3/7
+            diff = m in (0xC5, 0xC6, 0xCD, 0xCE, 0xC7)
+            lossless = m in (0xC3, 0xC7)
             if diff and hier is None:
                 raise ValueError(
                     "differential frame outside hierarchical mode "
@@ -1827,10 +1887,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     c["zz"] = np.zeros((c["by"], c["bx"], 64),
                                        dtype=np.int64)
-        elif m in (0xC7, 0xCB, 0xCF):             # residual lossless
+        elif m in (0xCB, 0xCF):                   # arith lossless
             raise NotImplementedError(
                 "lossless JPEG frame type "
-                f"0xFF{m:02X} (differential/arithmetic)")
+                f"0xFF{m:02X} (arithmetic-coded)")
         elif m == 0xDA:                                # SOS
             if frame is None:
                 raise ValueError("JPEG scan before frame header")
@@ -1849,6 +1909,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if ri:
                     raise NotImplementedError(
                         "restart intervals in lossless scans")
+                if hier is not None and al:
+                    raise NotImplementedError(
+                        "point transform in hierarchical lossless")
                 br = _BitReader(d, i)
                 _scan_lossless(br, frame, scan_comps, hdc, ss, al)
                 frame["pt"] = al
@@ -1919,7 +1982,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     maxv = (1 << frame["prec"]) - 1
     out_dtype = np.uint8 if frame["prec"] <= 8 else np.uint16
 
-    if frame.get("lossless"):
+    if frame.get("lossless") and hier is None:
         # Annex H output: decoded samples << Pt; components are stored
         # DIRECTLY (no color transform — lossless 3-channel payloads
         # carry the channels as-is, e.g. RGB in DNG-style files)

@@ -10,11 +10,11 @@ IEEE float 32/64, G.711 A-law/mu-law, EXTENSIBLE headers), PNG at
 bit depths 1/2/4/8/16, plain or Adam7-interlaced (stdlib-zlib DEFLATE
 inflate + NumPy scanline unfiltering), JPEG
 (Huffman baseline + progressive, arithmetic SOF9/SOF10,
-hierarchical Annex-J DHP/EXP/differential frames, AND lossless SOF3 —
+hierarchical Annex-J DHP/EXP/differential frames, AND lossless SOF3/SOF7 —
 functions/jpeg.py), and WebP (lossless VP8L and lossy VP8 keyframes
 with alpha — functions/webp.py, functions/vp8.py). The few residual
-variants that genuinely need an external library (residual lossless
-JPEG SOF7/11/15, VP8 interframes) route through an import-guarded PIL/cv2
+variants that genuinely need an external library (arithmetic lossless
+JPEG SOF11/15, VP8 interframes) route through an import-guarded PIL/cv2
 dispatch whose seam is stub-tested, raising a clearly-marked
 NotImplementedError only when neither is installed. The Spark-side
 contract — schema, batch shape, partitioning, UDF signature — is
@@ -343,8 +343,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     lossless SOF3 (pure-NumPy Huffman/QM-coder + IDCT + EXP
     composition + Annex-H prediction, ``functions.jpeg``) — and REAL WebP, lossless VP8L
     (``functions.webp``) and lossy VP8 keyframes + ALPH alpha
-    (``functions.vp8``). The residual modes (lossless
-    JPEG SOF7/11/15, VP8 interframes) route through the import-guarded
+    (``functions.vp8``). The residual modes (arithmetic lossless
+    JPEG SOF11/15, VP8 interframes) route through the import-guarded
     PIL/cv2 dispatch and raise NotImplementedError only when neither
     is installed.
     """
@@ -378,7 +378,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         "progressive/arithmetic), WebP (lossless VP8L and lossy VP8 "
         "keyframes, with alpha, plus animations; JPEG incl. "
         "arithmetic, hierarchical, and lossless SOF3); via "
-        "PIL/cv2: residual lossless JPEG (SOF7/11/15)")
+        "PIL/cv2: arithmetic lossless JPEG (SOF11/15)")
 
 
 def encode_png(img: np.ndarray) -> bytes:

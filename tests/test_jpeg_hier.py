@@ -152,3 +152,42 @@ def test_decode_image_dispatches_hierarchical():
     img = _gray((16, 16), 9)
     d = J.encode_jpeg_hierarchical(img, 100, 2)
     np.testing.assert_array_equal(M.decode_image(d), J.decode_jpeg(d))
+
+
+def test_final_lossless_refinement_bit_exact():
+    """SOF7 differential lossless refinement (Annex J's documented
+    lossless-pyramid use): a lossy DCT base + one modulo-2^16
+    correction frame reproduces the gray input BIT-EXACTLY at any
+    quality."""
+    rng = np.random.default_rng(31)
+    for q, lv in ((50, 2), (85, 3)):
+        img = rng.integers(0, 256, (21, 33), dtype=np.uint8)
+        d = J.encode_jpeg_hierarchical(img, q, lv, final_lossless=True)
+        ms = _markers(d)
+        assert 0xC7 in ms and ms.count(0xC5) == lv - 1
+        np.testing.assert_array_equal(J.decode_jpeg(d), img)
+    # RGB: exact in the coded YCbCr domain; RGB output differs only by
+    # the color transform's own rounding
+    rgb = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_hierarchical(
+        rgb, 50, 2, final_lossless=True))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_differential_lossless_scan_guards():
+    """Predictor 0 is differential-only; nonzero predictors are
+    rejected inside differential lossless frames (Table H.1)."""
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    d = bytearray(J.encode_jpeg_lossless(img, 1))
+    # flip SOF3 -> SOF7 without a DHP: malformed hierarchy
+    i = bytes(d).index(b"\xff\xc3")
+    d[i + 1] = 0xC7
+    with pytest.raises(ValueError, match="missing DHP"):
+        J.decode_jpeg(bytes(d))
+    # predictor 0 in a NON-differential lossless frame is invalid
+    d2 = bytearray(J.encode_jpeg_lossless(img, 1))
+    j = bytes(d2).index(b"\xff\xda")
+    ln = int.from_bytes(d2[j + 2:j + 4], "big")
+    d2[j + 2 + ln - 3] = 0                 # Ss (predictor) -> 0
+    with pytest.raises(ValueError, match="differential-frame-only"):
+        J.decode_jpeg(bytes(d2))

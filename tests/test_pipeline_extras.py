@@ -310,8 +310,8 @@ def _lossless_jpeg_stub() -> bytes:
     decoder declines it with NotImplementedError, exercising the
     external-codec dispatch. (Progressive SOF2 decodes in-container
     since r5, arithmetic SOF9/SOF10 since r8, and hierarchical Annex-J
-    plus Huffman lossless SOF3 since r9, so only the residual lossless
-    modes SOF7/11/15 reach the seam.)"""
+    plus Huffman lossless SOF3/SOF7 since r9, so only the arithmetic
+    lossless modes SOF11/15 reach the seam.)"""
     sof11_body = bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0])
     return (b"\xff\xd8\xff\xcb"
             + (len(sof11_body) + 2).to_bytes(2, "big") + sof11_body)
