@@ -722,6 +722,23 @@ def _scan_lossless(br: _BitReader, frame: dict, comps: list,
                 plane[y, x] = (pred + diff) & 0xFFFF
 
 
+def _write_lossless_diff(bw: _BitWriter, tab: dict, raw: int) -> None:
+    """Code one Annex-H difference: fold to [-32768, 32767] (mod-2^16
+    arithmetic, H.1.2.3), with the SSSS=16 no-extra-bits escape for
+    -32768 (H.1.2.2)."""
+    dv = raw & 0xFFFF
+    if dv >= 32768:
+        dv -= 65536
+    if dv == -32768:
+        hc, hl = tab[16]
+        bw.write(hc, hl)
+        return
+    s, code = _magnitude(dv)
+    hc, hl = tab[s]
+    bw.write(hc, hl)
+    bw.write(code, s)
+
+
 def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
                          point_transform: int = 0) -> bytes:
     """Lossless JPEG (SOF3, T.81 Annex H) encoder — fixture partner of
@@ -770,17 +787,7 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
         for x in range(w):
             for plane in planes:
                 pred = _lossless_predict(plane, y, x, predictor, default)
-                diff = (int(plane[y, x]) - pred) & 0xFFFF
-                if diff >= 32768:
-                    diff -= 65536
-                if diff == -32768:
-                    hc, hl = tab[16]   # SSSS=16 codes +32768 == -32768
-                    bw.write(hc, hl)
-                    continue
-                s, code = _magnitude(diff)
-                hc, hl = tab[s]
-                bw.write(hc, hl)
-                bw.write(code, s)
+                _write_lossless_diff(bw, tab, int(plane[y, x]) - pred)
     bw.pad_to_byte()
     out += bw.buf
     out += b"\xff\xd9"
@@ -1015,17 +1022,8 @@ def encode_jpeg_hierarchical(img: np.ndarray, quality: int = 85,
         for y in range(h):
             for x in range(w):
                 for t, r in zip(targets, refs_i):
-                    dv = (int(t[y, x]) - int(r[y, x])) & 0xFFFF
-                    if dv >= 32768:
-                        dv -= 65536
-                    if dv == -32768:
-                        hc, hl = lltab[16]
-                        bw.write(hc, hl)
-                        continue
-                    sbits, code = _magnitude(dv)
-                    hc, hl = lltab[sbits]
-                    bw.write(hc, hl)
-                    bw.write(code, sbits)
+                    _write_lossless_diff(bw, lltab,
+                                         int(t[y, x]) - int(r[y, x]))
         bw.pad_to_byte()
         out += bw.buf
     out += b"\xff\xd9"                                # EOI
@@ -1657,7 +1655,10 @@ def _frame_planes(frame: dict, qt: dict) -> list[np.ndarray]:
     hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in frame["comps"]:
-        q = qt.get(c["tq"])
+        # the table snapshotted at the component's first scan (SOS
+        # handler), NOT the live DQT state — a between-frames DQT
+        # redefinition applies to subsequent scans only (B.2.4.1)
+        q = c.get("qtab", qt.get(c["tq"]))
         if q is None:
             raise ValueError("component references undefined quant table")
         zz = c["zz"].reshape(-1, 64)
@@ -1716,8 +1717,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     Handles baseline (SOF0/SOF1, single- or multi-scan), progressive
     (SOF2), ARITHMETIC-coded (SOF9/SOF10), HIERARCHICAL (T.81
-    Annex J: DHP + EXP, differential frames SOF5/SOF6/SOF13/SOF14 —
-    Huffman/arithmetic, sequential/progressive), and LOSSLESS Huffman
+    Annex J: DHP + EXP, differential frames SOF5/SOF6 —
+    Huffman sequential/progressive, pinned by the encoder twin;
+    arithmetic differential SOF13/SOF14 are ACCEPTED and share the
+    identical arithmetic scan decoders + fold, but no Annex-J
+    arithmetic encoder exists anywhere in this container, so that
+    combination runs untested), and LOSSLESS Huffman
     (SOF3 + differential SOF7, Annex H: prediction + difference
     coding, precisions 2-16, point transform, modulo-2^16 differential
     correction; 3-channel payloads return the components directly, no
@@ -1902,6 +1907,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if cid not in by_id:
                     raise ValueError("scan references unknown component")
                 by_id[cid].update(dc=tsel >> 4, ac=tsel & 15)
+                # snapshot the quant table IN EFFECT at this component's
+                # first scan: a DQT between frames (legal, B.2.4.1 —
+                # redefinitions apply to subsequent scans only) must not
+                # retroactively change a deferred dequantization
+                # (hierarchical folds happen at the NEXT SOF/EOI)
+                if not frame.get("lossless") and \
+                        "qtab" not in by_id[cid]:
+                    by_id[cid]["qtab"] = qt.get(by_id[cid]["tq"])
                 scan_comps.append(by_id[cid])
             ss, se, ahal = body[1 + 2 * nc:4 + 2 * nc]
             ah, al = ahal >> 4, ahal & 15

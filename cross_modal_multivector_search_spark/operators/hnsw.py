@@ -74,6 +74,48 @@ class HnswParams:
     seed: int = 7
 
 
+def _graph_rows(ids, levels, adj, entry: int, top: int) -> dict:
+    """The ONE serializer of an in-memory graph to (level, src, nbrs,
+    is_entry) row columns — to_dataframe, the single-index build task,
+    and the sharded build task all emit through here so the row
+    convention cannot drift between them."""
+    rows = {"level": [], "src": [], "nbrs": [], "is_entry": []}
+    for lvl in range(top + 1):
+        for i in range(len(ids)):
+            if levels[i] >= lvl:
+                rows["level"].append(lvl)
+                rows["src"].append(int(ids[i]))
+                rows["nbrs"].append([int(ids[j]) for j in adj[lvl][i]])
+                rows["is_entry"].append(
+                    1 if (i == entry and lvl == top) else 0)
+    return rows
+
+
+def _assemble_adj(entries, ix: dict, n: int):
+    """The ONE deserializer: (level, src, nbrs, is_entry) tuples ->
+    (adj, levels, entry, max_level) over contiguous indexes — shared by
+    the handle assembler and the sharded search task."""
+    entries = list(entries)
+    max_level = max((int(e[0]) for e in entries), default=0)
+    adj = [[np.empty(0, dtype=np.int64) for _ in range(n)]
+           for _ in range(max_level + 1)]
+    levels = np.zeros(n, dtype=np.int64)
+    entry = 0
+    for lvl, src, nbrs, is_ep in entries:
+        try:
+            i = ix[int(src)]
+            row = np.array([ix[int(x)] for x in nbrs], dtype=np.int64)
+        except KeyError as e:
+            raise ValueError(
+                f"graph references vec_id {e} missing from the vector "
+                "join — adjacency and vectors out of sync?") from e
+        adj[int(lvl)][i] = row
+        levels[i] = max(levels[i], int(lvl))
+        if is_ep:
+            entry = i
+    return adj, levels, entry, max_level
+
+
 @dataclass
 class HnswIndex:
     """Broadcastable handle: per-level adjacency over contiguous
@@ -86,16 +128,11 @@ class HnswIndex:
     max_level: int
 
     def to_dataframe(self, spark: SparkSession) -> DataFrame:
-        rows = []
-        for lvl in range(self.max_level + 1):
-            for i in range(len(self.ids)):
-                if self.levels[i] >= lvl:
-                    rows.append((lvl, int(self.ids[i]),
-                                 [int(self.ids[j])
-                                  for j in self.adj[lvl][i]],
-                                 1 if (i == self.entry_point
-                                       and lvl == self.max_level) else 0))
-        return spark.createDataFrame(rows, schema=_LEVEL_GRAPH_SCHEMA)
+        rows = _graph_rows(self.ids, self.levels, self.adj,
+                           self.entry_point, self.max_level)
+        return spark.createDataFrame(
+            list(zip(rows["level"], rows["src"], rows["nbrs"],
+                     rows["is_entry"])), schema=_LEVEL_GRAPH_SCHEMA)
 
 
 def _select_neighbors(cand_ids: np.ndarray, cand_dists: np.ndarray,
@@ -251,17 +288,7 @@ def build_hnsw_df(base: DataFrame, params: HnswParams = HnswParams(),
                           for v in vec_l])[order]
         p = HnswParams(*bc_params)
         levels, adj, entry, top = _hnsw_insert_pipeline(vecs, p)
-        rows = {"level": [], "src": [], "nbrs": [], "is_entry": []}
-        for lvl in range(top + 1):
-            for i in range(len(ids)):
-                if levels[i] >= lvl:
-                    rows["level"].append(lvl)
-                    rows["src"].append(int(ids[i]))
-                    rows["nbrs"].append(
-                        [int(ids[j]) for j in adj[lvl][i]])
-                    rows["is_entry"].append(
-                        1 if (i == entry and lvl == top) else 0)
-        yield pd.DataFrame(rows)
+        yield pd.DataFrame(_graph_rows(ids, levels, adj, entry, top))
 
     return payload.mapInPandas(build, schema=_LEVEL_GRAPH_SCHEMA)
 
@@ -269,21 +296,10 @@ def build_hnsw_df(base: DataFrame, params: HnswParams = HnswParams(),
 def _assemble(rows: pd.DataFrame, ids: np.ndarray,
               vecs: np.ndarray) -> HnswIndex:
     ix = {int(v): i for i, v in enumerate(ids)}
-    max_level = int(rows["level"].max()) if len(rows) else 0
-    n = len(ids)
-    adj = [[np.empty(0, dtype=np.int64) for _ in range(n)]
-           for _ in range(max_level + 1)]
-    levels = np.zeros(n, dtype=np.int64)
-    entry = 0
-    for lvl, src, nbrs, is_ep in zip(
-            rows["level"].to_numpy(), rows["src"].to_numpy(),
-            rows["nbrs"].to_numpy(), rows["is_entry"].to_numpy()):
-        i = ix[int(src)]
-        adj[lvl][i] = np.array([ix[int(x)] for x in nbrs],
-                               dtype=np.int64)
-        levels[i] = max(levels[i], lvl)
-        if is_ep:
-            entry = i
+    adj, levels, entry, max_level = _assemble_adj(
+        zip(rows["level"].to_numpy(), rows["src"].to_numpy(),
+            rows["nbrs"].to_numpy(), rows["is_entry"].to_numpy()),
+        ix, len(ids))
     return HnswIndex(ids=ids, vecs=vecs, levels=levels, adj=adj,
                      entry_point=entry, max_level=max_level)
 
@@ -425,19 +441,11 @@ def build_hnsw_sharded(base: DataFrame, n_shards: int,
             vecs = np.vstack(vecs_l).astype(np.float64)
             p = HnswParams(*bc_params)
             levels, adj, entry, top = _hnsw_insert_pipeline(vecs, p)
-            rows = {"shard": [], "level": [], "src": [], "nbrs": [],
-                    "is_entry": []}
-            for lvl in range(top + 1):
-                for i in range(len(ids)):
-                    if levels[i] >= lvl:
-                        rows["shard"].append(int(shard))
-                        rows["level"].append(lvl)
-                        rows["src"].append(int(ids[i]))
-                        rows["nbrs"].append(
-                            [int(ids[j]) for j in adj[lvl][i]])
-                        rows["is_entry"].append(
-                            1 if (i == entry and lvl == top) else 0)
-            return pd.DataFrame(rows)
+            rows = _graph_rows(ids, levels, adj, entry, top)
+            pdf = pd.DataFrame(rows)
+            pdf.insert(0, "shard", np.full(len(pdf), int(shard),
+                                           dtype=np.int32))
+            return pdf
 
         for pdf in it:
             for shard, vid, vec in zip(pdf["shard"], pdf[id_col],
@@ -494,7 +502,6 @@ def search_hnsw_sharded(work: DataFrame, query_vecs: DataFrame,
     merge keeps each member's best ef candidates across shards (the
     multi-index analog of `searchKnn` + result heap union). Candidates
     feed the same reranker."""
-    from .topk import grouped_topk
     spark = query_vecs.sparkSession
     q_pdf = (query_vecs.groupBy(F.col(set_id).alias("qsid"))
              .agg(F.sort_array(F.collect_list(F.struct(
@@ -518,22 +525,13 @@ def search_hnsw_sharded(work: DataFrame, query_vecs: DataFrame,
                 if lvl == 0:
                     ix[int(src)] = len(ids_order)
                     ids_order.append((int(src), v))
-            n_loc = len(ids_order)
             ids = np.array([s for s, _ in ids_order], dtype=np.int64)
             vecs = np.vstack([np.asarray(v, dtype=np.float64)
                               for _, v in ids_order])
-            max_level = max(r[0] for r in rows_acc)
-            adj = [[np.empty(0, dtype=np.int64) for _ in range(n_loc)]
-                   for _ in range(max_level + 1)]
-            levels = np.zeros(n_loc, dtype=np.int64)
-            entry = 0
-            for lvl, src, nbrs, is_ep, _ in rows_acc:
-                i = ix[int(src)]
-                adj[lvl][i] = np.array([ix[int(x)] for x in nbrs],
-                                       dtype=np.int64)
-                levels[i] = max(levels[i], lvl)
-                if is_ep:
-                    entry = i
+            adj, levels, entry, max_level = _assemble_adj(
+                ((lvl, src, nbrs, is_ep)
+                 for lvl, src, nbrs, is_ep, _ in rows_acc),
+                ix, len(ids))
             idx = HnswIndex(ids=ids, vecs=vecs, levels=levels, adj=adj,
                             entry_point=entry, max_level=max_level)
             frames = []
@@ -570,9 +568,17 @@ def search_hnsw_sharded(work: DataFrame, query_vecs: DataFrame,
                 yield out
 
     partials = work.mapInPandas(search, schema=_CAND_SCHEMA)
-    m_guess = max(len(m) for _, m in q_sets) if q_sets else 1
-    return grouped_topk(
-        partials, ["query_set_id", "member_pos"],
-        [F.col("dist").asc(), F.col("base_vec_id").asc()],
-        max(1, budget // m_guess)
-    ).drop("rank")
+    # per-SET merge cap: each member was searched with ef = budget //
+    # |that set's members|, so the global merge must keep that many —
+    # a single global k truncates smaller-cardinality sets (they search
+    # DEEPER per member, not shallower)
+    from pyspark.sql import Window
+    k_map = query_vecs.sparkSession.createDataFrame(
+        [(qsid, max(1, budget // max(1, len(m)))) for qsid, m in q_sets],
+        "query_set_id long, __k int")
+    w = Window.partitionBy("query_set_id", "member_pos").orderBy(
+        F.col("dist").asc(), F.col("base_vec_id").asc())
+    return (partials.join(F.broadcast(k_map), "query_set_id")
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= F.col("__k"))
+            .drop("__rk", "__k"))

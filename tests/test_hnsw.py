@@ -222,3 +222,36 @@ def test_sharded_search_saturating_is_exact(spark):
                            gt, 10)
     assert r.agg(F.min("recall")).first()[0] == pytest.approx(1.0)
     work.unpersist()
+
+
+def test_sharded_search_varcard_budget_parity(spark):
+    """Per-SET merge caps (r9 review finding): with heterogeneous set
+    cardinalities, a small set's members search DEEPER (ef = budget /
+    |members|), so the global merge must keep ef per member PER SET —
+    the single-index and sharded paths must emit identical candidate
+    sets at any budget."""
+    base_np = _unit_rows(160, 8, 21)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(base_np)],
+        "vec_id long, vec array<double>")
+    # query sets with 2 and 6 members
+    qrows = [(0, i, [float(x) for x in _unit_rows(2, 8, 31)[i]])
+             for i in range(2)] + \
+            [(1, 10 + i, [float(x) for x in _unit_rows(6, 8, 32)[i]])
+             for i in range(6)]
+    q = spark.createDataFrame(qrows, "set_id long, vec_id long, "
+                                     "vec array<double>")
+    p = hnsw.HnswParams(m=8, ef_construction=30, seed=2)
+    budget = 24                                 # ef: 12 (m=2) / 4 (m=6)
+    g = hnsw.build_hnsw_sharded(base, 2, p)
+    work = hnsw.prepare_hnsw_work(g, base, 2).cache()
+    got = hnsw.search_hnsw_sharded(work, q, budget=budget)
+    counts = {(r["query_set_id"], r["member_pos"]): r["count"]
+              for r in got.groupBy("query_set_id", "member_pos")
+              .count().collect()}
+    # the small set's members must keep up to ef=12 candidates, not
+    # budget // max_m = 4
+    assert all(c <= 12 for (s, _), c in counts.items() if s == 0)
+    assert any(c > 4 for (s, _), c in counts.items() if s == 0)
+    assert all(c <= 4 for (s, _), c in counts.items() if s == 1)
+    work.unpersist()

@@ -247,3 +247,30 @@ def test_arith_decode_with_injected_fill_bytes():
     filled = bytes(out)
     assert len(filled) > len(da)
     np.testing.assert_array_equal(J.decode_jpeg(filled), base)
+
+
+def test_arith_frame_inside_hierarchy():
+    """Arithmetic (SOF9) as the initial frame of a hierarchical stream:
+    transplant a libjpeg arith file under a DHP — the Annex-J fold of a
+    single non-differential arith frame must reproduce the plain decode
+    exactly (pins the arith+hierarchy plumbing; differential arith
+    SOF13/14 stay untestable — no Annex-J arith encoder exists)."""
+    def transplant(d: bytes) -> bytes:
+        i = d.index(b"\xff\xc9")
+        ln = int.from_bytes(d[i + 2:i + 4], "big")
+        return d[:i] + b"\xff\xde" + d[i + 2:i + 2 + ln] + d[i:]
+
+    # gray: the fold's per-frame integer rounding commutes with the
+    # plain path's final rounding -> bit-exact
+    g = _img((24, 32), 11)
+    dg = _encode(g, 80, arith=True)
+    np.testing.assert_array_equal(J.decode_jpeg(transplant(dg)),
+                                  J.decode_jpeg(dg))
+    # color: the fold rounds component planes BEFORE the chroma
+    # upsample + color convert (Annex-J references are integer
+    # samples), so only that rounding may differ
+    c = _img((24, 32, 3), 12)
+    dc = _encode(c, 80, arith=True)
+    diff = np.abs(J.decode_jpeg(transplant(dc)).astype(int)
+                  - J.decode_jpeg(dc).astype(int))
+    assert diff.max() <= 2

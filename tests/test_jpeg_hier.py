@@ -191,3 +191,22 @@ def test_differential_lossless_scan_guards():
     d2[j + 2 + ln - 3] = 0                 # Ss (predictor) -> 0
     with pytest.raises(ValueError, match="differential-frame-only"):
         J.decode_jpeg(bytes(d2))
+
+
+def test_dqt_between_frames_does_not_retroact():
+    """B.2.4.1: a DQT redefinition applies to subsequent scans only.
+    The hierarchical fold dequantizes a frame at the NEXT SOF/EOI, so
+    it must use the table snapshotted at the frame's own scans — a
+    hostile DQT inserted after the first frame's scan must not change
+    the decode (r9 review finding, verified failing before the fix)."""
+    img = _gray((16, 16), 13)
+    d = J.encode_jpeg_hierarchical(img, 90, 2)
+    base = J.decode_jpeg(d)
+    # inject DQT(tid=0, all 255) after the LAST frame's entropy data
+    # (before EOI): no subsequent scan uses it, so the decode must not
+    # change — yet the final fold happens at EOI, after the DQT parsed
+    hostile = (b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00"
+               + b"\xff" * 64)
+    i = d.rindex(b"\xff\xd9")
+    mangled = d[:i] + hostile + d[i:]
+    np.testing.assert_array_equal(J.decode_jpeg(mangled), base)
