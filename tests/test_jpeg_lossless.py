@@ -91,3 +91,28 @@ def test_decode_image_dispatches_lossless():
     img = rng.integers(0, 256, (8, 9), dtype=np.uint8)
     d = J.encode_jpeg_lossless(img, 5)
     np.testing.assert_array_equal(M.decode_image(d), img)
+
+
+def test_hand_assembled_spec_literal_stream():
+    """Decode-only pin independent of the encoder twin: a 2x2 gray
+    lossless stream assembled byte-by-byte from the spec.
+
+    Flat DHT: 17 symbols (categories 0..16) all at 5 bits -> canonical
+    code of category k is k. Image [[100,102],[101,103]], predictor 1:
+      (0,0) pred=default 128, diff=-28 -> cat 5, code -28+31=3
+      (0,1) first line, Ra=100, diff=+2 -> cat 2, code 2
+      (1,0) first column, Rb=100, diff=+1 -> cat 1, code 1
+      (1,1) Ra=101, diff=+2 -> cat 2, code 2
+    bits: 00101 00011 | 00010 10 | 00001 1 | 00010 10 + 11 padding
+        = 0x28 0xC5 0x06 0x2B
+    """
+    dht = bytes([0xFF, 0xC4, 0x00, 0x24, 0x00]) \
+        + bytes([0, 0, 0, 0, 17] + [0] * 11) + bytes(range(17))
+    sof = bytes([0xFF, 0xC3, 0x00, 0x0B, 8, 0, 2, 0, 2, 1,
+                 1, 0x11, 0])
+    sos = bytes([0xFF, 0xDA, 0x00, 0x08, 1, 1, 0x00, 1, 0, 0])
+    ent = bytes([0x28, 0xC5, 0x06, 0x2B])
+    d = b"\xff\xd8" + dht + sof + sos + ent + b"\xff\xd9"
+    np.testing.assert_array_equal(
+        J.decode_jpeg(d),
+        np.array([[100, 102], [101, 103]], dtype=np.uint8))
