@@ -1551,6 +1551,36 @@ FROM tok GROUP BY token ORDER BY freq DESC, token LIMIT 50
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF (the classic
+    corpus-analytics pass: one tf groupBy, vocab-sized broadcast df
+    join, WindowGroupLimit per-doc top-k)."""
+    docs = TD.load(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH {_SQL_TOK_SH},
+tf AS (SELECT doc_id, token, count(*) AS tf
+       FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+               + 1.2345678e-9, 5) AS tfidf
+  FROM tf, dfreq, n WHERE tf.token = dfreq.token),
+ranked AS (
+  SELECT doc_id, token, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rank
+  FROM scored)
+SELECT doc_id, token, tf, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: 20 benchmark docs chosen by seeded md5
     order; training docs sharing any distinct 3-gram with a benchmark
@@ -2193,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "repetition_scores": q_repetition_scores,
         "top_tokens": q_top_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "ivf_topk": q_ivf_topk,
@@ -2262,6 +2293,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": SQL_NORMALIZE_TEXT,
         "repetition_scores": SQL_REPETITION_SCORES,
         "top_tokens": SQL_TOP_TOKENS,
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "ivf_topk": SQL_IVF_TOPK,

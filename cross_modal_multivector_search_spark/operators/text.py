@@ -129,6 +129,35 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
                       count_expr.cast("long").alias("n_redactions"))
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 5,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF:
+    (doc_id, rank, token, tf, tfidf) with tfidf = tf * ln(N / df),
+    ties broken by token (deterministic, oracle-checkable).
+
+    Scale shape: ONE map-combinable groupBy(doc, token) builds the tf
+    table; document frequencies aggregate that (vocabulary-sized, so
+    the df side broadcast-joins); the corpus size N rides in as a
+    broadcast scalar (the bigram_pmi pattern); per-doc top-k is the
+    WindowGroupLimit workhorse. Nothing here ever shuffles more than
+    O(distinct (doc, token)) rows."""
+    from .topk import grouped_topk
+    t = tokens(docs, id_col, text_col)
+    tf = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = tf.select(id_col).distinct() \
+        .agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(df_t), "token")
+              .crossJoin(F.broadcast(n))
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+                  + ROUND_EPS, 5)))
+    return grouped_topk(
+        scored.select(id_col, "token", "tf", "tfidf"), [id_col],
+        [F.col("tfidf").desc(), F.col("token").asc()], k)
+
+
 def token_frequencies(docs: DataFrame, k: int = 50,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:

@@ -1025,3 +1025,26 @@ def test_curate_corpus_exact_dedup_plan_shape(spark):
     assert "row_number" not in plan
     ids = {r["doc_id"] for r in df.collect()}
     assert 3 in ids and {7, 9, 5}.isdisjoint(ids)
+
+
+def test_tfidf_top_terms_planted(spark):
+    """Exact formula pin: tfidf = tf * ln(N / df) with deterministic
+    token tie-break — a term in every doc scores 0; a doc-unique term
+    repeated twice beats a unique term appearing once."""
+    import math
+    d = spark.createDataFrame(
+        [(1, "common zebra zebra apple"),
+         (2, "common banana"),
+         (3, "common cherry")],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["rank"]): r
+            for r in text.tfidf_top_terms(d, k=2).collect()}
+    top1 = rows[(1, 1)]
+    assert top1["token"] == "zebra" and top1["tf"] == 2
+    assert top1["tfidf"] == pytest.approx(
+        round(2 * math.log(3) + text.ROUND_EPS, 5))
+    assert rows[(1, 2)]["token"] == "apple"
+    # 'common' has df == N -> tfidf 0, ranked below any unique term
+    assert rows[(2, 1)]["token"] == "banana"
+    assert rows[(2, 2)]["token"] == "common"
+    assert rows[(2, 2)]["tfidf"] == pytest.approx(0.0)
