@@ -1551,6 +1551,45 @@ FROM tok GROUP BY token ORDER BY freq DESC, token LIMIT 50
 """
 
 
+_BM25_TERMS = ("data", "search", "model")
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed 3-term query under BM25
+    (k1=1.2, b=0.75) — the classic keyword-retrieval scoring pass."""
+    docs = TD.load(spark, sf_dir, "documents")
+    out = text.bm25_rank(docs, list(_BM25_TERMS), k=20)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_BM25_RANK = f"""
+WITH {_SQL_TOK_SH},
+tfq AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        WHERE token IN ('data', 'search', 'model')
+        GROUP BY doc_id, token),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+scored AS (
+  SELECT tfq.doc_id,
+         ROUND(SUM(ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                   * tfq.tf
+                   / (tfq.tf + 1.2 * (1 - 0.75
+                                      + 0.75 * dl.dl / stats.avgdl)))
+               + 1.2345678e-9, 5) AS score
+  FROM tfq, dfreq, dl, stats
+  WHERE tfq.token = dfreq.token AND tfq.doc_id = dl.doc_id
+  GROUP BY tfq.doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by TF-IDF (the classic
     corpus-analytics pass: one tf groupBy, vocab-sized broadcast df
@@ -2224,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "top_tokens": q_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_rank": q_bm25_rank,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "ivf_topk": q_ivf_topk,
@@ -2294,6 +2334,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": SQL_REPETITION_SCORES,
         "top_tokens": SQL_TOP_TOKENS,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "bm25_rank": SQL_BM25_RANK,
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "ivf_topk": SQL_IVF_TOPK,

@@ -158,6 +158,49 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5,
         [F.col("tfidf").desc(), F.col("token").asc()], k)
 
 
+def bm25_rank(docs: DataFrame, terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 (Robertson/
+    Sparck Jones):
+
+      score(d) = sum_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                        * tf / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Returns (doc_id, rank, score). Scale shape: the tf table filters to
+    the query's terms BEFORE any shuffle (predicate on the token
+    column), document lengths come from the same one-pass token
+    aggregation, and df/N/avgdl are vocabulary- and scalar-sized
+    broadcasts — per-query work is O(docs containing a query term),
+    never a corpus scan per term."""
+    from .topk import grouped_topk
+    t = tokens(docs, id_col, text_col)
+    tf_all = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dl = t.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf_q = tf_all.filter(F.col("token").isin(list(terms)))
+    df_t = tf_q.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b
+                                + b * F.col("dl") / F.col("avgdl"))
+    scored = (tf_q.join(F.broadcast(df_t), "token")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats))
+              .withColumn("__s", idf * F.col("tf") / denom)
+              .groupBy(id_col)
+              .agg(F.round(F.sum("__s") + ROUND_EPS, 5).alias("score")))
+    # global top-k: a constant group key keeps the WindowGroupLimit
+    # shape (scored is already one row per matching doc, tiny)
+    return grouped_topk(
+        scored.withColumn("__g", F.lit(1)),
+        ["__g"], [F.col("score").desc(), F.col(id_col).asc()], k
+    ).drop("__g")
+
+
 def token_frequencies(docs: DataFrame, k: int = 50,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:

@@ -1048,3 +1048,26 @@ def test_tfidf_top_terms_planted(spark):
     assert rows[(2, 1)]["token"] == "banana"
     assert rows[(2, 2)]["token"] == "common"
     assert rows[(2, 2)]["tfidf"] == pytest.approx(0.0)
+
+
+def test_bm25_rank_planted(spark):
+    """BM25 sanity pins: a doc with more query-term hits in the same
+    length outranks one with fewer; per-term saturation (k1) keeps one
+    very repetitive doc from dominating a doc matching MORE distinct
+    terms; score matches the closed-form formula exactly."""
+    import math
+    d = spark.createDataFrame(
+        [(1, "data search model extra words here"),
+         (2, "data data data data data filler"),
+         (3, "apple banana cherry date egg fig")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            text.bm25_rank(d, ["data", "search", "model"]).collect()}
+    assert 3 not in rows                       # no query term -> no row
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+    # closed form for doc 2: one term, tf=5, df=2, N=2 docs with terms?
+    # N counts ALL docs with tokens (3), dl=6, avgdl=6
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    expect = idf * 5 / (5 + 1.2 * (1 - 0.75 + 0.75 * 6 / 6))
+    assert rows[2]["score"] == pytest.approx(
+        round(expect + text.ROUND_EPS, 5))
