@@ -39,6 +39,8 @@ HEADLINE = [
     "simhash_fingerprints",
     "embedding_near_dup",
     "token_stats",
+    "tfidf_top_terms",
+    "bm25_rank",
     "chamfer_varcard_gemm",
     "quality_scores",
     "sessionize_events",
