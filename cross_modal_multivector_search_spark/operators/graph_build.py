@@ -114,37 +114,62 @@ def _pipeline_build_arrays(vecs: np.ndarray, nn_locals: list,
         return [], 0
 
     # ---- pass 1: per training query -> occlusion-pruned target lists
-    pools: dict[int, set] = {}
+    # Array-backed pool grouping (r9): the former dict-of-set pools
+    # cost ~64 B per candidate id in interpreter overhead and OOM-killed
+    # a 100k-node one-task build; packed (tgt, member) keys + np.unique
+    # hold the same multiset in ~8 B/id. Candidate ORDER within a pool
+    # becomes sorted-ascending (was: set iteration order), which only
+    # matters under exact distance ties inside occlusion_prune's stable
+    # argsort — the pinned ANN oracle rows verify the graphs unchanged.
+    pair_t, pair_m = [], []
     for nn in nn_locals:
-        if nn is None or len(nn) == 0:
+        if nn is None or len(nn) < 2:
             continue
-        pools.setdefault(int(nn[0]), set()).update(int(x) for x in nn[1:])
-    fwd: dict[int, list] = {}
-    for tgt, pool in pools.items():
-        cand = np.fromiter((p for p in pool if p != tgt), dtype=np.int64)
-        if len(cand) == 0:
-            continue
-        dists = -(vecs[cand] @ vecs[tgt])
-        fwd[tgt] = core.occlusion_prune(cand, dists, vecs, m_deg,
-                                        exclude=tgt)
+        pair_t.append(np.full(len(nn) - 1, int(nn[0]), dtype=np.int64))
+        pair_m.append(np.asarray(nn[1:], dtype=np.int64))
 
-    # ---- reverse edges + degree-overflow re-prune
-    nbr_sets: dict[int, set] = {}
+    def _grouped_unique(tgts: np.ndarray, mems: np.ndarray):
+        """Yield (tgt, unique members ascending) per distinct tgt."""
+        key = tgts * np.int64(n) + mems
+        ukey = np.unique(key)
+        ut, um = ukey // n, ukey % n
+        bounds = np.flatnonzero(np.diff(ut)) + 1
+        for lo, hi in zip(np.concatenate(([0], bounds)),
+                          np.concatenate((bounds, [len(ut)]))):
+            yield int(ut[lo]), um[lo:hi]
+
+    fwd: dict[int, list] = {}
+    if pair_t:
+        for tgt, pool in _grouped_unique(np.concatenate(pair_t),
+                                         np.concatenate(pair_m)):
+            cand = pool[pool != tgt]
+            if len(cand) == 0:
+                continue
+            dists = -(vecs[cand] @ vecs[tgt])
+            fwd[tgt] = core.occlusion_prune(cand, dists, vecs, m_deg,
+                                            exclude=tgt)
+
+    # ---- reverse edges + degree-overflow re-prune (same array form)
+    rev_s, rev_d = [], []
     for src, nbrs in fwd.items():
-        nbr_sets.setdefault(src, set()).update(nbrs)
-        for d in nbrs:
-            nbr_sets.setdefault(d, set()).add(src)
+        a = np.asarray(nbrs, dtype=np.int64)
+        rev_s.append(np.full(len(a), src, dtype=np.int64))
+        rev_d.append(a)
+        rev_s.append(a)                       # reverse direction
+        rev_d.append(np.full(len(a), src, dtype=np.int64))
     adj = [np.empty(0, dtype=np.int64)] * n
-    for src, cands in nbr_sets.items():
-        cand = np.unique(np.fromiter(cands, dtype=np.int64))
-        cand = cand[cand != src]
-        if len(cand) <= m_deg:
-            adj[src] = cand
-        else:
-            dists = -(vecs[cand] @ vecs[src])
-            adj[src] = np.asarray(
-                core.occlusion_prune(cand, dists, vecs, m_deg, exclude=src),
-                dtype=np.int64)
+    if rev_s:
+        for src, cands in _grouped_unique(np.concatenate(rev_s),
+                                          np.concatenate(rev_d)):
+            cand = cands[cands != src]
+            if len(cand) <= m_deg:
+                adj[src] = cand
+            else:
+                dists = -(vecs[cand] @ vecs[src])
+                adj[src] = np.asarray(
+                    core.occlusion_prune(cand, dists, vecs, m_deg,
+                                         exclude=src),
+                    dtype=np.int64)
 
     # ---- entry point: centroid -> nearest base (CalculateProjectionep)
     centroid = vecs.mean(axis=0)
