@@ -136,49 +136,60 @@ def knn_exact_gemm(queries, base: DataFrame, k: int,
         StructField("score", DoubleType()),
     ])
 
+    # Bound the sims matrix at (query block x Arrow batch): a
+    # self-kNN-style caller makes |Q| == |base| (e.g. the 100k
+    # single-index build), where an unchunked qm @ batch.T is
+    # |Q| x 10k float64 = GBs PER TASK x 32 tasks. Query chunking
+    # changes nothing about results — per-query rows are independent
+    # and the per-batch partial top-k is already per query row.
+    Q_BLOCK = 4096
+
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, qm, met, kk, excl = bc.value
-        if len(ids) == 0:
+        all_ids, all_qm, met, kk, excl = bc.value
+        if len(all_ids) == 0:
             return
         for pdf in it:
             bids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
             bmat = np.vstack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
-            if met == "l2":
-                # ||q-b||^2 = ||q||^2 - 2 q.b + ||b||^2 (FastL2 expansion)
-                sims = (
-                    (qm * qm).sum(axis=1)[:, None]
-                    - 2.0 * (qm @ bmat.T)
-                    + (bmat * bmat).sum(axis=1)[None, :]
-                )
-                sign = 1.0  # ascending
-            else:
-                sims = -(qm @ bmat.T)  # negated IP: ascending = closest
-                sign = 1.0
-            if excl:
-                sims[ids[:, None] == bids[None, :]] = np.inf
-            kk_eff = min(kk, sims.shape[1])
-            # per-batch partial top-k with the SAME deterministic
-            # tiebreak as the global merge (dist asc, id asc) — a bare
-            # argpartition drops an arbitrary member of a tie straddling
-            # the k-th boundary, which the merge can never recover;
-            # topk_cols_ascending partitions fast and falls back to the
-            # full lexsort exactly on tie rows
-            order = topk_cols_ascending(sims, bids, kk_eff)
-            rows = np.repeat(np.arange(sims.shape[0]), kk_eff)
-            cols = order.ravel()
-            out_scores = sims[rows, cols] * sign
-            if met != "l2":
-                out_scores = -out_scores  # report raw similarity
-            out_q, out_b = ids[rows], bids[cols]
-            if excl:
-                keep = np.isfinite(out_scores)   # drop masked self slots
-                out_q, out_b = out_q[keep], out_b[keep]
-                out_scores = out_scores[keep]
-            yield pd.DataFrame({
-                "query_id": out_q,
-                "base_id": out_b,
-                "score": out_scores,
-            })
+            for q0 in range(0, len(all_ids), Q_BLOCK):
+                ids = all_ids[q0:q0 + Q_BLOCK]
+                qm = all_qm[q0:q0 + Q_BLOCK]
+                if met == "l2":
+                    # ||q-b||^2 = ||q||^2 - 2 q.b + ||b||^2 (FastL2)
+                    sims = (
+                        (qm * qm).sum(axis=1)[:, None]
+                        - 2.0 * (qm @ bmat.T)
+                        + (bmat * bmat).sum(axis=1)[None, :]
+                    )
+                    sign = 1.0  # ascending
+                else:
+                    sims = -(qm @ bmat.T)  # negated IP: asc = closest
+                    sign = 1.0
+                if excl:
+                    sims[ids[:, None] == bids[None, :]] = np.inf
+                kk_eff = min(kk, sims.shape[1])
+                # per-batch partial top-k with the SAME deterministic
+                # tiebreak as the global merge (dist asc, id asc) — a
+                # bare argpartition drops an arbitrary member of a tie
+                # straddling the k-th boundary, which the merge can
+                # never recover; topk_cols_ascending partitions fast and
+                # falls back to the full lexsort exactly on tie rows
+                order = topk_cols_ascending(sims, bids, kk_eff)
+                rows = np.repeat(np.arange(sims.shape[0]), kk_eff)
+                cols = order.ravel()
+                out_scores = sims[rows, cols] * sign
+                if met != "l2":
+                    out_scores = -out_scores  # report raw similarity
+                out_q, out_b = ids[rows], bids[cols]
+                if excl:
+                    keep = np.isfinite(out_scores)  # drop self slots
+                    out_q, out_b = out_q[keep], out_b[keep]
+                    out_scores = out_scores[keep]
+                yield pd.DataFrame({
+                    "query_id": out_q,
+                    "base_id": out_b,
+                    "score": out_scores,
+                })
 
     partials = base.select(
         F.col(base_id).cast("long"), vec_col
