@@ -740,13 +740,20 @@ def _write_lossless_diff(bw: _BitWriter, tab: dict, raw: int) -> None:
 
 
 def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
-                         point_transform: int = 0) -> bytes:
-    """Lossless JPEG (SOF3, T.81 Annex H) encoder — fixture partner of
-    the lossless decode path. uint8 (P=8) or uint16 (P=16) gray (H,W)
+                         point_transform: int = 0,
+                         arith: bool = False,
+                         dc_conditioning: tuple[int, int] = (0, 1)
+                         ) -> bytes:
+    """Lossless JPEG (T.81 Annex H) encoder — fixture partner of the
+    lossless decode path. uint8 (P=8) or uint16 (P=16) gray (H,W)
     or 3-channel (H,W,3); 3-channel payloads code the channels as
     three 1x1 components directly (no color transform — lossless must
     roundtrip bit-exactly). With ``point_transform`` Pt > 0, samples
-    are coded at precision P-Pt and decode to ``(x >> Pt) << Pt``."""
+    are coded at precision P-Pt and decode to ``(x >> Pt) << Pt``.
+
+    ``arith=True`` emits SOF11 (arithmetic-coded, Annex D QM coder +
+    H.2 statistical model) with a DAC segment carrying
+    ``dc_conditioning`` = (L, U); otherwise SOF3 (Huffman)."""
     img = np.asarray(img)
     if img.dtype == np.uint8:
         prec = 8
@@ -768,13 +775,19 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
             + body
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xC4, bytes((0x00,)) + bytes(LL_DC_BITS)
-               + bytes(LL_DC_VALS))
+    if arith:
+        dcL, dcU = dc_conditioning
+        if not (0 <= dcL <= 15 and 0 <= dcU <= 15):
+            raise ValueError("DAC conditioning values must be 0..15")
+        out += seg(0xCC, bytes((0x00, (dcU << 4) | dcL)))
+    else:
+        out += seg(0xC4, bytes((0x00,)) + bytes(LL_DC_BITS)
+                   + bytes(LL_DC_VALS))
     sof = bytearray([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof += bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes((ci + 1, 0x11, 0))
-    out += seg(0xC3, bytes(sof))
+    out += seg(0xCB if arith else 0xC3, bytes(sof))
     sos = bytearray([ncomp])
     for ci in range(ncomp):
         sos += bytes((ci + 1, 0x00))
@@ -782,6 +795,28 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
     out += seg(0xDA, bytes(sos))
 
     planes = [(c.astype(np.int64) >> point_transform) for c in chans]
+    if arith:
+        enc = _ArithEncoder()
+        st = bytearray(_LL_STATS_BINS)     # one DAC table -> shared bins
+        above = [bytearray(w) for _ in planes]
+        left = [0] * len(planes)
+        for y in range(h):
+            for ci in range(len(planes)):
+                left[ci] = 0
+            for x in range(w):
+                for ci, plane in enumerate(planes):
+                    pred = _lossless_predict(plane, y, x, predictor,
+                                             default)
+                    kb = above[ci][x]
+                    cls = _arith_write_diff(
+                        enc, st, 4 * (5 * left[ci] + kb),
+                        100 + (29 if kb > 2 else 0),
+                        int(plane[y, x]) - pred, dcL, dcU)
+                    above[ci][x] = cls
+                    left[ci] = cls
+        out += enc.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
     bw = _BitWriter()
     for y in range(h):
         for x in range(w):
@@ -1346,6 +1381,125 @@ class _ArithDecoder:
         return sv >> 7
 
 
+class _ArithEncoder:
+    """ITU T.81 Annex D arithmetic ENCODER — the fixture partner of
+    `_ArithDecoder` (same packed Table D.3 state machine, same libjpeg
+    register convention: CT=11 spacer bits, byte-out at C>>19, 0x00
+    stuffing after data 0xFF, carry propagated over stacked 0xFF
+    bytes, D.1.8 termination picking the trailing-zero-richest code
+    point). Exists so arithmetic modes with no third-party encoder in
+    this container (lossless SOF11 — libjpeg62 has no Annex-H support)
+    can still be pinned by entropy-twin tests."""
+
+    __slots__ = ("a", "c", "ct", "buffer", "sc", "zc", "out")
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1        # pending byte (may still take a carry)
+        self.sc = 0             # stacked 0xFF bytes (carry-convertible)
+        self.zc = 0             # pending 0x00 bytes
+        self.out = bytearray()
+
+    def _pending(self):
+        while self.zc:
+            self.out.append(0)
+            self.zc -= 1
+
+    def encode(self, st: bytearray, k: int, val: int) -> None:
+        sv = st[k]
+        idx = sv & 0x7F
+        qe = _ARI_QE[idx]
+        self.a -= qe
+        if val != (sv >> 7):
+            # LPS path (conditional exchange, Figure D.4)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            st[k] = ((sv & 0x80) ^ (0x80 if _ARI_SW[idx] else 0)) \
+                | _ARI_NL[idx]
+        else:
+            # MPS path: state moves only when renormalization happens
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[k] = (sv & 0x80) | _ARI_NM[idx]
+        while True:                       # Renorm_e + Byteout (D.1.6)
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                temp = self.c >> 19
+                if temp > 0xFF:           # carry over the buffered run
+                    if self.buffer >= 0:
+                        self._pending()
+                        self.out.append(self.buffer + 1)
+                        if self.buffer + 1 == 0xFF:
+                            self.out.append(0)
+                    self.zc += self.sc    # carry turns 0xFFs into 0x00s
+                    self.sc = 0
+                    self.buffer = temp & 0xFF
+                elif temp == 0xFF:
+                    self.sc += 1          # stack: may still carry
+                else:
+                    if self.buffer == 0:
+                        self.zc += 1
+                    elif self.buffer >= 0:
+                        self._pending()
+                        self.out.append(self.buffer)
+                    if self.sc:
+                        self._pending()
+                        while self.sc:
+                            self.out += b"\xff\x00"
+                            self.sc -= 1
+                    self.buffer = temp
+                self.c &= 0x7FFFF
+                self.ct += 8
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        """D.1.8 termination: clear final bits, drain the buffer, and
+        return the entropy-coded bytes (0xFF00-stuffed)."""
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:           # final carry
+            if self.buffer >= 0:
+                self._pending()
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._pending()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._pending()
+                while self.sc:
+                    self.out += b"\xff\x00"
+                    self.sc -= 1
+        if self.c & 0x7FFF800:            # final bytes, unless zero
+            self._pending()
+            b = (self.c >> 19) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0)
+        return bytes(self.out)
+
+
 def _arith_restart(ad: "_ArithDecoder", d: bytes, expected: int):
     """Find and consume the RSTn marker terminating the current
     interval; returns a fresh decoder positioned after it."""
@@ -1623,6 +1777,132 @@ def _scan_arith_ac_refine(ad, c, ri, ss, se, al):
     return ad
 
 
+# ---- lossless arithmetic coding (SOF11, T.81 Annex H.2) -------------
+#
+# Each difference is coded with the DC decision tree of F.2.4.1, but
+# conditioned on the 5x5 classification (zero / small+ / small- /
+# large+ / large-, F.1.4.4.1.1 thresholds from the DAC (L, U) pair) of
+# the differences already coded at the LEFT (Da) and ABOVE (Db)
+# positions: 25 contexts x 4 decision bins, plus TWO banks of
+# magnitude-category / magnitude-bit bins (X1..X15 + shared M), the
+# second bank used when Db is in a large category (H.2.1). Statistics
+# layout: decisions at 4*(5*ka + kb), banks at 100 and 129 (29 bins
+# each: 15 X + the M bin 14 past the final X) -> 158 bins total.
+#
+# No SOF11 codec exists in this container (libjpeg62 implements
+# neither Annex H nor D-for-H), so parity is pinned by the in-repo
+# Annex-D encoder twin (`encode_jpeg_lossless(arith=True)`) plus the
+# QM coder itself being oracle-pinned by libjpeg SOF9/SOF10 streams
+# (tests/test_jpeg_arith.py) — the same fixture strategy the Annex-J
+# hierarchical path started with.
+
+_LL_STATS_BINS = 158
+
+
+def _ll_class(m: int, sign: int, L: int, U: int) -> int:
+    """F.1.4.4.1.1 difference classification from the magnitude
+    category top bit ``m`` (0 also covers |diff| == 1)."""
+    if m < (1 << L) >> 1:
+        return 0                       # zero category
+    if m > (1 << U) >> 1:
+        return 3 + sign                # large +/-
+    return 1 + sign                    # small +/-
+
+
+def _scan_arith_lossless(ad: "_ArithDecoder", frame: dict, comps: list,
+                         cond: dict, sel: int, pt: int):
+    """Lossless arithmetic scan (SOF11): Annex H.2 statistical model
+    over the Annex-H prediction/reconstruction loop shared with the
+    Huffman path (`_scan_lossless`)."""
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "lossless scan supports 1x1 sampling factors only")
+    if sel == 0 or frame.get("diff"):
+        raise ValueError(
+            "predictor 0 is differential-frame-only")
+    default = 1 << (frame["prec"] - pt - 1)
+    h, w = frame["h"], frame["w"]
+    stats = {c["dc"]: bytearray(_LL_STATS_BINS) for c in comps}
+    conds = [cond["dc"].get(c["dc"], (0, 1)) for c in comps]
+    planes = [c["plane"] for c in comps]
+    above = [bytearray(w) for _ in comps]    # class of diff at (y-1, x)
+    left = [0] * len(comps)                  # class of diff at (y, x-1)
+    for y in range(h):
+        for ci in range(len(comps)):
+            left[ci] = 0
+        for x in range(w):
+            for ci, c in enumerate(comps):
+                st = stats[c["dc"]]
+                L, U = conds[ci]
+                kb = above[ci][x]
+                ctx = 4 * (5 * left[ci] + kb)
+                if ad.decode(st, ctx) == 0:
+                    diff = 0
+                    cls = 0
+                else:
+                    sign = ad.decode(st, ctx + 1)
+                    m = ad.decode(st, ctx + 2 + sign)
+                    stk = 100 + (29 if kb > 2 else 0)
+                    if m:
+                        while ad.decode(st, stk):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise ValueError(
+                                    "arithmetic lossless magnitude "
+                                    "overflow")
+                            stk += 1
+                    cls = _ll_class(m, sign, L, U)
+                    v = m
+                    stk += 14
+                    m >>= 1
+                    while m:
+                        if ad.decode(st, stk):
+                            v |= m
+                        m >>= 1
+                    v += 1
+                    diff = -v if sign else v
+                pred = _lossless_predict(planes[ci], y, x, sel, default)
+                planes[ci][y, x] = (pred + diff) & 0xFFFF
+                above[ci][x] = cls
+                left[ci] = cls
+    return ad
+
+
+def _arith_write_diff(enc: "_ArithEncoder", st: bytearray, ctx: int,
+                      bank: int, raw: int, L: int, U: int) -> int:
+    """Encode one Annex-H difference under the H.2 model; returns the
+    classification the decoder will derive for this position."""
+    dv = raw & 0xFFFF
+    if dv >= 32768:
+        dv -= 65536                    # mod-2^16 fold (H.1.2.3)
+    if dv == 0:
+        enc.encode(st, ctx, 0)
+        return 0
+    enc.encode(st, ctx, 1)
+    sign = 1 if dv < 0 else 0
+    enc.encode(st, ctx + 1, sign)
+    sz = (-dv if sign else dv) - 1
+    stk = bank
+    if sz == 0:
+        enc.encode(st, ctx + 2 + sign, 0)
+        m = 0
+    else:
+        enc.encode(st, ctx + 2 + sign, 1)
+        m = 1
+        while (m << 1) <= sz:
+            enc.encode(st, stk, 1)
+            m <<= 1
+            stk += 1
+        enc.encode(st, stk, 0)
+    cls = _ll_class(m, sign, L, U)
+    stk += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(st, stk, 1 if sz & mm else 0)
+        mm >>= 1
+    return cls
+
+
 def _exp_expand(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
     """EXP reference upsample (T.81 J.1.1.2 / figure J.4): double the
     resolution with out(2x) = in(x), out(2x+1) = (in(x) + in(x+1) + 1)
@@ -1716,19 +1996,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode Huffman JPEG bytes to uint8 (H,W) gray or (H,W,3) RGB.
 
     Handles baseline (SOF0/SOF1, single- or multi-scan), progressive
-    (SOF2), ARITHMETIC-coded (SOF9/SOF10), HIERARCHICAL (T.81
-    Annex J: DHP + EXP, differential frames SOF5/SOF6 —
-    Huffman sequential/progressive, pinned by the encoder twin;
-    arithmetic differential SOF13/SOF14 are ACCEPTED and share the
-    identical arithmetic scan decoders + fold, but no Annex-J
-    arithmetic encoder exists anywhere in this container, so that
-    combination runs untested), and LOSSLESS Huffman
-    (SOF3 + differential SOF7, Annex H: prediction + difference
-    coding, precisions 2-16, point transform, modulo-2^16 differential
-    correction; 3-channel payloads return the components directly, no
-    color transform) streams. Raises NotImplementedError for the
-    arithmetic lossless modes (SOF11/15) so the caller can dispatch to
-    an external codec; malformed data raises ValueError.
+    (SOF2), ARITHMETIC-coded (SOF9/SOF10 sequential/progressive and
+    SOF11 lossless — Annex D QM coder; SOF11 uses the Annex H.2
+    statistical model, pinned by the in-repo encoder twin since no
+    third-party Annex-H arithmetic codec exists in this container),
+    HIERARCHICAL (T.81 Annex J: DHP + EXP, differential frames
+    SOF5/SOF6 — Huffman sequential/progressive, pinned by the encoder
+    twin), and LOSSLESS Huffman (SOF3 + differential SOF7, Annex H:
+    prediction + difference coding, precisions 2-16, point transform,
+    modulo-2^16 differential correction; 3-channel payloads return the
+    components directly, no color transform) streams. Raises
+    NotImplementedError for the arithmetic DIFFERENTIAL frame types
+    (SOF13/14/15) — nothing in-container can pin those combinations,
+    so they stay on decode_image's external-codec dispatch seam —
+    and malformed data raises ValueError.
 
     Hierarchical semantics: scans of a differential frame decode with
     the UNCHANGED entropy procedures (DC prediction runs as usual over
@@ -1833,10 +2114,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             # applies to the references when the NEXT frame folds
             hier["_exp"] = (body[0] >> 4, body[0] & 15)
         elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA,       # SOF0/1/2/9/10
-                   0xC5, 0xC6, 0xCD, 0xCE,             # diff SOF5/6/13/14
-                   0xC3, 0xC7):                        # lossless SOF3/7
-            diff = m in (0xC5, 0xC6, 0xCD, 0xCE, 0xC7)
-            lossless = m in (0xC3, 0xC7)
+                   0xC5, 0xC6,                         # diff SOF5/6
+                   0xC3, 0xC7, 0xCB):                  # lossless SOF3/7/11
+            diff = m in (0xC5, 0xC6, 0xC7)
+            lossless = m in (0xC3, 0xC7, 0xCB)
             if diff and hier is None:
                 raise ValueError(
                     "differential frame outside hierarchical mode "
@@ -1844,8 +2125,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if (hier is not None and frame is not None
                     and frame.get("scanned")):
                 _hier_fold(hier, frame, qt)   # previous frame completed
-            progressive = m in (0xC2, 0xCA, 0xC6, 0xCE)
-            arith = m in (0xC9, 0xCA, 0xCD, 0xCE)
+            progressive = m in (0xC2, 0xCA, 0xC6)
+            arith = m in (0xC9, 0xCA, 0xCB)
             # 12-bit is legal for extended/progressive frames (T.81
             # Table B.2); baseline SOF0 is 8-bit by definition;
             # lossless allows 2..16 (Table B.2 column "lossless")
@@ -1892,10 +2173,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     c["zz"] = np.zeros((c["by"], c["bx"], 64),
                                        dtype=np.int64)
-        elif m in (0xCB, 0xCF):                   # arith lossless
+        elif m in (0xCD, 0xCE, 0xCF):   # arith differential frames
+            # DELIBERATE seam (r9 advice): the arithmetic scan decoders
+            # and the Annex-J fold both exist, but no Annex-J/Annex-H
+            # arithmetic encoder pins these combinations — raising here
+            # keeps decode_image's library-dispatch seam covering them
+            # instead of returning silently-untested pixels.
             raise NotImplementedError(
-                "lossless JPEG frame type "
-                f"0xFF{m:02X} (arithmetic-coded)")
+                "JPEG frame type "
+                f"0xFF{m:02X} (arithmetic-coded differential): "
+                "no fixture pins this combination in-container")
         elif m == 0xDA:                                # SOS
             if frame is None:
                 raise ValueError("JPEG scan before frame header")
@@ -1925,6 +2212,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if hier is not None and al:
                     raise NotImplementedError(
                         "point transform in hierarchical lossless")
+                if arith:
+                    ad = _scan_arith_lossless(
+                        _ArithDecoder(d, i), frame, scan_comps, cond,
+                        ss, al)
+                    frame["pt"] = al
+                    saw_scan = True
+                    frame["scanned"] = True
+                    i = _skip_to_marker(
+                        d, ad.marker if ad.marker is not None else ad.i)
+                    continue
                 br = _BitReader(d, i)
                 _scan_lossless(br, frame, scan_comps, hdc, ss, al)
                 frame["pt"] = al

@@ -15,7 +15,7 @@ stages see fewer rows at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import dedup, text
@@ -75,13 +75,16 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
     feats = text.lang_quality(
         docs.withColumn("__digest", F.md5(F.col(text_col))),
         id_col, text_col, carry_cols=("__digest",))
-    # canonical = min id per digest, via a CONSTANT-STATE window (no
-    # orderBy): min() is partially aggregable, so a massively duplicated
-    # document — the hot case at 100 TB — never forces a single-task
-    # per-partition sort the way a row_number() window would.
-    w = Window.partitionBy("__digest")
-    out = (feats.withColumn("__min_id", F.min(id_col).over(w))
-           .filter(F.col(id_col) == F.col("__min_id"))
+    # canonical = min id per digest, via a REAL partial aggregation
+    # (groupBy + semi join back), not a window: WindowExec — even with
+    # no orderBy — still shuffles and sorts every row of a digest key
+    # into one task, so a massively duplicated document (the hot case
+    # at 100 TB) would serialize there. groupBy(min) gets map-side
+    # combine (each input task emits one row per local digest), and the
+    # semi join back is an ordinary shuffle join that AQE's skew
+    # handling can split across tasks.
+    keep = feats.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    out = (feats.join(keep, ["__digest", id_col], "semi")
            .join(drop_near, id_col, "anti"))
     if benchmark_docs is not None:
         contaminated = decontaminate(

@@ -9,12 +9,13 @@ PCM 8/16/24,
 IEEE float 32/64, G.711 A-law/mu-law, EXTENSIBLE headers), PNG at
 bit depths 1/2/4/8/16, plain or Adam7-interlaced (stdlib-zlib DEFLATE
 inflate + NumPy scanline unfiltering), JPEG
-(Huffman baseline + progressive, arithmetic SOF9/SOF10,
-hierarchical Annex-J DHP/EXP/differential frames, AND lossless SOF3/SOF7 —
-functions/jpeg.py), and WebP (lossless VP8L and lossy VP8 keyframes
-with alpha — functions/webp.py, functions/vp8.py). The few residual
-variants that genuinely need an external library (arithmetic lossless
-JPEG SOF11/15, VP8 interframes) route through an import-guarded PIL/cv2
+(Huffman baseline + progressive, arithmetic SOF9/SOF10/SOF11,
+hierarchical Annex-J DHP/EXP/differential frames, AND lossless
+SOF3/SOF7/SOF11 — functions/jpeg.py), and WebP (lossless VP8L and
+lossy VP8 keyframes with alpha — functions/webp.py, functions/vp8.py).
+The few residual variants that genuinely need an external library
+(arithmetic differential JPEG SOF13/14/15, VP8 interframes) route
+through an import-guarded PIL/cv2
 dispatch whose seam is stub-tested, raising a clearly-marked
 NotImplementedError only when neither is installed. The Spark-side
 contract — schema, batch shape, partitioning, UDF signature — is
@@ -339,12 +340,13 @@ def decode_image(payload: bytes) -> np.ndarray:
     In-container (no external library): binary netpbm P5/P6,
     uncompressed 24/32-bit BMP, REAL 8-bit PNG (stdlib zlib inflate +
     NumPy unfilter), REAL JPEG — baseline, progressive SOF2, AND
-    arithmetic-coded SOF9/SOF10, hierarchical Annex-J streams, AND
-    lossless SOF3 (pure-NumPy Huffman/QM-coder + IDCT + EXP
-    composition + Annex-H prediction, ``functions.jpeg``) — and REAL WebP, lossless VP8L
-    (``functions.webp``) and lossy VP8 keyframes + ALPH alpha
-    (``functions.vp8``). The residual modes (arithmetic lossless
-    JPEG SOF11/15, VP8 interframes) route through the import-guarded
+    arithmetic-coded SOF9/SOF10/SOF11, hierarchical Annex-J streams,
+    AND lossless SOF3/SOF7/SOF11 (pure-NumPy Huffman/QM-coder + IDCT
+    + EXP composition + Annex-H prediction, ``functions.jpeg``) — and
+    REAL WebP, lossless VP8L (``functions.webp``) and lossy VP8
+    keyframes + ALPH alpha (``functions.vp8``). The residual modes
+    (arithmetic differential JPEG SOF13/14/15, VP8 interframes) route
+    through the import-guarded
     PIL/cv2 dispatch and raise NotImplementedError only when neither
     is installed.
     """
@@ -363,7 +365,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         try:
             return _jpeg.decode_jpeg(payload)
         except NotImplementedError:
-            # lossless modes (SOF3/7/11/15): need a full codec library
+            # arith differential SOF13/14/15: need a full codec library
             return _decode_with_library(payload, "JPEG")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ..functions import webp as _webp
@@ -377,8 +379,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         "P1-P6, uncompressed BMP, 8-bit PNG, JPEG (baseline/"
         "progressive/arithmetic), WebP (lossless VP8L and lossy VP8 "
         "keyframes, with alpha, plus animations; JPEG incl. "
-        "arithmetic, hierarchical, and lossless SOF3); via "
-        "PIL/cv2: arithmetic lossless JPEG (SOF11/15)")
+        "arithmetic, hierarchical, and lossless incl. SOF11); via "
+        "PIL/cv2: arithmetic differential JPEG (SOF13/14/15)")
 
 
 def encode_png(img: np.ndarray) -> bytes:

@@ -137,9 +137,14 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5,
     ties broken by token (deterministic, oracle-checkable).
 
     Scale shape: ONE map-combinable groupBy(doc, token) builds the tf
-    table; document frequencies aggregate that (vocabulary-sized, so
-    the df side broadcast-joins); the corpus size N rides in as a
-    broadcast scalar (the bigram_pmi pattern); per-doc top-k is the
+    table; document frequencies aggregate that; the tf-to-df join is
+    left UNHINTED on purpose — the df side has one row per DISTINCT
+    CORPUS TOKEN, which at web scale (typos/unicode/noise) is billions
+    of rows and must never be forced through a broadcast; both sides
+    key on ``token`` so Catalyst plans a co-partitioned shuffle join,
+    and AQE still converts to broadcast at runtime when the vocabulary
+    actually is small. The corpus size N rides in as a broadcast
+    scalar (the bigram_pmi pattern); per-doc top-k is the
     WindowGroupLimit workhorse. Nothing here ever shuffles more than
     O(distinct (doc, token)) rows."""
     from .topk import grouped_topk
@@ -148,7 +153,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5,
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = tf.select(id_col).distinct() \
         .agg(F.count("*").alias("n_docs"))
-    scored = (tf.join(F.broadcast(df_t), "token")
+    scored = (tf.join(df_t, "token")
               .crossJoin(F.broadcast(n))
               .withColumn("tfidf", F.round(
                   F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
@@ -171,10 +176,14 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 20,
     Returns (doc_id, rank, score). Scale shape: the tf table filters to
     the query's terms BEFORE any shuffle (predicate on the token
     column), document lengths come from the same one-pass token
-    aggregation, and df/N/avgdl are vocabulary- and scalar-sized
-    broadcasts — per-query work is O(docs containing a query term),
-    never a corpus scan per term."""
-    from .topk import grouped_topk
+    aggregation, and df/N/avgdl are query-term- and scalar-sized
+    broadcasts (df here is bounded by len(terms), not the vocabulary)
+    — per-query work is O(docs containing a query term), never a
+    corpus scan per term. The global top-k goes through
+    orderBy().limit(k) so Catalyst plans TakeOrderedAndProject — a
+    distributed per-partition partial top-k — instead of sorting every
+    matching document in one WindowExec task (for a common query term
+    that is a large fraction of the corpus)."""
     t = tokens(docs, id_col, text_col)
     tf_all = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     dl = t.groupBy(id_col).agg(F.count("*").alias("dl"))
@@ -193,12 +202,20 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 20,
               .withColumn("__s", idf * F.col("tf") / denom)
               .groupBy(id_col)
               .agg(F.round(F.sum("__s") + ROUND_EPS, 5).alias("score")))
-    # global top-k: a constant group key keeps the WindowGroupLimit
-    # shape (scored is already one row per matching doc, tiny)
-    return grouped_topk(
-        scored.withColumn("__g", F.lit(1)),
-        ["__g"], [F.col("score").desc(), F.col(id_col).asc()], k
-    ).drop("__g")
+    # global top-k: TakeOrderedAndProject (distributed partial top-k),
+    # then rank derived WITHOUT a window — collect the <=k survivors
+    # into one array-sorted row and posexplode, so no unpartitioned
+    # WindowExec appears anywhere in the plan
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()) \
+        .limit(k)
+    ordered = F.struct((-F.col("score")).alias("_neg"),
+                       F.col(id_col).alias(id_col),
+                       F.col("score").alias("score"))
+    return (topk.agg(F.array_sort(F.collect_list(ordered)).alias("_a"))
+            .select(F.posexplode("_a").alias("_pos", "_r"))
+            .select(F.col(f"_r.{id_col}").alias(id_col),
+                    F.col("_r.score").alias("score"),
+                    (F.col("_pos") + 1).alias("rank")))
 
 
 def token_frequencies(docs: DataFrame, k: int = 50,

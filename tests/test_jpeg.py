@@ -96,17 +96,17 @@ def test_quality_monotonic():
     assert p_hi > p_lo
 
 
-def test_residual_lossless_raises_not_implemented():
-    """Hierarchical (Annex J, tests/test_jpeg_hier.py) and Huffman
-    lossless SOF3 (tests/test_jpeg_lossless.py) now decode in-repo;
-    the residual lossless modes (SOF7/11/15) remain the declared seam.
+def test_residual_arith_differential_raises_not_implemented():
+    """Hierarchical (Annex J), Huffman lossless SOF3/SOF7, and
+    arithmetic lossless SOF11 now decode in-repo; the arithmetic
+    DIFFERENTIAL frame types (SOF13/14/15) remain the declared seam.
     A differential SOF5 without a DHP is malformed and must say so,
     not decode garbage."""
     img = _smooth_rgb(16, 16)
     data = bytearray(jpeg.encode_jpeg(img))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xCB                      # SOF11: arith lossless
-    with pytest.raises(NotImplementedError, match="0xFFCB"):
+    data[i + 1] = 0xCD                      # SOF13: arith differential
+    with pytest.raises(NotImplementedError, match="0xFFCD"):
         jpeg.decode_jpeg(bytes(data))
     data[i + 1] = 0xC5                      # differential without DHP
     with pytest.raises(ValueError, match="missing DHP"):

@@ -74,13 +74,82 @@ def test_predictor_edges_literal():
         J._lossless_predict(plane, 1, 1, 8, 128)
 
 
-def test_residual_lossless_modes_still_seam():
+def test_residual_arith_differential_modes_still_seam():
+    """SOF11 decodes in-repo now; the arithmetic DIFFERENTIAL frame
+    types (SOF13/14/15) remain the declared external-codec seam —
+    nothing in-container can pin those combinations (r9 advice)."""
     img = np.zeros((8, 8), dtype=np.uint8)
     d = bytearray(J.encode_jpeg_lossless(img, 1))
     i = bytes(d).index(b"\xff\xc3")
-    d[i + 1] = 0xCB                       # SOF11: arithmetic lossless
-    with pytest.raises(NotImplementedError, match="0xFFCB"):
-        J.decode_jpeg(bytes(d))
+    for sof, tag in ((0xCD, "0xFFCD"), (0xCE, "0xFFCE"),
+                     (0xCF, "0xFFCF")):
+        d[i + 1] = sof
+        with pytest.raises(NotImplementedError, match=tag):
+            J.decode_jpeg(bytes(d))
+
+
+# ---- SOF11: arithmetic lossless (Annex D QM coder + H.2 model) ------
+
+
+@pytest.mark.parametrize("pred", range(1, 8))
+def test_arith_exact_roundtrip_every_predictor(pred):
+    """The entropy-twin property for SOF11: the SAME pixels coded with
+    Huffman (SOF3, oracle-pinned above) and with the QM coder must
+    both decode bit-exactly — entropy coding is lossless, so any model
+    or coder defect shows up as a pixel mismatch."""
+    rng = np.random.default_rng(100 + pred)
+    img = rng.integers(0, 256, (19, 23), dtype=np.uint8)
+    d = J.encode_jpeg_lossless(img, predictor=pred, arith=True)
+    assert 0xCB in _markers(d) and 0xCC in _markers(d)  # SOF11 + DAC
+    assert 0xC4 not in _markers(d)                      # no DHT
+    np.testing.assert_array_equal(J.decode_jpeg(d), img)
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_lossless(img, predictor=pred)),
+        J.decode_jpeg(d))
+
+
+def test_arith_roundtrip_rgb_16bit_and_point_transform():
+    rng = np.random.default_rng(77)
+    rgb = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_lossless(rgb, 4, arith=True)), rgb)
+    img16 = rng.integers(0, 65536, (9, 11)).astype(np.uint16)
+    out = J.decode_jpeg(J.encode_jpeg_lossless(img16, 7, arith=True))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img16)
+    # alternating extremes force the +-32768 fold through the X15 bank
+    ext = np.zeros((4, 8), dtype=np.uint16)
+    ext[:, 1::2] = 65535
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_lossless(ext, 1, arith=True)), ext)
+    img = rng.integers(0, 256, (10, 14), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_lossless(img, 2, point_transform=3,
+                                             arith=True)),
+        (img >> 3) << 3)
+
+
+def test_arith_nondefault_dac_conditioning():
+    """A non-default (L, U) changes the H.2 classification thresholds
+    on BOTH sides; the DAC segment must carry it to the decoder."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    for lu in ((1, 2), (2, 4), (0, 15)):
+        d = J.encode_jpeg_lossless(img, 6, arith=True,
+                                   dc_conditioning=lu)
+        np.testing.assert_array_equal(J.decode_jpeg(d), img)
+
+
+def test_arith_adapts_on_smooth_content():
+    """Sanity that the QM state machine is genuinely adapting (not a
+    degenerate self-consistent identity): smooth content must compress
+    far below the Huffman twin (whose table floor is ~1 byte/sample)."""
+    grad = np.add.outer(np.arange(30), np.arange(40)) % 256
+    grad = grad.astype(np.uint8)
+    da = J.encode_jpeg_lossless(grad, 7, arith=True)
+    dh = J.encode_jpeg_lossless(grad, 7)
+    np.testing.assert_array_equal(J.decode_jpeg(da), grad)
+    assert len(da) < len(dh) // 2
 
 
 def test_decode_image_dispatches_lossless():

@@ -306,23 +306,25 @@ def test_multimodal_plumbing(spark):
 
 
 def _lossless_jpeg_stub() -> bytes:
-    """Minimal SOI + SOF11 (arithmetic lossless) payload: the pure-NumPy
-    decoder declines it with NotImplementedError, exercising the
-    external-codec dispatch. (Progressive SOF2 decodes in-container
-    since r5, arithmetic SOF9/SOF10 since r8, and hierarchical Annex-J
-    plus Huffman lossless SOF3/SOF7 since r9, so only the arithmetic
-    lossless modes SOF11/15 reach the seam.)"""
-    sof11_body = bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0])
-    return (b"\xff\xd8\xff\xcb"
-            + (len(sof11_body) + 2).to_bytes(2, "big") + sof11_body)
+    """Minimal SOI + SOF15 (arithmetic differential lossless) payload:
+    the pure-NumPy decoder declines it with NotImplementedError,
+    exercising the external-codec dispatch. (Progressive SOF2 decodes
+    in-container since r5, arithmetic SOF9/SOF10 since r8, hierarchical
+    Annex-J plus Huffman lossless SOF3/SOF7 since r9, and arithmetic
+    lossless SOF11 since r10, so only the arithmetic DIFFERENTIAL
+    frame types SOF13/14/15 reach the seam.)"""
+    sof15_body = bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0])
+    return (b"\xff\xd8\xff\xcf"
+            + (len(sof15_body) + 2).to_bytes(2, "big") + sof15_body)
 
 
 def test_decode_codec_dispatch_seam():
-    """Huffman, arithmetic, AND hierarchical JPEG decode in-container
-    (functions.jpeg); the import-guarded PIL/cv2 seam remains the path
-    for the lossless modes (SOF3/7/11/15): absent both libs, a clear
-    NotImplementedError; with a (stubbed) PIL installed, bytes decode
-    through the seam unchanged."""
+    """Huffman, arithmetic, hierarchical, AND lossless JPEG decode
+    in-container (functions.jpeg); the import-guarded PIL/cv2 seam
+    remains the path for the arithmetic differential frame types
+    (SOF13/14/15): absent both libs, a clear NotImplementedError; with
+    a (stubbed) PIL installed, bytes decode through the seam
+    unchanged."""
     import sys
     import types
     with pytest.raises(NotImplementedError, match="PIL or cv2"):

@@ -65,6 +65,35 @@ def test_bucketed_near_dup_shuffles_on_bucket_no_broadcast_matrix(spark):
     assert "Broadcast" not in text
 
 
+def test_tfidf_vocab_join_not_forced_broadcast(spark):
+    """The tf-to-df join must NOT carry a broadcast HINT: the df side
+    has one row per DISTINCT CORPUS TOKEN (billions at web scale). A
+    hint survives autoBroadcastJoinThreshold=-1 — so under that
+    setting the join must plan as a shuffle join (at real scale the
+    size estimate exceeds the threshold and this is the plan; at test
+    sf Catalyst may legitimately choose broadcast on its own
+    estimate, which AQE would also do at runtime)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = E.queries()["tfidf_top_terms"](spark, SF_SMOKE)
+        text = plan_text(df)
+        assert "SortMergeJoin" in text
+        assert "BroadcastHashJoin" not in text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bm25_global_topk_distributed(spark):
+    """The global top-k must be TakeOrderedAndProject (distributed
+    partial top-k), never a single-task unpartitioned WindowExec over
+    every document matching a query term."""
+    df = E.queries()["bm25_rank"](spark, SF_SMOKE)
+    text = plan_text(df)
+    assert "TakeOrderedAndProject" in text
+    assert "Window" not in text
+
+
 def test_ivf_centroids_single_shuffle(spark):
     """Centroid build must be ONE exchange (dim scalar partial aggs),
     not posexplode + two groupBys."""
