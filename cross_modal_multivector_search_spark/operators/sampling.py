@@ -135,6 +135,64 @@ def generate_clustered_vectors(spark: SparkSession, n: int, dim: int,
     return spark.range(n).mapInPandas(gen, schema=schema)
 
 
+def generate_crossmodal_queries(spark: SparkSession, n: int, dim: int,
+                                n_clusters: int, sigma: float = 0.2,
+                                gap: float = 0.8, mix: float = 0.35,
+                                seed: int = 42) -> DataFrame:
+    """n unit-norm QUERY vectors distribution-shifted away from the
+    base produced by ``generate_clustered_vectors(seed, n_clusters)`` —
+    a synthetic stand-in for the reference's cross-modal workloads
+    (text queries against an image base: t2i / laion / webvid,
+    `/root/reference/prepare_data.sh:23-79`), where train and search
+    queries share a distribution the BASE does not.
+
+    Two documented properties of CLIP-style paired embeddings are
+    modeled: (1) the *modality gap* — query vectors live in a cone
+    offset from the base cloud by a fixed direction ``g`` (Liang et
+    al., "Mind the Gap", NeurIPS'22), scaled by ``gap``; (2)
+    *cross-cluster semantics* — a text query mixes two visual
+    clusters (``(1-mix)*c_a + mix*c_b``), so its exact kNN set spans
+    base clusters that are far apart in base geometry. Both are what
+    make OOD queries hard for a base-only graph (HNSW) and are the
+    regime RoarGraph's train-query projection targets (paper §1;
+    reference README).
+
+    Same determinism contract as the other generators: centers and
+    ``g`` derive only from (seed, n_clusters); each row seeds its own
+    generator from (seed, id, 1) — the trailing 1 keeps query draws
+    decorrelated from same-id base draws — so output is independent of
+    partitioning. Train and search queries are both drawn from THIS
+    distribution (disjoint id ranges), mirroring the reference's
+    query.train / query.10k split.
+    """
+    rng = np.random.default_rng([seed, n_clusters])
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    g = np.random.default_rng([seed, n_clusters, 7]).standard_normal(dim)
+    g /= np.linalg.norm(g)
+
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("vec", ArrayType(FloatType(), False), False),
+    ])
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            out = []
+            for i in ids:
+                r = np.random.default_rng([seed, int(i), 1])
+                a = int(r.integers(n_clusters))
+                b = int(r.integers(n_clusters))
+                v = ((1.0 - mix) * centers[a] + mix * centers[b]
+                     + gap * g + sigma * r.standard_normal(dim))
+                v /= np.linalg.norm(v)
+                out.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "vec": out})
+
+    return spark.range(n).mapInPandas(gen, schema=schema)
+
+
 def nn_wise_similarity(cands: DataFrame, vecs: DataFrame,
                        query_col: str = "query_id",
                        id_col: str = "base_id",

@@ -1073,3 +1073,34 @@ def test_bm25_rank_planted(spark):
     expect = idf * 5 / (5 + 1.2 * (1 - 0.75 + 0.75 * 6 / 6))
     assert rows[2]["score"] == pytest.approx(
         round(expect + text.ROUND_EPS, 5))
+
+
+def test_crossmodal_queries_seeded_per_row(spark):
+    """generate_crossmodal_queries mirrors the per-row seed contract
+    ((seed, id, 1) — decorrelated from same-id base draws) and shares
+    centers/gap-direction derivation with generate_clustered_vectors,
+    so a base/query pair at the same (seed, n_clusters) is one
+    coherent cross-modal fixture; rows are unit-norm."""
+    import numpy as np
+
+    from cross_modal_multivector_search_spark.operators.sampling import (
+        generate_crossmodal_queries,
+    )
+    rows = {r["vec_id"]: np.asarray(r["vec"])
+            for r in generate_crossmodal_queries(
+                spark, 50, 8, 4, sigma=0.1, gap=0.8, mix=0.35,
+                seed=11).collect()}
+    rng = np.random.default_rng([11, 4])
+    centers = rng.standard_normal((4, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    g = np.random.default_rng([11, 4, 7]).standard_normal(8)
+    g /= np.linalg.norm(g)
+    for i in (0, 17, 49):
+        r = np.random.default_rng([11, i, 1])
+        a = int(r.integers(4))
+        b = int(r.integers(4))
+        v = (0.65 * centers[a] + 0.35 * centers[b] + 0.8 * g
+             + 0.1 * r.standard_normal(8))
+        v /= np.linalg.norm(v)
+        assert np.allclose(rows[i], v.astype(np.float32))
+        assert abs(np.linalg.norm(rows[i]) - 1.0) < 1e-5
