@@ -654,6 +654,32 @@ def q_ann_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
+_DIST_INDEX_CACHE: dict[str, graph_build.RoarGraphIndex] = {}
+
+
+def q_ann_distbuild_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_multivector_search` served from the TASK-PARALLEL
+    LinkProjection build (`graph_build.build_roargraph_dist` — the
+    Spark answer to the reference's 64-thread build,
+    `src/index_bipartite.cpp:1061,1194`). The distributed build is
+    bit-identical to the one-task build (tests/test_graph_build_dist),
+    so the saturating-budget exact-equivalence oracle of the flagship
+    row applies verbatim. Built fresh per process (in-memory cache
+    only, no disk cache) so the graded run always executes the
+    distributed passes."""
+    if sf_dir not in _DIST_INDEX_CACHE:
+        v = TD.embeddings_norm(spark, sf_dir)
+        base = v.select("vec_id", "vec")
+        _DIST_INDEX_CACHE[sf_dir] = graph_build.build_roargraph_dist(
+            base, base, _ROAR_PARAMS, n_batches=16)
+    index = _DIST_INDEX_CACHE[sf_dir]
+    q, v = _queries_norm(spark, sf_dir)
+    out = graph_search.search_and_rerank(
+        index, q, v, K,
+        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M)
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
 _SHARD_CACHE: dict[str, DataFrame] = {}
 N_SHARDS = 4
 
@@ -2235,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
         "ann_multivector_search": q_ann_multivector_search,
+        "ann_distbuild_search": q_ann_distbuild_search,
         "ann_sharded_search": q_ann_sharded_search,
         # promoted into the graded window r7 (VERDICT r6 #7): the
         # flagship batch-scale search path; pricing_summary (a TPC-H
@@ -2350,6 +2377,9 @@ def oracle_sql() -> dict[str, str]:
         # ANN + exact rerank == exact set-level top-k (reference analogue:
         # tests/test_search_multivector_fullscan_rerank.cpp).
         "ann_multivector_search": SQL_CHAMFER_TOPK,
+        # distributed-passes build == one-task build bit-for-bit
+        # (tests/test_graph_build_dist), so the same saturation oracle
+        "ann_distbuild_search": SQL_CHAMFER_TOPK,
         "ann_sharded_search": SQL_CHAMFER_TOPK,
         "ann_qpart_search": SQL_CHAMFER_TOPK,
         "ann_recall_report": SQL_ANN_RECALL_REPORT,

@@ -191,7 +191,10 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
     n = len(vecs)
     nq = len(query_nodes)
     L = beam_width
-    adj_pad = pad_adjacency(adj, n)
+    # an ndarray adj is accepted as ALREADY padded (the distributed
+    # build broadcasts one driver-padded matrix so each task skips the
+    # O(n) python pad loop)
+    adj_pad = adj if isinstance(adj, np.ndarray) else pad_adjacency(adj, n)
     dmax = adj_pad.shape[1]
     vecs_ext = np.vstack([vecs, np.zeros((1, vecs.shape[1]))])
     if batch_rows is None:

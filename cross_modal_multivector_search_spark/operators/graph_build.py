@@ -25,9 +25,12 @@ graph equality).
 Scale notes (100 TB): the per-pass shape is groupBy(node) + Arrow UDF,
 which shards freely; the *snapshot broadcast* (graph + vectors) bounds a
 single index at executor memory (a few GB = tens of millions of vectors).
-Above that, shard the base table and build one sub-index per shard
-(`build_sharded` pattern, SURVEY §7 Phase 5) — searches fan out per shard
-and merge on (query, dist), the classic partial/final top-k.
+Within that bound, ``build_roargraph_dist`` runs every pass
+task-parallel (the SURVEY §7 Phase-3 sketch realized; bit-identical to
+the one-task pipeline). Above it, shard the base table and build one
+sub-index per shard (`build_sharded` pattern, SURVEY §7 Phase 5) —
+searches fan out per shard and merge on (query, dist), the classic
+partial/final top-k.
 """
 
 from __future__ import annotations
@@ -334,6 +337,217 @@ def build_roargraph(base: DataFrame, train_queries: DataFrame,
         if is_ep:
             ep = i
     return RoarGraphIndex(ids=ids, vecs=vecs, adj=adj, entry_point=ep)
+
+
+def build_roargraph_dist(base: DataFrame, train_queries: DataFrame,
+                         params: RoarGraphParams = RoarGraphParams(),
+                         id_col: str = "vec_id", vec_col: str = "vec",
+                         train_knn: DataFrame | None = None,
+                         n_batches: int = 64) -> RoarGraphIndex:
+    """Task-parallel single-index build — the Spark answer to the
+    reference's 64-OpenMP-thread LinkProjection
+    (`src/index_bipartite.cpp:1061,1194`, driver flag `-T 64`), which
+    the one-task ``build_roargraph_df`` pipeline serializes.
+
+    Every LinkProjection pass becomes a distributed stage over ONE
+    broadcast of the vector matrix (and, for pass 3, the pass-2
+    adjacency snapshot, padded once on the driver):
+
+      pass 1   explode train-kNN lists -> (target, member) pairs ->
+               groupBy(target) + occlusion-prune UDF;
+      pass 2   explode forward edges both directions -> groupBy(node)
+               + degree-cap prune UDF;
+      pass 3   spark.range(n) node batches -> wave-vectorized beam
+               search over the broadcast snapshot + per-node prune;
+      pass 3b  explode supply edges both directions -> groupBy(node)
+               + 2*M_pjbp cap prune UDF.
+
+    Output is BIT-IDENTICAL to ``build_roargraph`` (pinned by
+    tests/test_graph_build_dist.py): each pass's per-node candidate
+    pool is the same sorted-unique set the one-task ``_grouped_unique``
+    produces (collect_set + ascending sort over the monotone
+    original-id -> local-index map), distances are the same float64
+    GEMVs, pass 3 runs the same kernel over the same padded snapshot
+    and entry point, and the final merge reuses the one-task code
+    shape verbatim on the driver.
+
+    Memory shape: the DRIVER holds O(index) — vectors + adjacency —
+    exactly like the in-memory handle it returns (a single index must
+    fit one memory because it is searched from one memory); each
+    EXECUTOR holds the broadcast snapshot plus one batch of pass
+    state. CPU, the one-task bottleneck (SCALE_PROBE: 186.7 s @ 100k
+    nodes, all in one core), spreads across all cores/executors.
+    """
+    spark = base.sparkSession
+    sc = spark.sparkContext
+    m_deg = params.m_pjbp
+    cap2 = 2 * m_deg
+
+    ids, vecs = _collect_matrix(base, id_col, vec_col)
+    n = len(ids)
+    if n == 0:
+        return RoarGraphIndex(ids=ids, vecs=vecs, adj=[], entry_point=0)
+    # float64 broadcast: callers may feed float64-normalized vectors,
+    # so no float32 round-trip (a float32-sourced matrix would survive
+    # one, but bit-equality with the one-task build must hold for any
+    # input dtype)
+    bc = sc.broadcast((ids, vecs))
+
+    if train_knn is None:
+        train_knn = knn_exact_gemm(
+            train_queries.select(F.col(id_col).alias("query_id"), vec_col),
+            base.select(F.col(id_col).alias("base_id"), vec_col),
+            params.m_sq, metric="ip")
+
+    prune_schema = StructType([
+        StructField("src", LongType()),
+        StructField("nbrs", ArrayType(LongType())),
+    ])
+
+    def prune_pools(cap: int):
+        """groupBy(collect_set) rows -> occlusion-pruned (src, nbrs):
+        the shared shape of passes 1, 2, and 3b. Keeps a <=cap pool
+        as-is only when ``keep_small`` (passes 2/3b); pass 1 always
+        prunes. All ids local; pools sorted ascending (the
+        ``_grouped_unique`` order)."""
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            v64 = bc.value[1]
+            for pdf in it:
+                srcs, outs = [], []
+                for src, cands in zip(pdf["src"].to_numpy(),
+                                      pdf["cands"].to_numpy()):
+                    src = int(src)
+                    cand = np.unique(np.asarray(cands, dtype=np.int64))
+                    cand = cand[cand != src]
+                    if len(cand) == 0:
+                        continue
+                    if cap < 0 or len(cand) > abs(cap):
+                        dists = -(v64[cand] @ v64[src])
+                        nbrs = core.occlusion_prune(
+                            cand, dists, v64, abs(cap), exclude=src)
+                        out = [int(x) for x in nbrs]
+                    else:
+                        out = [int(x) for x in cand]
+                    srcs.append(src)
+                    outs.append(out)
+                yield pd.DataFrame({"src": srcs, "nbrs": outs})
+
+        return fn
+
+    # ---- pass 1: one prune per training-query target --------------
+    knn_lists = (
+        train_knn.groupBy("query_id")
+        .agg(F.sort_array(F.collect_list(F.struct("rank", "base_id")))
+             .alias("l"))
+        .select(F.col("l.base_id").alias("nn_base"))
+        .filter(F.size("nn_base") >= 2))
+
+    def to_local_pairs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b = bc.value[0]
+        for pdf in it:
+            t, m = [], []
+            for nn in pdf["nn_base"]:
+                loc = np.searchsorted(ids_b, np.asarray(nn, dtype=np.int64))
+                t.append(np.full(len(loc) - 1, loc[0], dtype=np.int64))
+                m.append(loc[1:])
+            if t:
+                yield pd.DataFrame({"src": np.concatenate(t),
+                                    "member": np.concatenate(m)})
+
+    pair_schema = StructType([StructField("src", LongType()),
+                              StructField("member", LongType())])
+    # cached: e1 references fwd twice (forward + reverse legs), and an
+    # uncached fwd would re-run the whole kNN GEMM + pass-1 DAG per leg
+    fwd = (knn_lists.mapInPandas(to_local_pairs, schema=pair_schema)
+           .groupBy("src").agg(F.collect_set("member").alias("cands"))
+           .mapInPandas(prune_pools(-m_deg), schema=prune_schema)
+           .cache())
+
+    # ---- pass 2: reverse edges + degree-cap re-prune ---------------
+    e1 = fwd.select("src", F.explode("nbrs").alias("dst"))
+    adj_df = (e1.unionByName(e1.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+              .groupBy("src").agg(F.collect_set("dst").alias("cands"))
+              .mapInPandas(prune_pools(m_deg), schema=prune_schema))
+
+    pdf2 = adj_df.toPandas()
+    adj = [np.empty(0, dtype=np.int64)] * n
+    for src, nbrs in zip(pdf2["src"].to_numpy(), pdf2["nbrs"].to_numpy()):
+        adj[int(src)] = np.asarray(nbrs, dtype=np.int64)
+
+    # ---- entry point (bit-equal to the one-task np.mean/argmin) ----
+    centroid = vecs.mean(axis=0)
+    ep = int(np.argmin(((vecs - centroid) ** 2).sum(axis=1)))
+
+    # ---- pass 3: batched beam searches over the broadcast snapshot -
+    bc_pad = sc.broadcast(core.pad_adjacency(adj, n))
+    l_pjpq = params.l_pjpq
+
+    def pass3(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v64 = bc.value[1]
+        pad = bc_pad.value
+        nn = len(v64)
+        for pdf in it:
+            nodes = pdf["id"].to_numpy(dtype=np.int64)
+            if len(nodes) == 0:
+                continue
+            traces = core.batch_supply_search_collect(
+                pad, v64, nodes, ep, l_pjpq)
+            srcs, outs = [], []
+            for node, (ret_ids, ret_dists) in zip(nodes, traces):
+                node = int(node)
+                keep = ret_ids != node
+                ret_ids, ret_dists = ret_ids[keep], ret_dists[keep]
+                if len(ret_ids) == 0:
+                    continue
+                row = pad[node]
+                seed_skip = set(int(x) for x in row[row < nn])
+                pruned = core.occlusion_prune(
+                    ret_ids, ret_dists, v64, m_deg, exclude=node,
+                    backfill=False, seed_skip=seed_skip)
+                if pruned:
+                    srcs.append(node)
+                    outs.append([int(x) for x in pruned])
+            yield pd.DataFrame({"src": srcs, "nbrs": outs})
+
+    # cached for the same two-leg reason as fwd (pass 3 is the most
+    # expensive stage — one beam search per node)
+    supply = spark.range(n).repartition(n_batches) \
+        .mapInPandas(pass3, schema=prune_schema).cache()
+
+    # ---- pass 3b: reverse supply edges + 2*M_pjbp cap ---------------
+    e3 = supply.select("src", F.explode("nbrs").alias("dst"))
+    supply_map_df = (
+        e3.unionByName(e3.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+        .groupBy("src").agg(F.collect_set("dst").alias("cands"))
+        .mapInPandas(prune_pools(cap2), schema=prune_schema))
+    pdf3 = supply_map_df.toPandas()
+    supply_map = {int(s): [int(x) for x in nb]
+                  for s, nb in zip(pdf3["src"].to_numpy(),
+                                   pdf3["nbrs"].to_numpy())}
+
+    # ---- merge (the one-task code shape, driver-side, no numpy) ----
+    final_adj = []
+    for node in range(n):
+        base_nbrs = [int(x) for x in adj[node]]
+        have = set(base_nbrs)
+        added = 0
+        for s in supply_map.get(node, []):
+            if added >= cap2:
+                break
+            if s not in have:
+                base_nbrs.append(s)
+                have.add(s)
+                added += 1
+        final_adj.append(np.asarray(base_nbrs, dtype=np.int64))
+    fwd.unpersist()
+    supply.unpersist()
+    bc.destroy()
+    bc_pad.destroy()
+    return RoarGraphIndex(ids=ids, vecs=vecs, adj=final_adj,
+                          entry_point=ep)
 
 
 def save_graph(index: RoarGraphIndex, spark: SparkSession,
