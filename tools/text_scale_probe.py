@@ -47,10 +47,13 @@ def synth_docs(spark, n: int):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sizes = [int(a) for a in args] or [1_000_000, 5_000_000]
-    out = sys.argv[sys.argv.index("--out") + 1] \
-        if "--out" in sys.argv else "-"
+    argv = sys.argv[1:]
+    out = "-"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sizes = [int(a) for a in argv] or [1_000_000, 5_000_000]
     spark = get_spark("text-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
