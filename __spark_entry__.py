@@ -2071,6 +2071,31 @@ FROM range(200) t(i) ORDER BY vec_id
 """
 
 
+def q_crossmodal_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shifted query synthesis for the OOD fixture
+    (`sampling.generate_crossmodal_queries`: modality gap +
+    cross-cluster mixing over `generate_clustered_vectors`' centers —
+    the t2i/laion/webvid text-query→image-base shape,
+    `/root/reference/prepare_data.sh:23-79`; head-to-head evidence in
+    ANN_PROTOCOL.md). Same constant-literal twin pattern as
+    `random_vectors`: n rows with ids 0..n-1, dim-long, unit-norm."""
+    v = sampling.generate_crossmodal_queries(
+        spark, 200, 16, n_clusters=8, seed=42)
+    return v.select(
+        "vec_id",
+        F.size("vec").cast("long").alias("dim"),
+        F.round(F.sqrt(F.aggregate(
+            F.transform("vec", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x)), 5).alias("norm"))
+
+
+SQL_CROSSMODAL_QUERIES = """
+SELECT CAST(i AS BIGINT) AS vec_id, CAST(16 AS BIGINT) AS dim,
+       CAST(1.0 AS DOUBLE) AS norm
+FROM range(200) t(i) ORDER BY vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # events: sessionization + windowed aggregation (streaming-shared logic)
 # --------------------------------------------------------------------------
@@ -2300,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "superset_validation": q_superset_validation,
         "nn_wise_similarity": q_nn_wise_similarity,
         "random_vectors": q_random_vectors,
+        "crossmodal_queries": q_crossmodal_queries,
         "kmeans_cells": q_kmeans_cells,
         "multimodal_features": q_multimodal_features,
         # The driver grades a hard cap of 50 queries (observed r2+r3); keep
@@ -2391,6 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_varcard_search": SQL_CHAMFER_VARCARD,
         "graph_connectivity": SQL_GRAPH_CONNECTIVITY,
         "random_vectors": SQL_RANDOM_VECTORS,
+        "crossmodal_queries": SQL_CROSSMODAL_QUERIES,
         "kmeans_cells": SQL_KMEANS_CELLS,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "stream_dedup": SQL_STREAM_DEDUP,
