@@ -128,7 +128,9 @@ def main() -> None:
     # --- builds (each timed; roar's kNN stage runs distributed) -----
     p = graph_build.RoarGraphParams(m_sq=M_SQ, m_pjbp=12, l_pjpq=40)
     t0 = time.time()
-    roar = graph_build.build_roargraph(base, train, p)
+    # task-parallel build — bit-identical to build_roargraph
+    # (tests/test_graph_build_dist), so the recall axis is unchanged
+    roar = graph_build.build_roargraph_dist(base, train, p)
     t_roar_build = time.time() - t0
     print(f"roar build {t_roar_build:.1f}s", flush=True)
 
