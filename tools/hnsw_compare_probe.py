@@ -198,7 +198,12 @@ def main() -> None:
     for b in BUDGETS:
         # RoarGraph kernel path (the wave-vectorized engine kernel the
         # Spark search stage runs — pinned bit-equal to the sequential
-        # reference trajectory by tests/test_roargraph.py)
+        # reference trajectory by tests/test_roargraph.py).
+        # One untimed warmup per budget: the first call at a new batch
+        # shape absorbs one-time NumPy allocator/BLAS setup that
+        # otherwise lands entirely on the first budget row.
+        core.batch_multivector_search(
+            roar.adj, vecs, qmats[:2], roar.entry_point, 5, b, b, True)
         t0 = time.time()
         roar_hits = 0
         all_res = core.batch_multivector_search(
@@ -209,8 +214,11 @@ def main() -> None:
             roar_hits += len(set(top.tolist()) & gt[s])
         t_roar = time.time() - t0
 
-        # HNSW kernel path
+        # HNSW kernel path (same warmup treatment)
         ef = max(1, b // M)
+        for qm in qmats[:2]:
+            for j in range(M):
+                hnsw.search_knn_local(hidx, qm[j], ef, ef)
         t0 = time.time()
         hnsw_hits = 0
         for s, qm in enumerate(qmats):
