@@ -36,7 +36,12 @@ from cross_modal_multivector_search_spark.operators.sampling import (
 from cross_modal_multivector_search_spark.session import get_spark
 from pyspark.sql import functions as F
 
-P = RoarGraphParams(m_sq=20, m_pjbp=12, l_pjpq=40)
+import os
+
+P = RoarGraphParams(
+    m_sq=int(os.environ.get("ROAR_MSQ", 20)),
+    m_pjbp=int(os.environ.get("ROAR_M", 12)),
+    l_pjpq=int(os.environ.get("ROAR_L", 40)))
 
 
 def _knn(base, k):
