@@ -95,13 +95,17 @@ def main() -> None:
     for fn in timed.values():
         fn(spark, sf_dir).count()
 
-    def timed_pass() -> dict[str, float]:
-        t = {}
+    tracker = spark.sparkContext.statusTracker()
+
+    def timed_pass() -> tuple[dict[str, float], dict[str, int]]:
+        t, jobs = {}, {}
         for name, fn in timed.items():
+            before = len(tracker.getJobIdsForGroup(None))
             t0 = time.time()
             fn(spark, sf_dir).count()
             t[name] = round(time.time() - t0, 3)
-        return t
+            jobs[name] = len(tracker.getJobIdsForGroup(None)) - before
+        return t, jobs
 
     # contention canary: nation_revenue is a trivial unchanging query
     # measuring ~0.65s warm at sf0.1 on an idle 32-thread box — a value
@@ -110,13 +114,15 @@ def main() -> None:
     # self-invalidates: a hot canary (>1.2x idle expectation) triggers
     # ONE full re-pass and each query keeps its per-pass minimum, so a
     # transient contender can't manufacture phantom regressions.
+    # Estimator is the SAME in both regimes (r10 advice: min-of-2 on a
+    # hot canary was biased low vs the clean single draw): a hot canary
+    # discards the contended pass entirely and keeps only the rerun.
     IDLE_CANARY = 0.65
-    run = timed_pass()
+    run, job_counts = timed_pass()
     canary_first = run.get("nation_revenue", -1.0)
     canary_rerun = canary_first > 1.2 * IDLE_CANARY
     if canary_rerun:
-        rerun = timed_pass()
-        run = {k: min(run[k], rerun[k]) for k in run}
+        run, job_counts = timed_pass()
     timings.update(run)
 
     # the reference benchmarks search with the index built offline
@@ -130,6 +136,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query Spark job counts of the kept timed pass — plan drift
+        # (new/removed jobs) now separates from box noise in cross-round
+        # comparisons (VERDICT r10 directive #3)
+        "job_counts": job_counts,
         "sf": sf,
         "canary_nation_revenue_sec": canary,
         "canary_first_pass_sec": canary_first,

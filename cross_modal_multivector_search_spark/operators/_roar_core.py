@@ -103,6 +103,13 @@ def pad_adjacency(adj: list, n: int) -> np.ndarray:
         return out
     flat = np.concatenate(
         [np.asarray(a, dtype=np.int64) for a in adj if len(a)])
+    # id-contract gate: load_graph accepts arbitrary parquet adjacency,
+    # and an out-of-range id (>= n, or negative) would silently alias
+    # the zero sentinel row / wrap the gather — fail loudly instead
+    if flat.max(initial=-1) >= n or flat.min(initial=0) < 0:
+        bad = flat[(flat >= n) | (flat < 0)]
+        raise ValueError(
+            f"adjacency ids out of range [0, {n}): e.g. {bad[:5].tolist()}")
     nz = lens > 0
     rows = np.repeat(np.arange(len(adj), dtype=np.int64)[nz], lens[nz])
     starts = np.cumsum(lens) - lens
@@ -221,8 +228,21 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
     L = beam_width
     # an ndarray adj is accepted as ALREADY padded (the distributed
     # build broadcasts one driver-padded matrix so each task skips the
-    # O(n) python pad loop)
-    adj_pad = adj if isinstance(adj, np.ndarray) else pad_adjacency(adj, n)
+    # O(n) python pad loop). Contract: padded for THIS n — one row per
+    # node, sentinel == n, ids in [0, n], rows first-occurrence-unique
+    # (pad_adjacency's output). A matrix padded for a different n would
+    # double-insert or index the wrong zero row, so gate it here.
+    if isinstance(adj, np.ndarray):
+        if adj.shape[0] != n:
+            raise ValueError(
+                f"pre-padded adjacency has {adj.shape[0]} rows for n={n}")
+        if adj.max(initial=n) > n or adj.min(initial=0) < 0:
+            raise ValueError(
+                f"pre-padded adjacency ids outside [0, n={n}] — "
+                "padded for a different n?")
+        adj_pad = adj
+    else:
+        adj_pad = pad_adjacency(adj, n)
     dmax = adj_pad.shape[1]
     vecs_ext = np.vstack([vecs, np.zeros((1, vecs.shape[1]))])
     if batch_rows is None:

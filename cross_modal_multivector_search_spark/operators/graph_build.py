@@ -448,7 +448,20 @@ def build_roargraph_dist(base: DataFrame, train_queries: DataFrame,
         for pdf in it:
             t, m = [], []
             for nn in pdf["nn_base"]:
-                loc = np.searchsorted(ids_b, np.asarray(nn, dtype=np.int64))
+                nn = np.asarray(nn, dtype=np.int64)
+                loc = np.searchsorted(ids_b, nn)
+                # membership gate: a stale/foreign train_knn whose
+                # base_id is absent from `base` would otherwise resolve
+                # to a wrong (or out-of-range) local index and silently
+                # corrupt the graph — the one-task path's dict lookup
+                # raises KeyError; fail the same way here
+                if (loc >= len(ids_b)).any() or (ids_b[loc.clip(
+                        max=len(ids_b) - 1)] != nn).any():
+                    missing = nn[(loc >= len(ids_b)) | (ids_b[loc.clip(
+                        max=len(ids_b) - 1)] != nn)]
+                    raise KeyError(
+                        f"train_knn base_ids not in base: "
+                        f"{missing[:5].tolist()}")
                 t.append(np.full(len(loc) - 1, loc[0], dtype=np.int64))
                 m.append(loc[1:])
             if t:

@@ -70,13 +70,45 @@ def validate_superset(superset: DataFrame, subset: DataFrame,
     return subset.join(superset, keys, "left_anti")
 
 
+#: Block size of the counter-based generator contract (r11). Row id i's
+#: draws are row (i % GEN_BLOCK) of the (seed, i // GEN_BLOCK[, tag])
+#: stream — a whole block's draws are recomputed wherever any of its
+#: rows land, so output is partition-independent like the former
+#: per-row-seeded scheme, but RNG construction is per BLOCK, not per
+#: row (the r10 verdict's named fix: per-row default_rng spin-up was
+#: minutes of pure Python at 10M ids).
+GEN_BLOCK = 4096
+
+
+def _by_block(ids: np.ndarray, seed_tail: list, draw):
+    """Iterate the distinct GEN_BLOCK-blocks covering ``ids``; for each,
+    build the block's Generator from SeedSequence([*seed_tail, block])
+    and call ``draw(rng)`` for the FULL block, then select this batch's
+    offsets. Returns a list of (batch_positions, per-row slices...)
+    via the caller's draw closure appending into preallocated outputs.
+    """
+    blocks = ids // GEN_BLOCK
+    for blk in np.unique(blocks):
+        sel = np.nonzero(blocks == blk)[0]
+        rng = np.random.default_rng(seed_tail + [int(blk)])
+        full = draw(rng)                       # tuple of (GEN_BLOCK, ...) arrays
+        off = ids[sel] - blk * GEN_BLOCK
+        yield sel, tuple(a[off] for a in full)
+
+
+def _unit_rows(v: np.ndarray) -> list:
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    return list(v.astype(np.float32))
+
+
 def generate_random_vectors(spark: SparkSession, n: int, dim: int,
                             seed: int = 42) -> DataFrame:
-    """n unit-norm Gaussian rows, deterministically seeded per row id.
+    """n unit-norm Gaussian rows, deterministically seeded per id block.
 
-    Distributed: spark.range partitions the id space; each Arrow batch
-    seeds its own generator from (seed, first_id) so output is
-    independent of partitioning.
+    Distributed: spark.range partitions the id space; draws follow the
+    ``GEN_BLOCK`` counter-based contract (row i = row i%B of the
+    (seed, i//B) stream), so output is independent of partitioning and
+    the generator runs as whole-block vectorized NumPy.
     """
     schema = StructType([
         StructField("vec_id", LongType(), False),
@@ -86,13 +118,12 @@ def generate_random_vectors(spark: SparkSession, n: int, dim: int,
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            out = []
-            for i in ids:
-                rng = np.random.default_rng([seed, int(i)])
-                v = rng.standard_normal(dim)
-                v /= np.linalg.norm(v)
-                out.append(v.astype(np.float32).tolist())
-            yield pd.DataFrame({"vec_id": ids, "vec": out})
+            vs = np.empty((len(ids), dim))
+            for sel, (nv,) in _by_block(
+                    ids, [seed],
+                    lambda r: (r.standard_normal((GEN_BLOCK, dim)),)):
+                vs[sel] = nv
+            yield pd.DataFrame({"vec_id": ids, "vec": _unit_rows(vs)})
 
     return spark.range(n).mapInPandas(gen, schema=schema)
 
@@ -105,8 +136,10 @@ def generate_clustered_vectors(spark: SparkSession, n: int, dim: int,
     Gaussians are the ANN worst case; real embedding corpora cluster).
 
     Cluster centers are generated once on the driver (tiny:
-    n_clusters x dim) and folded into the mapInPandas closure; each row
-    seeds its own generator from (seed, id) so output is independent of
+    n_clusters x dim) and folded into the mapInPandas closure; draws
+    follow the ``GEN_BLOCK`` counter-based contract (cluster picks and
+    noise for a whole id block come from the (seed, block) stream —
+    integers first, then the noise matrix) so output is independent of
     partitioning, exactly like `generate_random_vectors`.
     """
     rng = np.random.default_rng([seed, n_clusters])
@@ -122,15 +155,16 @@ def generate_clustered_vectors(spark: SparkSession, n: int, dim: int,
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            cl, out = [], []
-            for i in ids:
-                r = np.random.default_rng([seed, int(i)])
-                c = int(r.integers(n_clusters))
-                v = centers[c] + sigma * r.standard_normal(dim)
-                v /= np.linalg.norm(v)
-                cl.append(c)
-                out.append(v.astype(np.float32).tolist())
-            yield pd.DataFrame({"vec_id": ids, "cluster": cl, "vec": out})
+            cl = np.empty(len(ids), dtype=np.int64)
+            vs = np.empty((len(ids), dim))
+            for sel, (c, nv) in _by_block(
+                    ids, [seed],
+                    lambda r: (r.integers(n_clusters, size=GEN_BLOCK),
+                               r.standard_normal((GEN_BLOCK, dim)))):
+                cl[sel] = c
+                vs[sel] = centers[c] + sigma * nv
+            yield pd.DataFrame({"vec_id": ids, "cluster": cl,
+                                "vec": _unit_rows(vs)})
 
     return spark.range(n).mapInPandas(gen, schema=schema)
 
@@ -158,12 +192,13 @@ def generate_crossmodal_queries(spark: SparkSession, n: int, dim: int,
     reference README).
 
     Same determinism contract as the other generators: centers and
-    ``g`` derive only from (seed, n_clusters); each row seeds its own
-    generator from (seed, id, 1) — the trailing 1 keeps query draws
-    decorrelated from same-id base draws — so output is independent of
-    partitioning. Train and search queries are both drawn from THIS
-    distribution (disjoint id ranges), mirroring the reference's
-    query.train / query.10k split.
+    ``g`` derive only from (seed, n_clusters); draws follow the
+    ``GEN_BLOCK`` counter-based contract with stream (seed, 1, block)
+    — the tag 1 keeps query draws decorrelated from same-block base
+    draws — so output is independent of partitioning. Per block the
+    draw order is a-picks, b-picks, then the noise matrix. Train and
+    search queries are both drawn from THIS distribution (disjoint id
+    ranges), mirroring the reference's query.train / query.10k split.
     """
     rng = np.random.default_rng([seed, n_clusters])
     centers = rng.standard_normal((n_clusters, dim))
@@ -179,16 +214,15 @@ def generate_crossmodal_queries(spark: SparkSession, n: int, dim: int,
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            out = []
-            for i in ids:
-                r = np.random.default_rng([seed, int(i), 1])
-                a = int(r.integers(n_clusters))
-                b = int(r.integers(n_clusters))
-                v = ((1.0 - mix) * centers[a] + mix * centers[b]
-                     + gap * g + sigma * r.standard_normal(dim))
-                v /= np.linalg.norm(v)
-                out.append(v.astype(np.float32).tolist())
-            yield pd.DataFrame({"vec_id": ids, "vec": out})
+            vs = np.empty((len(ids), dim))
+            for sel, (a, b, nv) in _by_block(
+                    ids, [seed, 1],
+                    lambda r: (r.integers(n_clusters, size=GEN_BLOCK),
+                               r.integers(n_clusters, size=GEN_BLOCK),
+                               r.standard_normal((GEN_BLOCK, dim)))):
+                vs[sel] = ((1.0 - mix) * centers[a] + mix * centers[b]
+                           + gap * g + sigma * nv)
+            yield pd.DataFrame({"vec_id": ids, "vec": _unit_rows(vs)})
 
     return spark.range(n).mapInPandas(gen, schema=schema)
 

@@ -258,26 +258,31 @@ def test_trained_codebook_assign_and_recall(spark):
     assert got == want
 
 
-def test_clustered_vectors_seeded_per_row(spark):
-    """generate_clustered_vectors is per-row seeded: each row equals
-    the driver-side recomputation from (seed, id), so output cannot
-    depend on partitioning; rows are unit-norm."""
+def test_clustered_vectors_seeded_per_block(spark):
+    """generate_clustered_vectors follows the GEN_BLOCK counter-based
+    contract (r11): each row equals the driver-side recomputation of
+    row i%B of the (seed, i//B) stream (integers first, then the noise
+    matrix), so output cannot depend on partitioning; rows are
+    unit-norm. Ids straddling a block boundary pin the block math."""
     import numpy as np
 
     from cross_modal_multivector_search_spark.operators.sampling import (
-        generate_clustered_vectors,
+        GEN_BLOCK, generate_clustered_vectors,
     )
+    n = GEN_BLOCK + 50
     rows = {r["vec_id"]: (r["cluster"], np.asarray(r["vec"]))
             for r in generate_clustered_vectors(
-                spark, 50, 8, 4, seed=11).collect()}
+                spark, n, 8, 4, seed=11).collect()}
+    assert len(rows) == n
     rng = np.random.default_rng([11, 4])
     centers = rng.standard_normal((4, 8))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    for i in (0, 17, 49):
-        r = np.random.default_rng([11, i])
-        c = int(r.integers(4))
-        v = centers[c] + 0.2 * r.standard_normal(8)
-        v /= np.linalg.norm(v)
+    for i in (0, 17, GEN_BLOCK - 1, GEN_BLOCK, GEN_BLOCK + 49):
+        blk, off = divmod(i, GEN_BLOCK)
+        r = np.random.default_rng([11, blk])
+        c = r.integers(4, size=GEN_BLOCK)[off]
+        v = centers[c] + 0.2 * r.standard_normal((GEN_BLOCK, 8))[off]
+        v = v / np.linalg.norm(v)
         assert rows[i][0] == c
         assert np.allclose(rows[i][1], v.astype(np.float32))
         assert abs(np.linalg.norm(rows[i][1]) - 1.0) < 1e-5
@@ -1075,32 +1080,36 @@ def test_bm25_rank_planted(spark):
         round(expect + text.ROUND_EPS, 5))
 
 
-def test_crossmodal_queries_seeded_per_row(spark):
-    """generate_crossmodal_queries mirrors the per-row seed contract
-    ((seed, id, 1) — decorrelated from same-id base draws) and shares
+def test_crossmodal_queries_seeded_per_block(spark):
+    """generate_crossmodal_queries mirrors the GEN_BLOCK counter-based
+    contract with stream (seed, 1, block) — the tag 1 decorrelates
+    query draws from same-block base draws — and shares
     centers/gap-direction derivation with generate_clustered_vectors,
     so a base/query pair at the same (seed, n_clusters) is one
     coherent cross-modal fixture; rows are unit-norm."""
     import numpy as np
 
     from cross_modal_multivector_search_spark.operators.sampling import (
-        generate_crossmodal_queries,
+        GEN_BLOCK, generate_crossmodal_queries,
     )
+    n = GEN_BLOCK + 50
     rows = {r["vec_id"]: np.asarray(r["vec"])
             for r in generate_crossmodal_queries(
-                spark, 50, 8, 4, sigma=0.1, gap=0.8, mix=0.35,
+                spark, n, 8, 4, sigma=0.1, gap=0.8, mix=0.35,
                 seed=11).collect()}
+    assert len(rows) == n
     rng = np.random.default_rng([11, 4])
     centers = rng.standard_normal((4, 8))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     g = np.random.default_rng([11, 4, 7]).standard_normal(8)
     g /= np.linalg.norm(g)
-    for i in (0, 17, 49):
-        r = np.random.default_rng([11, i, 1])
-        a = int(r.integers(4))
-        b = int(r.integers(4))
+    for i in (0, 17, GEN_BLOCK - 1, GEN_BLOCK, GEN_BLOCK + 49):
+        blk, off = divmod(i, GEN_BLOCK)
+        r = np.random.default_rng([11, 1, blk])
+        a = r.integers(4, size=GEN_BLOCK)[off]
+        b = r.integers(4, size=GEN_BLOCK)[off]
         v = (0.65 * centers[a] + 0.35 * centers[b] + 0.8 * g
-             + 0.1 * r.standard_normal(8))
-        v /= np.linalg.norm(v)
+             + 0.1 * r.standard_normal((GEN_BLOCK, 8))[off])
+        v = v / np.linalg.norm(v)
         assert np.allclose(rows[i], v.astype(np.float32))
         assert abs(np.linalg.norm(rows[i]) - 1.0) < 1e-5
