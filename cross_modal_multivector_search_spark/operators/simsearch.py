@@ -71,6 +71,152 @@ def ivf_search(queries: DataFrame, vecs: DataFrame,
         k).select(query_id, "rank", base_id, "score")
 
 
+def ivf_knn(queries: DataFrame, base: DataFrame, codebook: np.ndarray,
+            k: int, nprobe: int,
+            query_id: str = "query_id", base_id: str = "base_id",
+            vec_col: str = "vec", exclude_self: bool = False,
+            block_bytes: int = 200_000_000) -> DataFrame:
+    """GEMM-blocked approximate kNN TABLE: each query searched exactly
+    within its ``nprobe`` nearest codebook cells only. Returns
+    (query_id, rank, base_id, score) — the same schema, score math
+    (double-precision IP) and (score desc, id asc) determinism as
+    ``knn_exact_gemm``, so the output drops into
+    ``build_roargraph_dist(train_knn=)`` unchanged.
+
+    This is the ANN bootstrap for the reference's build-input kNN file
+    (`/root/reference/src/index_bipartite.cpp:3111-3150` —
+    `LoadLearnBaseKNN` reads an OFFLINE table produced by brute-force
+    tooling; generating it approximately with the engine's own IVF
+    machinery replaces the O(|Q|·|base|·d) exact stage that dominates
+    single-index builds past ~1M nodes). Gate it with
+    ``knn_table_recall`` on a sampled exact table before trusting a
+    configuration.
+
+    Scale shape: one distributed assign pass over base (broadcast
+    codebook), one map-only routing pass over queries, ONE
+    cogroup-by-cell shuffle of each side, per-cell blocked GEMM bounded
+    by ``block_bytes``, then the global per-query top-k merge (same
+    shuffle `knn_exact_gemm` already pays). Nothing is ever |Q| x |base|;
+    FLOPs shrink by ~n_cells/nprobe. At ``nprobe >= len(codebook)``
+    the result is EXACTLY the exact table (cells partition the base) —
+    the saturating-equivalence row the oracle checks.
+    """
+    from .brute_force import topk_cols_ascending
+
+    n_cells = len(codebook)
+    if nprobe < 1:
+        raise ValueError(f"ivf_knn: nprobe must be >= 1, got {nprobe}")
+    nprobe = min(nprobe, n_cells)
+    C = np.ascontiguousarray(codebook, dtype=np.float64)
+
+    assigned = assign_cells(
+        base.select(F.col(base_id).alias("vec_id"), vec_col),
+        codebook, keep_vec=True)
+
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    route_schema = StructType([
+        StructField("query_id", LongType(), False),
+        StructField(vec_col, queries.select(
+            F.col(vec_col)).schema.fields[0].dataType, False),
+        StructField("cell", LongType(), False),
+    ])
+
+    def route(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per query: nprobe best cells by (affinity desc, cell asc) —
+        # topk_cols_ascending on the negated affinity gives the same
+        # deterministic tiebreak every top-k in the engine uses
+        cell_ids = np.arange(n_cells, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            aff = -(X @ C.T)
+            cols = topk_cols_ascending(aff, cell_ids, nprobe)
+            qid = pdf[query_id].to_numpy(dtype=np.int64)
+            rows = np.repeat(np.arange(len(pdf)), nprobe)
+            yield pd.DataFrame({
+                "query_id": qid[rows],
+                vec_col: pdf[vec_col].to_numpy()[rows],
+                "cell": cell_ids[cols.ravel()],
+            })
+
+    routed = queries.select(F.col(query_id), vec_col) \
+        .mapInPandas(route, schema=route_schema)
+
+    part_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("base_id", LongType()),
+        StructField("score", DoubleType()),
+    ])
+
+    def per_cell(bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(bpdf) or not len(qpdf):
+            return pd.DataFrame({"query_id": [], "base_id": [],
+                                 "score": []}).astype(
+                {"query_id": np.int64, "base_id": np.int64,
+                 "score": np.float64})
+        bids = bpdf["vec_id"].to_numpy(dtype=np.int64)
+        bmat = np.vstack(bpdf[vec_col].to_numpy()).astype(np.float64)
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        qmat = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+        # with exclude_self fetch one extra slot: the self match (if
+        # present in this cell) is masked to inf and dropped AFTER the
+        # partial top-k, so every query still surfaces its k best
+        # non-self candidates of the cell
+        kk = min(k + 1 if exclude_self else k, len(bids))
+        if kk <= 0:
+            return pd.DataFrame({"query_id": [], "base_id": [],
+                                 "score": []}).astype(
+                {"query_id": np.int64, "base_id": np.int64,
+                 "score": np.float64})
+        blk = max(1, int(block_bytes / (8 * len(bids))))
+        frames = []
+        for s in range(0, len(qids), blk):
+            qi, qm = qids[s:s + blk], qmat[s:s + blk]
+            sims = -(qm @ bmat.T)              # negated IP: asc = closest
+            if exclude_self:
+                sims[qi[:, None] == bids[None, :]] = np.inf
+            order = topk_cols_ascending(sims, bids, kk)
+            rows = np.repeat(np.arange(sims.shape[0]), kk)
+            cols = order.ravel()
+            scores = -sims[rows, cols]
+            out_q, out_b = qi[rows], bids[cols]
+            if exclude_self:
+                keep = np.isfinite(scores)     # drop self slots
+                out_q, out_b, scores = out_q[keep], out_b[keep], scores[keep]
+            frames.append(pd.DataFrame({"query_id": out_q,
+                                        "base_id": out_b,
+                                        "score": scores}))
+        return pd.concat(frames)
+
+    partials = assigned.groupby("cell").cogroup(
+        routed.groupby("cell")).applyInPandas(per_cell, schema=part_schema)
+    order = [F.col("score").desc(), F.col("base_id").asc()]
+    out = grouped_topk(partials, ["query_id"], order, k)
+    return out.select(F.col("query_id").alias(query_id), "rank",
+                      F.col("base_id").alias(base_id), "score")
+
+
+def knn_table_recall(approx: DataFrame, exact: DataFrame, k: int,
+                     query_id: str = "query_id",
+                     base_id: str = "base_id") -> DataFrame:
+    """One-row mean recall@k of an approximate kNN table against the
+    exact table on the same queries — the measured gate an
+    ANN-bootstrapped build input must pass before replacing the exact
+    stage (`ivf_knn` docstring)."""
+    from .recall import mean_recall
+    return mean_recall(
+        approx.filter(F.col("rank") <= k).select(query_id, base_id),
+        exact.filter(F.col("rank") <= k).select(query_id, base_id),
+        k, query_col=query_id, id_col=base_id)
+
+
 def kmeans(vecs: DataFrame, k: int, iters: int = 3,
            id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
     """Deterministic Lloyd's k-means, pure DataFrame ops.
