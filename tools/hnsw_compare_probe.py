@@ -41,7 +41,10 @@ from pyspark.sql import functions as F
 
 from cross_modal_multivector_search_spark.functions import metrics
 from cross_modal_multivector_search_spark.operators import (
-    _roar_core as core, graph_build, hnsw, set_search,
+    _roar_core as core, graph_build, hnsw, set_search, simsearch,
+)
+from cross_modal_multivector_search_spark.operators.brute_force import (
+    knn_exact_gemm,
 )
 from cross_modal_multivector_search_spark.operators.sampling import (
     generate_clustered_vectors, generate_crossmodal_queries,
@@ -49,7 +52,9 @@ from cross_modal_multivector_search_spark.operators.sampling import (
 )
 from cross_modal_multivector_search_spark.session import get_spark
 
-M = 5
+import os
+
+M = int(os.environ.get("OOD_M", 5))
 N_QUERY_SETS = 20
 K = 10
 BUDGETS = (100, 200, 400, 1000)
@@ -67,7 +72,26 @@ def _rerank_numpy(cand_vids: np.ndarray, qmat: np.ndarray,
     return sets[order]
 
 
-import os
+def iso_recall_qps(points: list, target: float):
+    """QPS at a fixed recall target by linear interpolation over the
+    (recall, QPS) tuples of the budget sweep (in budget order). The
+    paper's headline metric is QPS at 90% recall; the sweep measures
+    recall at fixed budgets, so the crossing is interpolated between
+    the two straddling budget rows. Returns None if the target is not
+    reached at any swept budget; if the SMALLEST budget already meets
+    the target, its measured QPS is returned (a conservative lower
+    bound — a smaller, faster budget would also reach it)."""
+    if not points:
+        return None
+    if points[0][0] >= target:
+        return points[0][1]
+    for (r0, q0), (r1, q1) in zip(points, points[1:]):
+        if r0 < target <= r1:
+            if r1 == r0:
+                return q1
+            return q0 + (q1 - q0) * (target - r0) / (r1 - r0)
+    return None
+
 
 N_CLUSTERS = int(os.environ.get("OOD_CLUSTERS", 64))
 SIGMA_BASE = float(os.environ.get("OOD_SIGMA_BASE", 0.15))
@@ -79,6 +103,14 @@ BUDGETS = tuple(int(x) for x in os.environ.get(
     else BUDGETS
 M_SQ = int(os.environ.get("OOD_M_SQ", 20))
 N_QUERY_SETS = int(os.environ.get("OOD_QSETS", N_QUERY_SETS))
+# train-kNN stage for the RoarGraph build:
+#   exact               — the quadratic GEMM table (the r<=10 shape)
+#   ivf:<cells>:<nprobe> — ANN-bootstrapped via simsearch.ivf_knn,
+#                          with a sampled recall gate printed
+#   both:<cells>:<nprobe> — build BOTH graphs; the sweep reports a
+#                          roar column per build so the bootstrap's
+#                          recall cost (if any) is measured directly
+TRAIN_KNN = os.environ.get("OOD_TRAIN_KNN", "exact")
 
 
 def main() -> None:
@@ -127,12 +159,70 @@ def main() -> None:
 
     # --- builds (each timed; roar's kNN stage runs distributed) -----
     p = graph_build.RoarGraphParams(m_sq=M_SQ, m_pjbp=12, l_pjpq=40)
-    t0 = time.time()
-    # task-parallel build — bit-identical to build_roargraph
-    # (tests/test_graph_build_dist), so the recall axis is unchanged
-    roar = graph_build.build_roargraph_dist(base, train, p)
-    t_roar_build = time.time() - t0
-    print(f"roar build {t_roar_build:.1f}s", flush=True)
+    mode_parts = TRAIN_KNN.split(":")
+    knn_mode = mode_parts[0]
+    assert knn_mode in ("exact", "ivf", "both"), TRAIN_KNN
+    tq = train.select(F.col("vec_id").alias("query_id"), "vec")
+    tb = base.select(F.col("vec_id").alias("base_id"), "vec")
+
+    roar_engines = []          # (label, index) per built roar graph
+    knn_exact_tbl = None
+    if knn_mode in ("exact", "both"):
+        t0 = time.time()
+        knn_exact_tbl = knn_exact_gemm(tq, tb, p.m_sq, metric="ip").cache()
+        knn_exact_tbl.count()
+        t_knn_exact = time.time() - t0
+        print(f"exact train-kNN table {t_knn_exact:.1f}s", flush=True)
+        t0 = time.time()
+        # task-parallel build — bit-identical to build_roargraph
+        # (tests/test_graph_build_dist), so the recall axis is unchanged
+        roar = graph_build.build_roargraph_dist(
+            base, train, p, train_knn=knn_exact_tbl)
+        t_roar_build = time.time() - t0 + t_knn_exact
+        print(f"roar build {t_roar_build:.1f}s (incl exact kNN)",
+              flush=True)
+        roar_engines.append(("roar", roar))
+    if knn_mode in ("ivf", "both"):
+        cells = int(mode_parts[1]) if len(mode_parts) > 1 else 256
+        nprobe = int(mode_parts[2]) if len(mode_parts) > 2 else 8
+        t0 = time.time()
+        cb = simsearch.train_codebook(base, cells, iters=10,
+                                      sample_n=100_000)
+        t_cb = time.time() - t0
+        t0 = time.time()
+        knn_boot = simsearch.ivf_knn(tq, tb, cb, p.m_sq,
+                                     nprobe=nprobe).cache()
+        knn_boot.count()
+        t_boot = time.time() - t0
+        print(f"ivf_knn table cells={cells} nprobe={nprobe}: codebook "
+              f"{t_cb:.1f}s + table {t_boot:.1f}s", flush=True)
+        # sampled recall gate: ~2k train queries, exact table on the
+        # sample only (cheap), overlap@m_sq
+        step = max(1, n // 2000)
+        sq = tq.filter(F.col("query_id") % step == 0).cache()
+        gate_exact = knn_exact_gemm(sq, tb, p.m_sq, metric="ip")
+        gate_boot = knn_boot.join(sq.select("query_id"), "query_id",
+                                  "semi")
+        gate = simsearch.knn_table_recall(
+            gate_boot, gate_exact, p.m_sq).collect()[0]["mean_recall"]
+        print(f"train-kNN recall gate (sampled, @{p.m_sq}): "
+              f"{gate:.4f}", flush=True)
+        t0 = time.time()
+        roar_b = graph_build.build_roargraph_dist(
+            base, train, p, train_knn=knn_boot)
+        t_roar_boot = time.time() - t0 + t_cb + t_boot
+        print(f"roar bootstrap build {t_roar_boot:.1f}s (incl ivf_knn)",
+              flush=True)
+        label = "roar" if knn_mode == "ivf" else "roar-boot"
+        roar_engines.append((label, roar_b))
+        globals()["_GATE_LINE"] = (
+            f"Bootstrapped train-kNN (`simsearch.ivf_knn`, {cells} "
+            f"cells, nprobe={nprobe}): codebook {t_cb:.1f}s + table "
+            f"{t_boot:.1f}s vs exact "
+            + (f"{t_knn_exact:.1f}s" if knn_exact_tbl is not None
+               else "(not run)")
+            + f"; sampled table recall@{p.m_sq} = {gate:.4f}.")
+    roar = roar_engines[0][1]
 
     t0 = time.time()
     hidx = hnsw.build_hnsw(base, hnsw.HnswParams(m=12, ef_construction=60,
@@ -146,6 +236,8 @@ def main() -> None:
              .astype(np.float64) for s in range(N_QUERY_SETS)]
     vecs = roar.vecs            # same matrix both systems (sorted ids)
     assert np.array_equal(roar.ids, hidx.ids)
+    for _, ridx in roar_engines:
+        assert np.array_equal(ridx.ids, hidx.ids)
 
     if mode == "uniform":
         data_desc = (
@@ -176,43 +268,61 @@ def main() -> None:
             "§1: OOD train-query projection): RoarGraph's graph "
             "inherits train-query co-retrieval edges that cross base "
             "clusters, which a base-only HNSW lacks.")
+    build_desc = "RoarGraph: adaptive allocation (min_pq=5), build "
+    if knn_mode == "exact":
+        build_desc += f"{t_roar_build:.1f}s incl. the distributed " \
+                      "exact-kNN stage"
+    elif knn_mode == "ivf":
+        build_desc += f"{t_roar_boot:.1f}s incl. the ANN-BOOTSTRAPPED " \
+                      "train-kNN stage (see gate line below)"
+    else:
+        build_desc += f"{t_roar_build:.1f}s (exact kNN) / " \
+                      f"{t_roar_boot:.1f}s (bootstrapped kNN, " \
+                      "'roar-boot' columns)"
+    engines = list(roar_engines) + [("hnsw", None)]
     lines = [
         "",
         f"## RoarGraph vs HNSW head-to-head at n = {n:,} "
-        f"({mode} data, single index, single-thread kernel QPS)",
+        f"({mode} data, m={M}, single index, single-thread kernel QPS)",
         "",
         data_desc + " — the reference's comparison protocol "
         "(`tests/hnsw/search_rerank_hnsw.cpp` vs "
         "`tests/test_search_multivector_rerank.cpp`, `-T 1`). "
-        f"RoarGraph: adaptive allocation (min_pq=5), build "
-        f"{t_roar_build:.1f}s incl. the distributed exact-kNN stage; "
-        f"HNSW: fixed ef=budget/m, build {t_hnsw_build:.1f}s "
+        + build_desc +
+        f"; HNSW: fixed ef=budget/m, build {t_hnsw_build:.1f}s "
         "(sequential insert — the per-index serial baseline; the "
         "engine's scale path shards and builds many in parallel). "
         + note,
         "",
-        "| budget | roar recall@10 | roar QPS | hnsw recall@10 "
-        "| hnsw QPS |",
-        "|---|---|---|---|---|",
+        "| budget | " + " | ".join(f"{lb} recall@10 | {lb} QPS"
+                                   for lb, _ in engines) + " |",
+        "|---|" + "---|" * (2 * len(engines)),
     ]
+    sweep: dict[str, list] = {lb: [] for lb, _ in engines}
     for b in BUDGETS:
-        # RoarGraph kernel path (the wave-vectorized engine kernel the
-        # Spark search stage runs — pinned bit-equal to the sequential
-        # reference trajectory by tests/test_roargraph.py).
-        # One untimed warmup per budget: the first call at a new batch
-        # shape absorbs one-time NumPy allocator/BLAS setup that
-        # otherwise lands entirely on the first budget row.
-        core.batch_multivector_search(
-            roar.adj, vecs, qmats[:2], roar.entry_point, 5, b, b, True)
-        t0 = time.time()
-        roar_hits = 0
-        all_res = core.batch_multivector_search(
-            roar.adj, vecs, qmats, roar.entry_point, 5, b, b, True)
-        for s, (qm, res) in enumerate(zip(qmats, all_res)):
-            cands = np.concatenate([ids for ids, _ in res])
-            top = _rerank_numpy(roar.ids[cands], qm, vecs)
-            roar_hits += len(set(top.tolist()) & gt[s])
-        t_roar = time.time() - t0
+        cells_out = [f"| {b} "]
+        for lb, ridx in roar_engines:
+            # RoarGraph kernel path (the wave-vectorized engine kernel
+            # the Spark search stage runs — pinned bit-equal to the
+            # sequential reference trajectory by tests/test_roargraph).
+            # One untimed warmup per budget: the first call at a new
+            # batch shape absorbs one-time NumPy allocator/BLAS setup
+            # that otherwise lands entirely on the first budget row.
+            core.batch_multivector_search(
+                ridx.adj, vecs, qmats[:2], ridx.entry_point, 5, b, b,
+                True)
+            t0 = time.time()
+            hits = 0
+            all_res = core.batch_multivector_search(
+                ridx.adj, vecs, qmats, ridx.entry_point, 5, b, b, True)
+            for s, (qm, res) in enumerate(zip(qmats, all_res)):
+                cands = np.concatenate([ids for ids, _ in res])
+                top = _rerank_numpy(ridx.ids[cands], qm, vecs)
+                hits += len(set(top.tolist()) & gt[s])
+            t_r = time.time() - t0
+            rec, qps = hits / (N_QUERY_SETS * K), N_QUERY_SETS / t_r
+            sweep[lb].append((rec, qps))
+            cells_out.append(f"| {rec:.4f} | {qps:.2f} ")
 
         # HNSW kernel path (same warmup treatment)
         ef = max(1, b // M)
@@ -228,13 +338,30 @@ def main() -> None:
             top = _rerank_numpy(hidx.ids[cands], qm, vecs)
             hnsw_hits += len(set(top.tolist()) & gt[s])
         t_hnsw = time.time() - t0
-
-        lines.append(
-            f"| {b} | {roar_hits / (N_QUERY_SETS * K):.4f} "
-            f"| {N_QUERY_SETS / t_roar:.2f} "
-            f"| {hnsw_hits / (N_QUERY_SETS * K):.4f} "
-            f"| {N_QUERY_SETS / t_hnsw:.2f} |")
+        rec, qps = hnsw_hits / (N_QUERY_SETS * K), N_QUERY_SETS / t_hnsw
+        sweep["hnsw"].append((rec, qps))
+        cells_out.append(f"| {rec:.4f} | {qps:.2f} |")
+        lines.append("".join(cells_out))
         print(lines[-1], flush=True)
+
+    # iso-recall QPS (the paper's own headline axis, "QPS @ 90%
+    # recall"): linear interpolation of the (recall, QPS) sweep at
+    # fixed recall targets — VERDICT r10 directive #4
+    iso_parts = []
+    for target in (0.80, 0.90):
+        per_engine = []
+        for lb, _ in engines:
+            q = iso_recall_qps(sweep[lb], target)
+            per_engine.append(
+                f"{lb} {q:.2f}" if q is not None else f"{lb} n/r")
+        iso_parts.append(f"QPS@recall{target:.2f}: "
+                         + ", ".join(per_engine))
+    lines += ["", "**" + " — ".join(iso_parts)
+              + "** (linear interpolation of the sweep above; n/r = "
+              "target recall not reached at any swept budget).", ""]
+    if "_GATE_LINE" in globals():
+        lines += [globals()["_GATE_LINE"], ""]
+    print(lines[-3], flush=True)
 
     if out == "-":
         print("\n".join(lines))
