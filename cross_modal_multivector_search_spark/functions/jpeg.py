@@ -842,7 +842,8 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
 def encode_jpeg_hierarchical(img: np.ndarray, quality: int = 85,
                              levels: int = 2,
                              progressive: bool = False,
-                             final_lossless: bool = False) -> bytes:
+                             final_lossless: bool = False,
+                             arith: bool = False) -> bytes:
     """Hierarchical (T.81 Annex J) encoder — the fixture partner of the
     Annex-J decode path, the role `encode_webp_lossless` plays for
     VP8L (no third-party hierarchical codec exists: libjpeg never
@@ -869,7 +870,17 @@ def encode_jpeg_hierarchical(img: np.ndarray, quality: int = 85,
     "lossless refinement of a lossy pyramid" use): the decode then
     reproduces the coded component samples EXACTLY — bit-exact for
     gray; for RGB exact in the coded YCbCr domain (the color transform
-    itself rounds +-1 each way)."""
+    itself rounds +-1 each way).
+
+    ``arith=True`` swaps every frame's entropy coding for the Annex-D
+    QM coder: SOF9 initial + SOF13 differential (sequential), SOF10 +
+    SOF14 (progressive), SOF15 for the final lossless refinement —
+    the three arithmetic-differential frame types no third-party
+    encoder anywhere emits (the r10 seam this twin closes). Scan
+    structure, DCT pipeline, EXP folds, and the decoder-tracking
+    reconstruction are IDENTICAL to the Huffman path — only the
+    entropy layer changes, so the Huffman twin's pixel pins carry
+    over verbatim."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg_hierarchical expects uint8 pixels")
@@ -945,26 +956,58 @@ def encode_jpeg_hierarchical(img: np.ndarray, quality: int = 85,
             samp = [(1, 1)] * ncomp
             dims = [(mcus_y, mcus_x)] * ncomp
             all_ids = list(range(ncomp))
+
+            def ari(fn, *args) -> bytes:
+                enc = _ArithEncoder()
+                fn(enc, *args)
+                return enc.flush()
+
             data += sos_hdr(all_ids, 0, 0, 0, 1)
-            data += entropy(_enc_dc_scan, comp_blocks, samp, dc_tabs,
-                            tabsel, mcus_y, mcus_x, 1, False)
+            if arith:
+                data += ari(_enc_arith_dc_scan, comp_blocks, tabsel,
+                            ARI_CONDS, mcus_y, mcus_x, 1, False)
+            else:
+                data += entropy(_enc_dc_scan, comp_blocks, samp, dc_tabs,
+                                tabsel, mcus_y, mcus_x, 1, False)
             for ci in all_ids:
                 ch_, cw_ = dims[ci]
                 data += sos_hdr([ci], 1, 63, 0, 1)
-                data += entropy(_enc_ac_first,
+                if arith:              # Ta=0 -> conditioning table 0
+                    data += ari(_enc_arith_ac_first,
                                 _comp_zz_iter(comp_blocks[ci], ch_, cw_),
-                                ac_prog, 1, 63, 1)
+                                1, 63, 1, ARI_CONDS[0][2])
+                else:
+                    data += entropy(
+                        _enc_ac_first,
+                        _comp_zz_iter(comp_blocks[ci], ch_, cw_),
+                        ac_prog, 1, 63, 1)
             for ci in all_ids:
                 ch_, cw_ = dims[ci]
                 data += sos_hdr([ci], 1, 63, 1, 0)
-                data += entropy(_enc_ac_refine,
+                if arith:
+                    data += ari(_enc_arith_ac_refine,
                                 _comp_zz_iter(comp_blocks[ci], ch_, cw_),
-                                ac_prog, 1, 63, 0)
+                                1, 63, 0)
+                else:
+                    data += entropy(
+                        _enc_ac_refine,
+                        _comp_zz_iter(comp_blocks[ci], ch_, cw_),
+                        ac_prog, 1, 63, 0)
             data += sos_hdr(all_ids, 0, 0, 1, 0)
-            data += entropy(_enc_dc_scan, comp_blocks, samp, dc_tabs,
-                            tabsel, mcus_y, mcus_x, 0, True)
+            if arith:
+                data += ari(_enc_arith_dc_scan, comp_blocks, tabsel,
+                            ARI_CONDS, mcus_y, mcus_x, 0, True)
+            else:
+                data += entropy(_enc_dc_scan, comp_blocks, samp, dc_tabs,
+                                tabsel, mcus_y, mcus_x, 0, True)
             return bytes(data), comp_blocks
         data += sos_hdr(list(range(ncomp)), 0, 63, 0, 0)
+        if arith:
+            enc = _ArithEncoder()
+            _enc_arith_sequential(enc, comp_blocks, tabsel, ARI_CONDS,
+                                  mcus_y, mcus_x)
+            data += enc.flush()
+            return bytes(data), comp_blocks
         bw = _BitWriter()
         preds = [0] * ncomp
         for my in range(mcus_y):
@@ -1000,24 +1043,38 @@ def encode_jpeg_hierarchical(img: np.ndarray, quality: int = 85,
     for tid in range(2 if not gray else 1):
         zzvals = qtabs[tid].reshape(64)[ZIGZAG]
         out += seg(0xDB, bytes((tid,)) + bytes(zzvals.tolist()))
-    if progressive:
-        tables = [(0, 0, DC_LUM_BITS, DC_LUM_VALS),
-                  (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
-                  (1, 0, AC_PROG_BITS, AC_PROG_VALS)]
+    if arith:
+        # DAC: DC conditioning (L, U) = ARI_CONDS[t][:2], AC Kx per
+        # conditioning table (decoder default values, stated explicitly)
+        dac = bytearray()
+        for tid in range(2 if not gray else 1):
+            dcL, dcU, acK = ARI_CONDS[tid]
+            dac += bytes((0x00 | tid, (dcU << 4) | dcL))
+            dac += bytes((0x10 | tid, acK))
+        out += seg(0xCC, bytes(dac))
     else:
-        tables = [(0, 0, DC_LUM_BITS, DC_LUM_VALS),
-                  (1, 0, AC_LUM_BITS, AC_LUM_VALS),
-                  (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
-                  (1, 1, AC_CHROM_BITS, AC_CHROM_VALS)]
-    for cls, tid, bits, vals in tables:
-        if gray and tid == 1:
-            continue
-        out += seg(0xC4, bytes(((cls << 4) | tid,)) + bytes(bits)
-                   + bytes(vals))
+        if progressive:
+            tables = [(0, 0, DC_LUM_BITS, DC_LUM_VALS),
+                      (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+                      (1, 0, AC_PROG_BITS, AC_PROG_VALS)]
+        else:
+            tables = [(0, 0, DC_LUM_BITS, DC_LUM_VALS),
+                      (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+                      (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+                      (1, 1, AC_CHROM_BITS, AC_CHROM_VALS)]
+        for cls, tid, bits, vals in tables:
+            if gray and tid == 1:
+                continue
+            out += seg(0xC4, bytes(((cls << 4) | tid,)) + bytes(bits)
+                       + bytes(vals))
     out += frame_hdr(0xDE, h, w)                      # DHP
 
-    first_marker = 0xC2 if progressive else 0xC0
-    diff_marker = 0xC6 if progressive else 0xC5
+    if arith:
+        first_marker = 0xCA if progressive else 0xC9
+        diff_marker = 0xCE if progressive else 0xCD
+    else:
+        first_marker = 0xC2 if progressive else 0xC0
+        diff_marker = 0xC6 if progressive else 0xC5
     refs = None
     for lvl in range(levels - 1, -1, -1):
         planes_lvl = [pyr[lvl] for pyr in pyramids]
@@ -1038,29 +1095,58 @@ def encode_jpeg_hierarchical(img: np.ndarray, quality: int = 85,
             refs = [np.clip(np.round(r + d), 0, 255) for r, d in
                     zip(refs, reconstruct(blocks, fh, fw, diff=True))]
     if final_lossless:
-        # SOF7 lossless refinement: code (target - reference) mod 2^16
-        # per sample with predictor 0 — the decoder's fold reproduces
-        # the targets exactly
-        out += seg(0xC4, bytes((0x02,)) + bytes(LL_DC_BITS)
-                   + bytes(LL_DC_VALS))
-        out += frame_hdr(0xC7, h, w)
-        sos7 = bytearray([ncomp])
-        for ci in range(ncomp):
-            sos7 += bytes((ci + 1, 0x20))             # Td=2, Ta=0
-        sos7 += bytes((0, 0, 0))                      # Ss=0 (pred 0)
-        out += seg(0xDA, bytes(sos7))
-        lltab = _canonical_codes(LL_DC_BITS, LL_DC_VALS)
+        # SOF7/SOF15 lossless refinement: code (target - reference)
+        # mod 2^16 per sample with predictor 0 — the decoder's fold
+        # reproduces the targets exactly
         targets = [np.clip(np.round(p), 0, 255).astype(np.int64)
                    for p in full_planes]
         refs_i = [np.round(r).astype(np.int64) for r in refs]
-        bw = _BitWriter()
-        for y in range(h):
-            for x in range(w):
-                for t, r in zip(targets, refs_i):
-                    _write_lossless_diff(bw, lltab,
-                                         int(t[y, x]) - int(r[y, x]))
-        bw.pad_to_byte()
-        out += bw.buf
+        if arith:
+            out += frame_hdr(0xCF, h, w)
+            sosll = bytearray([ncomp])
+            for ci in range(ncomp):
+                sosll += bytes((ci + 1, 0x00))        # cond table 0
+            sosll += bytes((0, 0, 0))                 # Ss=0 (pred 0)
+            out += seg(0xDA, bytes(sosll))
+            # H.2 model, prediction 0: same interleave / context /
+            # bank layout as `_scan_arith_lossless` (all components
+            # select conditioning table 0 -> ONE shared stats bank)
+            dcL, dcU, _ = ARI_CONDS[0]
+            enc = _ArithEncoder()
+            st = bytearray(_LL_STATS_BINS)
+            above = [bytearray(w) for _ in targets]
+            left = [0] * len(targets)
+            for y in range(h):
+                for ci in range(len(targets)):
+                    left[ci] = 0
+                for x in range(w):
+                    for ci, (t, r) in enumerate(zip(targets, refs_i)):
+                        kb = above[ci][x]
+                        cls = _arith_write_diff(
+                            enc, st, 4 * (5 * left[ci] + kb),
+                            100 + (29 if kb > 2 else 0),
+                            int(t[y, x]) - int(r[y, x]), dcL, dcU)
+                        above[ci][x] = cls
+                        left[ci] = cls
+            out += enc.flush()
+        else:
+            out += seg(0xC4, bytes((0x02,)) + bytes(LL_DC_BITS)
+                       + bytes(LL_DC_VALS))
+            out += frame_hdr(0xC7, h, w)
+            sos7 = bytearray([ncomp])
+            for ci in range(ncomp):
+                sos7 += bytes((ci + 1, 0x20))         # Td=2, Ta=0
+            sos7 += bytes((0, 0, 0))                  # Ss=0 (pred 0)
+            out += seg(0xDA, bytes(sos7))
+            lltab = _canonical_codes(LL_DC_BITS, LL_DC_VALS)
+            bw = _BitWriter()
+            for y in range(h):
+                for x in range(w):
+                    for t, r in zip(targets, refs_i):
+                        _write_lossless_diff(bw, lltab,
+                                             int(t[y, x]) - int(r[y, x]))
+            bw.pad_to_byte()
+            out += bw.buf
     out += b"\xff\xd9"                                # EOI
     return bytes(out)
 
@@ -1798,6 +1884,11 @@ def _scan_arith_ac_refine(ad, c, ri, ss, se, al):
 
 _LL_STATS_BINS = 158
 
+#: (dcL, dcU, acK) per arithmetic conditioning table id used by the
+#: in-repo arithmetic encoders — the T.81 default values, emitted
+#: explicitly in a DAC segment.
+ARI_CONDS = ((0, 1, 5), (0, 1, 5))
+
 
 def _ll_class(m: int, sign: int, L: int, U: int) -> int:
     """F.1.4.4.1.1 difference classification from the magnitude
@@ -1817,9 +1908,13 @@ def _scan_arith_lossless(ad: "_ArithDecoder", frame: dict, comps: list,
     if any(c["h"] != 1 or c["v"] != 1 for c in comps):
         raise NotImplementedError(
             "lossless scan supports 1x1 sampling factors only")
-    if sel == 0 or frame.get("diff"):
-        raise ValueError(
-            "predictor 0 is differential-frame-only")
+    if frame.get("diff"):
+        if sel != 0:
+            raise ValueError(
+                "differential lossless scans require predictor 0 "
+                "(Table H.1)")
+    elif sel == 0:
+        raise ValueError("predictor 0 is differential-frame-only")
     default = 1 << (frame["prec"] - pt - 1)
     h, w = frame["h"], frame["w"]
     stats = {c["dc"]: bytearray(_LL_STATS_BINS) for c in comps}
@@ -1901,6 +1996,217 @@ def _arith_write_diff(enc: "_ArithEncoder", st: bytearray, ctx: int,
         enc.encode(st, stk, 1 if sz & mm else 0)
         mm >>= 1
     return cls
+
+
+# ---- arithmetic DCT scan ENCODERS -----------------------------------
+#
+# Exact mirrors of the F.2.4 decode procedures above, built on the
+# Annex-D `_ArithEncoder`. They exist as the fixture partners for the
+# arithmetic DIFFERENTIAL frame types (SOF13/14/15): no third-party
+# encoder implements Annex J with arithmetic coding (libjpeg62 has
+# neither), so — exactly like the Huffman hierarchical path and the
+# SOF11 lossless path before them — parity is pinned by in-repo
+# encoder twins plus the QM coder itself being oracle-pinned by
+# libjpeg SOF9/SOF10 streams (tests/test_jpeg_arith.py).
+
+def _arith_enc_dc(enc: "_ArithEncoder", dst: bytearray, s0: int,
+                  diff: int, dcL: int, dcU: int) -> int:
+    """Encode one DC difference under G.1.3.2 conditioning (context
+    ``s0`` from the previous diff's classification); returns the next
+    block's context — the exact inverse of the DC tree in
+    `_scan_arith_sequential` / `_scan_arith_dc_first`."""
+    if diff == 0:
+        enc.encode(dst, s0, 0)
+        return 0
+    enc.encode(dst, s0, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(dst, s0 + 1, sign)
+    sz = (-diff if sign else diff) - 1
+    m = 0
+    stk = s0 + 2 + sign
+    if sz == 0:
+        enc.encode(dst, stk, 0)
+    else:
+        enc.encode(dst, stk, 1)
+        m = 1
+        stk = 20                              # X1 bin (Table F.4)
+        while (m << 1) <= sz:
+            enc.encode(dst, stk, 1)
+            m <<= 1
+            stk += 1
+        enc.encode(dst, stk, 0)
+    if m < (1 << dcL) >> 1:
+        ctx = 0
+    elif m > (1 << dcU) >> 1:
+        ctx = 12 + sign * 4
+    else:
+        ctx = 4 + sign * 4
+    stk += 14                                 # M bins follow X bins
+    mm = m >> 1
+    while mm:
+        enc.encode(dst, stk, 1 if sz & mm else 0)
+        mm >>= 1
+    return ctx
+
+
+def _arith_enc_ac(enc: "_ArithEncoder", ast: bytearray, fixed: bytearray,
+                  vals: list, ss: int, se: int, acK: int) -> None:
+    """Encode one block's (point-transformed, signed) AC band
+    ``vals[0..se-ss]`` — the exact inverse of the AC tree shared by
+    `_scan_arith_sequential` and `_scan_arith_ac_first`."""
+    kend = ss - 1
+    for j in range(se - ss, -1, -1):
+        if vals[j]:
+            kend = ss + j
+            break
+    k = ss
+    while k <= se:
+        stk = 3 * (k - 1)
+        if k > kend:
+            enc.encode(ast, stk, 1)           # EOB
+            return
+        enc.encode(ast, stk, 0)
+        while vals[k - ss] == 0:
+            enc.encode(ast, stk + 1, 0)
+            stk += 3
+            k += 1
+        enc.encode(ast, stk + 1, 1)
+        v = int(vals[k - ss])
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, 0, sign)
+        sz = (-v if sign else v) - 1
+        stk += 2
+        m = 0
+        if sz == 0:
+            enc.encode(ast, stk, 0)
+        else:
+            enc.encode(ast, stk, 1)
+            if sz == 1:
+                enc.encode(ast, stk, 0)       # second decision, same bin
+                m = 1
+            else:
+                enc.encode(ast, stk, 1)
+                m = 2
+                stk = 189 if k <= acK else 217
+                while (m << 1) <= sz:
+                    enc.encode(ast, stk, 1)
+                    m <<= 1
+                    stk += 1
+                enc.encode(ast, stk, 0)
+        stk += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(ast, stk, 1 if sz & mm else 0)
+            mm >>= 1
+        k += 1
+
+
+def _enc_arith_sequential(enc: "_ArithEncoder", comp_blocks: list,
+                          tabsel: list, conds: list, mcus_y: int,
+                          mcus_x: int) -> None:
+    """Sequential DC+AC arithmetic scan over 1x1-sampled interleaved
+    components (`_scan_arith_sequential`'s inverse, no restarts).
+    ``conds[t]`` = (dcL, dcU, acK) for conditioning table t."""
+    dc_stats = {t: bytearray(64) for t in set(tabsel)}
+    ac_stats = {t: bytearray(256) for t in set(tabsel)}
+    fixed = bytearray([113])
+    dc_ctx = [0] * len(comp_blocks)
+    last_dc = [0] * len(comp_blocks)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, blocks in enumerate(comp_blocks):
+                t = tabsel[ci]
+                dcL, dcU, acK = conds[t]
+                zz = blocks[my, mx]
+                dc = int(zz[0])
+                dc_ctx[ci] = _arith_enc_dc(
+                    enc, dc_stats[t], dc_ctx[ci], dc - last_dc[ci],
+                    dcL, dcU)
+                last_dc[ci] = dc
+                _arith_enc_ac(enc, ac_stats[t], fixed,
+                              [int(x) for x in zz[1:64]], 1, 63, acK)
+
+
+def _enc_arith_dc_scan(enc: "_ArithEncoder", comp_blocks: list,
+                       tabsel: list, conds: list, mcus_y: int,
+                       mcus_x: int, al: int, refine: bool) -> None:
+    """Progressive arithmetic DC scan (first or refinement), 1x1
+    sampling — inverse of `_scan_arith_dc_first` / `_dc_refine`."""
+    if refine:
+        fixed = bytearray([113])
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for blocks in comp_blocks:
+                    enc.encode(fixed, 0,
+                               (int(blocks[my, mx][0]) >> al) & 1)
+        return
+    dc_stats = {t: bytearray(64) for t in set(tabsel)}
+    dc_ctx = [0] * len(comp_blocks)
+    last_dc = [0] * len(comp_blocks)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, blocks in enumerate(comp_blocks):
+                t = tabsel[ci]
+                dcL, dcU, _ = conds[t]
+                v = int(blocks[my, mx][0]) >> al   # arithmetic shift
+                dc_ctx[ci] = _arith_enc_dc(
+                    enc, dc_stats[t], dc_ctx[ci], v - last_dc[ci],
+                    dcL, dcU)
+                last_dc[ci] = v
+
+
+def _enc_arith_ac_first(enc: "_ArithEncoder", zzs, ss: int, se: int,
+                        al: int, acK: int) -> None:
+    """Progressive arithmetic AC-first scan over one component's band
+    (inverse of `_scan_arith_ac_first`; point transform is integer
+    division toward zero, G.1.2.1)."""
+    ast = bytearray(256)
+    fixed = bytearray([113])
+    for zz in zzs:
+        vals = [(int(v) >> al) if v >= 0 else -((-int(v)) >> al)
+                for v in zz[ss:se + 1]]
+        _arith_enc_ac(enc, ast, fixed, vals, ss, se, acK)
+
+
+def _enc_arith_ac_refine(enc: "_ArithEncoder", zzs, ss: int, se: int,
+                         al: int) -> None:
+    """Progressive arithmetic AC-refinement scan — inverse of
+    `_scan_arith_ac_refine`: the decoder's pre-scan coefficient state
+    (history = |v| >> (al+1)) drives the same decision sequence."""
+    ast = bytearray(256)
+    fixed = bytearray([113])
+    for zz in zzs:
+        band = [int(v) for v in zz[ss:se + 1]]
+        temp = [abs(v) >> al for v in band]        # this-stage magnitude
+        hist = [abs(v) >> (al + 1) for v in band]  # decoder pre-scan state
+        kex = se
+        while kex >= ss and hist[kex - ss] == 0:
+            kex -= 1
+        kend = ss - 1
+        for j in range(se - ss, -1, -1):
+            if temp[j]:
+                kend = ss + j
+                break
+        k = ss
+        while k <= se:
+            stk = 3 * (k - 1)
+            if k > kex:
+                eob = k > kend
+                enc.encode(ast, stk, 1 if eob else 0)
+                if eob:
+                    break
+            while True:
+                if hist[k - ss]:                   # previously significant
+                    enc.encode(ast, stk + 2, temp[k - ss] & 1)
+                    break
+                if temp[k - ss]:                   # newly significant
+                    enc.encode(ast, stk + 1, 1)
+                    enc.encode(fixed, 0, 1 if band[k - ss] < 0 else 0)
+                    break
+                enc.encode(ast, stk + 1, 0)
+                stk += 3
+                k += 1
+            k += 1
 
 
 def _exp_expand(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
@@ -2115,9 +2421,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             hier["_exp"] = (body[0] >> 4, body[0] & 15)
         elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA,       # SOF0/1/2/9/10
                    0xC5, 0xC6,                         # diff SOF5/6
-                   0xC3, 0xC7, 0xCB):                  # lossless SOF3/7/11
-            diff = m in (0xC5, 0xC6, 0xC7)
-            lossless = m in (0xC3, 0xC7, 0xCB)
+                   0xCD, 0xCE,                         # arith diff SOF13/14
+                   0xC3, 0xC7, 0xCB, 0xCF):   # lossless SOF3/7/11/15
+            diff = m in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
+            lossless = m in (0xC3, 0xC7, 0xCB, 0xCF)
             if diff and hier is None:
                 raise ValueError(
                     "differential frame outside hierarchical mode "
@@ -2125,8 +2432,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if (hier is not None and frame is not None
                     and frame.get("scanned")):
                 _hier_fold(hier, frame, qt)   # previous frame completed
-            progressive = m in (0xC2, 0xCA, 0xC6)
-            arith = m in (0xC9, 0xCA, 0xCB)
+            progressive = m in (0xC2, 0xCA, 0xC6, 0xCE)
+            arith = m in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
             # 12-bit is legal for extended/progressive frames (T.81
             # Table B.2); baseline SOF0 is 8-bit by definition;
             # lossless allows 2..16 (Table B.2 column "lossless")
@@ -2173,16 +2480,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     c["zz"] = np.zeros((c["by"], c["bx"], 64),
                                        dtype=np.int64)
-        elif m in (0xCD, 0xCE, 0xCF):   # arith differential frames
-            # DELIBERATE seam (r9 advice): the arithmetic scan decoders
-            # and the Annex-J fold both exist, but no Annex-J/Annex-H
-            # arithmetic encoder pins these combinations — raising here
-            # keeps decode_image's library-dispatch seam covering them
-            # instead of returning silently-untested pixels.
-            raise NotImplementedError(
-                "JPEG frame type "
-                f"0xFF{m:02X} (arithmetic-coded differential): "
-                "no fixture pins this combination in-container")
         elif m == 0xDA:                                # SOS
             if frame is None:
                 raise ValueError("JPEG scan before frame header")

@@ -9,12 +9,13 @@ PCM 8/16/24,
 IEEE float 32/64, G.711 A-law/mu-law, EXTENSIBLE headers), PNG at
 bit depths 1/2/4/8/16, plain or Adam7-interlaced (stdlib-zlib DEFLATE
 inflate + NumPy scanline unfiltering), JPEG
-(Huffman baseline + progressive, arithmetic SOF9/SOF10/SOF11,
-hierarchical Annex-J DHP/EXP/differential frames, AND lossless
+(EVERY T.81 frame type: Huffman baseline + progressive, arithmetic
+SOF9/SOF10/SOF11, hierarchical Annex-J DHP/EXP/differential frames
+incl. the arithmetic-differential SOF13/14/15, AND lossless
 SOF3/SOF7/SOF11 — functions/jpeg.py), and WebP (lossless VP8L and
 lossy VP8 keyframes with alpha — functions/webp.py, functions/vp8.py).
 The few residual variants that genuinely need an external library
-(arithmetic differential JPEG SOF13/14/15, VP8 interframes) route
+(VP8 interframes, exotic PNG variants) route
 through an import-guarded PIL/cv2
 dispatch whose seam is stub-tested, raising a clearly-marked
 NotImplementedError only when neither is installed. The Spark-side
@@ -341,14 +342,14 @@ def decode_image(payload: bytes) -> np.ndarray:
     uncompressed 24/32-bit BMP, REAL 8-bit PNG (stdlib zlib inflate +
     NumPy unfilter), REAL JPEG — baseline, progressive SOF2, AND
     arithmetic-coded SOF9/SOF10/SOF11, hierarchical Annex-J streams,
-    AND lossless SOF3/SOF7/SOF11 (pure-NumPy Huffman/QM-coder + IDCT
-    + EXP composition + Annex-H prediction, ``functions.jpeg``) — and
-    REAL WebP, lossless VP8L (``functions.webp``) and lossy VP8
+    AND lossless SOF3/SOF7/SOF11, AND (r11) the arithmetic
+    DIFFERENTIAL frame types SOF13/14/15 (pure-NumPy Huffman/QM-coder
+    + IDCT + EXP composition + Annex-H prediction, ``functions.jpeg``)
+    — and REAL WebP, lossless VP8L (``functions.webp``) and lossy VP8
     keyframes + ALPH alpha (``functions.vp8``). The residual modes
-    (arithmetic differential JPEG SOF13/14/15, VP8 interframes) route
-    through the import-guarded
-    PIL/cv2 dispatch and raise NotImplementedError only when neither
-    is installed.
+    (VP8 interframes, exotic PNG variants) route through the
+    import-guarded PIL/cv2 dispatch and raise NotImplementedError only
+    when neither is installed.
     """
     if payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         return _decode_netpbm(payload)
@@ -365,7 +366,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         try:
             return _jpeg.decode_jpeg(payload)
         except NotImplementedError:
-            # arith differential SOF13/14/15: need a full codec library
+            # residual exotics (e.g. unsupported precision): library
             return _decode_with_library(payload, "JPEG")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ..functions import webp as _webp
@@ -376,11 +377,11 @@ def decode_image(payload: bytes) -> np.ndarray:
             return _decode_with_library(payload, "WebP")
     raise NotImplementedError(
         "unrecognized image payload; supported in-container: netpbm "
-        "P1-P6, uncompressed BMP, 8-bit PNG, JPEG (baseline/"
-        "progressive/arithmetic), WebP (lossless VP8L and lossy VP8 "
-        "keyframes, with alpha, plus animations; JPEG incl. "
-        "arithmetic, hierarchical, and lossless incl. SOF11); via "
-        "PIL/cv2: arithmetic differential JPEG (SOF13/14/15)")
+        "P1-P6, uncompressed BMP, 8-bit PNG, JPEG (every T.81 frame "
+        "type: baseline/progressive/arithmetic/hierarchical/lossless "
+        "incl. the differential SOF5-7/13-15), WebP (lossless VP8L "
+        "and lossy VP8 keyframes, with alpha, plus animations); via "
+        "PIL/cv2: VP8 interframes, exotic PNG variants")
 
 
 def encode_png(img: np.ndarray) -> bytes:

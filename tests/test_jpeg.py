@@ -96,17 +96,16 @@ def test_quality_monotonic():
     assert p_hi > p_lo
 
 
-def test_residual_arith_differential_raises_not_implemented():
-    """Hierarchical (Annex J), Huffman lossless SOF3/SOF7, and
-    arithmetic lossless SOF11 now decode in-repo; the arithmetic
-    DIFFERENTIAL frame types (SOF13/14/15) remain the declared seam.
-    A differential SOF5 without a DHP is malformed and must say so,
-    not decode garbage."""
+def test_bare_differential_frames_rejected():
+    """Every differential frame type — Huffman SOF5 AND (since r11)
+    the in-repo-decoded arithmetic SOF13 — is malformed outside a
+    hierarchical (DHP) sequence and must say so, not decode
+    garbage."""
     img = _smooth_rgb(16, 16)
     data = bytearray(jpeg.encode_jpeg(img))
     i = bytes(data).find(b"\xff\xc0")
     data[i + 1] = 0xCD                      # SOF13: arith differential
-    with pytest.raises(NotImplementedError, match="0xFFCD"):
+    with pytest.raises(ValueError, match="missing DHP"):
         jpeg.decode_jpeg(bytes(data))
     data[i + 1] = 0xC5                      # differential without DHP
     with pytest.raises(ValueError, match="missing DHP"):

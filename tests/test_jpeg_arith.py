@@ -253,8 +253,9 @@ def test_arith_frame_inside_hierarchy():
     """Arithmetic (SOF9) as the initial frame of a hierarchical stream:
     transplant a libjpeg arith file under a DHP — the Annex-J fold of a
     single non-differential arith frame must reproduce the plain decode
-    exactly (pins the arith+hierarchy plumbing; differential arith
-    SOF13/14 stay untestable — no Annex-J arith encoder exists)."""
+    exactly (pins the arith+hierarchy plumbing against a THIRD-PARTY
+    stream; the differential arith frames SOF13/14/15 are pinned by
+    the in-repo encoder twin in tests/test_jpeg_hier.py since r11)."""
     def transplant(d: bytes) -> bytes:
         i = d.index(b"\xff\xc9")
         ln = int.from_bytes(d[i + 2:i + 4], "big")

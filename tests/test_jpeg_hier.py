@@ -210,3 +210,84 @@ def test_dqt_between_frames_does_not_retroact():
     i = d.rindex(b"\xff\xd9")
     mangled = d[:i] + hostile + d[i:]
     np.testing.assert_array_equal(J.decode_jpeg(mangled), base)
+
+
+# ---- arithmetic differential frames (SOF13/14/15, r11) --------------
+#
+# The r10 seam: no third-party encoder anywhere emits Annex-J frames
+# with arithmetic coding, so these were NotImplementedError until the
+# in-repo arith scan encoders (`_enc_arith_sequential` etc.) composed
+# the existing QM coder (oracle-pinned by libjpeg SOF9/10 streams,
+# tests/test_jpeg_arith.py) with the existing hierarchical structure.
+# The entropy layer is lossless, so each arith stream must decode to
+# EXACTLY the pixels of its Huffman twin — the same twin-equality pin
+# the progressive/sequential and SOF11 paths use.
+
+
+def test_sof13_sequential_differential_equals_huffman_twin():
+    for seed, shape in ((3, (37, 53)), (4, (16, 16))):
+        img = _gray(shape, seed)
+        dh = J.encode_jpeg_hierarchical(img, 90, levels=3)
+        da = J.encode_jpeg_hierarchical(img, 90, levels=3, arith=True)
+        ms = _markers(da)
+        assert ms.count(0xC9) == 1              # arith initial frame
+        assert ms.count(0xCD) == 2              # arith differential x2
+        assert 0xC4 not in ms and 0xCC in ms    # DAC, no DHT
+        np.testing.assert_array_equal(J.decode_jpeg(da),
+                                      J.decode_jpeg(dh))
+
+
+def test_sof13_rgb_equals_huffman_twin():
+    g = _gray((24, 31), 9)
+    img = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], axis=2)
+    dh = J.encode_jpeg_hierarchical(img, 85, levels=2)
+    da = J.encode_jpeg_hierarchical(img, 85, levels=2, arith=True)
+    assert 0xCD in _markers(da)
+    np.testing.assert_array_equal(J.decode_jpeg(da), J.decode_jpeg(dh))
+
+
+def test_sof14_progressive_differential_equals_huffman_twin():
+    img = _gray((33, 41), 5)
+    dh = J.encode_jpeg_hierarchical(img, 90, levels=2, progressive=True)
+    da = J.encode_jpeg_hierarchical(img, 90, levels=2, progressive=True,
+                                    arith=True)
+    ms = _markers(da)
+    assert ms.count(0xCA) == 1                  # arith progressive init
+    assert ms.count(0xCE) == 1                  # arith prog differential
+    np.testing.assert_array_equal(J.decode_jpeg(da), J.decode_jpeg(dh))
+
+
+def test_sof15_final_lossless_bit_exact():
+    """SOF15 refinement reproduces the coded samples exactly (gray:
+    bit-exact against the input image), like the SOF7 twin."""
+    img = _gray((29, 35), 11)
+    da = J.encode_jpeg_hierarchical(img, 80, levels=2,
+                                    final_lossless=True, arith=True)
+    ms = _markers(da)
+    assert ms.count(0xCF) == 1
+    np.testing.assert_array_equal(J.decode_jpeg(da), img)
+
+
+def test_sof15_rgb_matches_huffman_final_lossless():
+    g = _gray((18, 22), 12)
+    img = np.stack([g, np.roll(g, 2, 0), np.roll(g, 4, 1)], axis=2)
+    dh = J.encode_jpeg_hierarchical(img, 80, levels=2,
+                                    final_lossless=True)
+    da = J.encode_jpeg_hierarchical(img, 80, levels=2,
+                                    final_lossless=True, arith=True)
+    np.testing.assert_array_equal(J.decode_jpeg(da), J.decode_jpeg(dh))
+
+
+def test_arith_differential_outside_hierarchy_rejected():
+    """A SOF13/14/15 frame without DHP must still be rejected — the
+    differential guard applies to the arithmetic types identically."""
+    img = _gray((16, 16), 6)
+    d = bytearray(J.encode_jpeg_hierarchical(img, 85, levels=1,
+                                             final_lossless=True,
+                                             arith=True))
+    # levels=1: one SOF9 frame + SOF15 refinement; strip the DHP
+    i = bytes(d).index(b"\xff\xde")
+    ln = int.from_bytes(d[i + 2:i + 4], "big")
+    del d[i:i + 2 + ln]
+    with pytest.raises(ValueError, match="missing DHP"):
+        J.decode_jpeg(bytes(d))

@@ -74,17 +74,17 @@ def test_predictor_edges_literal():
         J._lossless_predict(plane, 1, 1, 8, 128)
 
 
-def test_residual_arith_differential_modes_still_seam():
-    """SOF11 decodes in-repo now; the arithmetic DIFFERENTIAL frame
-    types (SOF13/14/15) remain the declared external-codec seam —
-    nothing in-container can pin those combinations (r9 advice)."""
+def test_arith_differential_frames_decode_but_need_hierarchy():
+    """SOF13/14/15 decode in-repo since r11 (pinned by the hierarchical
+    encoder twin, tests/test_jpeg_hier.py); outside a DHP sequence
+    they are malformed differential frames and must be rejected like
+    their Huffman siblings."""
     img = np.zeros((8, 8), dtype=np.uint8)
     d = bytearray(J.encode_jpeg_lossless(img, 1))
     i = bytes(d).index(b"\xff\xc3")
-    for sof, tag in ((0xCD, "0xFFCD"), (0xCE, "0xFFCE"),
-                     (0xCF, "0xFFCF")):
+    for sof in (0xCD, 0xCE, 0xCF):
         d[i + 1] = sof
-        with pytest.raises(NotImplementedError, match=tag):
+        with pytest.raises(ValueError, match="missing DHP"):
             J.decode_jpeg(bytes(d))
 
 
