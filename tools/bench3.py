@@ -40,6 +40,9 @@ def main() -> None:
             q: min(r["queries"][q] for r in runs)
             for q in runs[0]["queries"]
         },
+        # r11: per-query Spark job counts (plan drift vs box noise —
+        # VERDICT r10 #3); identical across reps unless a plan changed
+        "job_counts": runs[-1].get("job_counts", {}),
     }
     with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")
