@@ -119,6 +119,10 @@ def main() -> None:
     out = sys.argv[3] if len(sys.argv) > 3 else "ANN_PROTOCOL.md"
     mode = sys.argv[4] if len(sys.argv) > 4 else "uniform"
     assert mode in ("uniform", "ood"), mode
+    # the fixed-cardinality reranker groups vec_ids into sets of M;
+    # a non-divisible n leaves a partial tail set that would index
+    # out of bounds — fail with the fix instead
+    assert n % M == 0, f"n={n} must be divisible by OOD_M={M}"
 
     spark = get_spark("hnsw-compare")
     spark.sparkContext.setLogLevel("ERROR")
