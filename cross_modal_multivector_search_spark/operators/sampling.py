@@ -82,11 +82,13 @@ GEN_BLOCK = 4096
 
 def _by_block(ids: np.ndarray, seed_tail: list, draw):
     """Iterate the distinct GEN_BLOCK-blocks covering ``ids``; for each,
-    build the block's Generator from SeedSequence([*seed_tail, block])
-    and call ``draw(rng)`` for the FULL block, then select this batch's
-    offsets. Returns a list of (batch_positions, per-row slices...)
-    via the caller's draw closure appending into preallocated outputs.
-    """
+    build the block's Generator from SeedSequence([*seed_tail, block]),
+    call ``draw(rng)`` for the FULL block (a tuple of (GEN_BLOCK, ...)
+    arrays), and yield (positions_into_ids, per-row slices) for the
+    batch rows that fall in the block. A partition covering part of a
+    block recomputes the whole block's draws (bounded, ≤2 partial
+    blocks per contiguous range), which is what makes output
+    partition-independent."""
     blocks = ids // GEN_BLOCK
     for blk in np.unique(blocks):
         sel = np.nonzero(blocks == blk)[0]

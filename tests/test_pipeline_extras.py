@@ -310,30 +310,30 @@ def test_multimodal_plumbing(spark):
     assert all(r["count"] == 5 for r in per_video)  # 5000ms / 1000ms
 
 
-def _lossless_jpeg_stub() -> bytes:
-    """Minimal SOI + SOF15 (arithmetic differential lossless) payload:
-    the pure-NumPy decoder declines it with NotImplementedError,
-    exercising the external-codec dispatch. (Progressive SOF2 decodes
-    in-container since r5, arithmetic SOF9/SOF10 since r8, hierarchical
-    Annex-J plus Huffman lossless SOF3/SOF7 since r9, and arithmetic
-    lossless SOF11 since r10, so only the arithmetic DIFFERENTIAL
-    frame types SOF13/14/15 reach the seam.)"""
-    sof15_body = bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0])
-    return (b"\xff\xd8\xff\xcf"
-            + (len(sof15_body) + 2).to_bytes(2, "big") + sof15_body)
+def _exotic_jpeg_stub() -> bytes:
+    """Minimal SOI + 12-bit-precision SOF0 payload: a spec-ILLEGAL
+    combination (baseline is 8-bit by definition, T.81 Table B.2) the
+    pure-NumPy decoder declines with NotImplementedError, exercising
+    the external-codec dispatch. (Every LEGAL T.81 frame type decodes
+    in-container as of r11 — incl. the arithmetic differential
+    SOF13/14/15 that previously backed this stub — so the seam is
+    pinned with an out-of-spec precision instead.)"""
+    sof0_body = bytes([12, 0, 16, 0, 16, 1, 1, 0x11, 0])
+    return (b"\xff\xd8\xff\xc0"
+            + (len(sof0_body) + 2).to_bytes(2, "big") + sof0_body)
 
 
 def test_decode_codec_dispatch_seam():
-    """Huffman, arithmetic, hierarchical, AND lossless JPEG decode
-    in-container (functions.jpeg); the import-guarded PIL/cv2 seam
-    remains the path for the arithmetic differential frame types
-    (SOF13/14/15): absent both libs, a clear NotImplementedError; with
+    """Every legal T.81 frame type decodes in-container
+    (functions.jpeg); the import-guarded PIL/cv2 seam remains the
+    path for genuinely-exotic payloads (here: out-of-spec 12-bit
+    baseline): absent both libs, a clear NotImplementedError; with
     a (stubbed) PIL installed, bytes decode through the seam
     unchanged."""
     import sys
     import types
     with pytest.raises(NotImplementedError, match="PIL or cv2"):
-        multimodal.decode_image(_lossless_jpeg_stub())
+        multimodal.decode_image(_exotic_jpeg_stub())
     stub_img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
 
     class _Im:
@@ -347,7 +347,7 @@ def test_decode_codec_dispatch_seam():
     sys.modules["PIL"] = pil
     sys.modules["PIL.Image"] = image_mod
     try:
-        out = multimodal.decode_image(_lossless_jpeg_stub())
+        out = multimodal.decode_image(_exotic_jpeg_stub())
         assert np.array_equal(out, stub_img)
     finally:
         del sys.modules["PIL"], sys.modules["PIL.Image"]
