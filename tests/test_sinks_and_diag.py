@@ -135,3 +135,20 @@ def test_sink_row_guard(spark, tmp_path):
     # at or below the bound the sinks still work
     fbin.write_fbin(df, str(tmp_path / "ok.fbin"), max_rows=10)
     assert fbin.read_meta(str(tmp_path / "ok.fbin")) == (10, 2)
+
+
+def test_iso_recall_qps_interpolation():
+    """The probe's QPS@recall interpolator (ANN_PROTOCOL iso lines):
+    linear between straddling budget rows, measured-QPS lower bound
+    when the smallest budget already meets the target, None when the
+    target is never reached."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from hnsw_compare_probe import iso_recall_qps
+    pts = [(0.4, 100.0), (0.6, 50.0), (0.8, 25.0), (0.9, 10.0)]
+    assert iso_recall_qps(pts, 0.80) == 25.0        # exact hit
+    assert abs(iso_recall_qps(pts, 0.70) - 37.5) < 1e-9   # mid 50..25
+    assert abs(iso_recall_qps(pts, 0.85) - 17.5) < 1e-9   # mid 25..10
+    assert iso_recall_qps(pts, 0.95) is None        # never reached
+    assert iso_recall_qps(pts, 0.30) == 100.0       # lower bound
+    assert iso_recall_qps([], 0.5) is None
