@@ -204,7 +204,8 @@ def _merge_wave(ids: np.ndarray, dists: np.ndarray, expanded: np.ndarray,
 def batch_supply_search_collect(adj: list, vecs: np.ndarray,
                                 query_nodes: np.ndarray, ep: int,
                                 beam_width: int,
-                                batch_rows: int | None = None) -> list:
+                                batch_rows: int | None = None,
+                                vecs_ext: np.ndarray | None = None) -> list:
     """Wave-vectorized twin of ``supply_search_collect`` over many target
     nodes at once: per wave, every still-active query expands its closest
     unexpanded candidate, all neighbor gathers / distance dots / beam
@@ -244,12 +245,26 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
     else:
         adj_pad = pad_adjacency(adj, n)
     dmax = adj_pad.shape[1]
-    vecs_ext = np.vstack([vecs, np.zeros((1, vecs.shape[1]))])
+    if vecs_ext is None:
+        vecs_ext = np.vstack([vecs, np.zeros((1, vecs.shape[1]))])
+    elif vecs_ext.shape != (n + 1, vecs.shape[1]):
+        # callers hand a PRE-extended (n+1, d) matrix (last row zeros)
+        # so a node-local mmap snapshot is gathered from directly — the
+        # per-task vstack above copies the full matrix, which at 10M
+        # nodes is ~5 GB per concurrent worker (SCALE_PROBE's pass-3
+        # wall). A wrong-shape matrix would silently misalign gathers.
+        raise ValueError(
+            f"vecs_ext shape {vecs_ext.shape} != {(n + 1, vecs.shape[1])}")
     if batch_rows is None:
         # visited bitmap is the footprint: B*(n+1) bytes; cap ~256 MB
         batch_rows = int(np.clip(256_000_000 // max(n + 1, 1), 32, 8192))
     results: list = [None] * nq
 
+    # ONE visited buffer reused across node blocks, clearing only the
+    # entries each block actually set: a fresh zeros((B, n+1)) per block
+    # totals n/B blocks x B*(n+1) bytes = O(n^2) memset — ~100 TB of
+    # pure zeroing at n=10M — while the touched set is O(expansions).
+    visited = None
     for s in range(0, nq, batch_rows):
         qn = np.asarray(query_nodes[s:s + batch_rows], dtype=np.int64)
         B = len(qn)
@@ -257,13 +272,16 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
         ids = np.full((B, L), n, dtype=np.int64)
         dists = np.full((B, L), np.inf)
         expanded = np.ones((B, L), dtype=bool)            # padding: True
-        visited = np.zeros((B, n + 1), dtype=bool)
+        if visited is None:
+            visited = np.zeros((B, n + 1), dtype=bool)
+        bidx = np.arange(B)
         ids[:, 0] = ep
         dists[:, 0] = -(qmat @ vecs[ep])
         expanded[:, 0] = False
-        visited[:, ep] = True
-        visited[np.arange(B), qn] = True                  # target skip
+        visited[:B, ep] = True
+        visited[bidx, qn] = True                          # target skip
         trace_b, trace_id, trace_d = [], [], []
+        marks: list = []              # (rows, cols) set this block
 
         while True:
             un = ~expanded
@@ -281,11 +299,19 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
             nbr = adj_pad[cur]                            # (A, dmax)
             fresh = ~visited[rows[:, None], nbr]
             fresh &= nbr < n                              # drop padding
-            visited[rows[:, None],
-                    np.where(fresh, nbr, n)] = True
+            cols = np.where(fresh, nbr, n)
+            visited[rows[:, None], cols] = True
+            marks.append((rows, cols))
             nd = -np.einsum("and,ad->an", vecs_ext[nbr], qmat[rows])
             _merge_wave(ids, dists, expanded, rows, nbr, fresh, nd,
                         np.full(len(rows), L, dtype=np.int64), n)
+
+        # un-mark this block's writes (exactly the fancy-index sets
+        # above, replayed with False) so the buffer is all-False again
+        for rows_m, cols_m in marks:
+            visited[rows_m[:, None], cols_m] = False
+        visited[:B, ep] = False
+        visited[bidx, qn] = False
 
         if trace_b:
             tb = np.concatenate(trace_b)

@@ -35,6 +35,10 @@ partial/final top-k.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -75,6 +79,61 @@ class RoarGraphIndex:
                  [int(self.ids[j]) for j in self.adj[i]])
                 for i in range(len(self.ids))]
         return spark.createDataFrame(rows, schema=_GRAPH_SCHEMA)
+
+
+class _NodeLocalArray:
+    """Handle to a NumPy array shipped once per MACHINE (``sc.addFile``)
+    and mapped read-only by every Python worker
+    (``np.load(mmap_mode='r')``): the OS page cache shares ONE physical
+    copy across all workers on a node, where a Spark broadcast is
+    unpickled into a PRIVATE copy per worker process.
+
+    This is the pass-3 snapshot fix named in SCALE_PROBE.md: at 10M
+    nodes the float64 vectors + padded adjacency are ~6 GB, and 32
+    local Python workers x 6 GB private copies exceed box memory;
+    mapped, the snapshot costs ~6 GB total regardless of worker count.
+    On a multi-node cluster ``addFile`` ships the file once per node —
+    the same one-copy-per-machine contract. Values are bit-identical to
+    the broadcast path (same float64 bytes, gathers copy only the rows
+    a task touches), so the dist-vs-one-task bit-equality pins hold for
+    either snapshot mode."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def load(self) -> np.ndarray:
+        from pyspark import SparkFiles
+        return np.load(SparkFiles.get(self.name), mmap_mode="r")
+
+
+def _ship_array(sc, arr: np.ndarray, tag: str, tmp_dirs: list,
+                pad_zero_row: bool = False) -> _NodeLocalArray:
+    """Write ``arr`` as .npy and register it node-local via addFile.
+    The source file must outlive the job on a real cluster (executors
+    fetch lazily from the driver's file server), so the tempdir is
+    recorded in ``tmp_dirs`` and removed by the caller after the last
+    pass consumed it."""
+    d = tempfile.mkdtemp(prefix="roar_snap_")
+    tmp_dirs.append(d)
+    fname = f"{tag}_{uuid.uuid4().hex}.npy"
+    path = os.path.join(d, fname)
+    if arr.ndim == 2:
+        # stream through a write memmap: no second in-RAM copy of a
+        # multi-GB matrix. ``pad_zero_row`` appends one all-zero row —
+        # the (n+1, d) extended matrix the wave kernel gathers padding
+        # from — without materializing a vstack copy in RAM.
+        rows = arr.shape[0] + (1 if pad_zero_row else 0)
+        mm = np.lib.format.open_memmap(path, mode="w+", dtype=arr.dtype,
+                                       shape=(rows, arr.shape[1]))
+        mm[:arr.shape[0]] = arr
+        if pad_zero_row:
+            mm[arr.shape[0]:] = 0
+        mm.flush()
+        del mm
+    else:
+        np.save(path, arr)
+    sc.addFile(path)
+    return _NodeLocalArray(fname)
 
 
 def _collect_matrix(base: DataFrame, id_col: str, vec_col: str):
@@ -339,11 +398,15 @@ def build_roargraph(base: DataFrame, train_queries: DataFrame,
     return RoarGraphIndex(ids=ids, vecs=vecs, adj=adj, entry_point=ep)
 
 
+_MMAP_SNAPSHOT_BYTES = 512 * 1024 * 1024
+
+
 def build_roargraph_dist(base: DataFrame, train_queries: DataFrame,
                          params: RoarGraphParams = RoarGraphParams(),
                          id_col: str = "vec_id", vec_col: str = "vec",
                          train_knn: DataFrame | None = None,
-                         n_batches: int = 64) -> RoarGraphIndex:
+                         n_batches: int = 64,
+                         snapshot: str = "auto") -> RoarGraphIndex:
     """Task-parallel single-index build — the Spark answer to the
     reference's 64-OpenMP-thread LinkProjection
     (`src/index_bipartite.cpp:1061,1194`, driver flag `-T 64`), which
@@ -374,8 +437,18 @@ def build_roargraph_dist(base: DataFrame, train_queries: DataFrame,
     Memory shape: the DRIVER holds O(index) — vectors + adjacency —
     exactly like the in-memory handle it returns (a single index must
     fit one memory because it is searched from one memory); each
-    EXECUTOR holds the broadcast snapshot plus one batch of pass
-    state. CPU, the one-task bottleneck (SCALE_PROBE: 186.7 s @ 100k
+    EXECUTOR holds the snapshot plus one batch of pass state.
+    ``snapshot`` picks how the snapshot reaches workers:
+
+      "broadcast" — Spark broadcast; every Python worker unpickles a
+          PRIVATE copy (fast at small n, 32 workers x ~6 GB at 10M);
+      "mmap"      — node-local .npy via ``sc.addFile`` +
+          ``np.load(mmap_mode='r')``: ONE page-cache copy per machine
+          shared by all workers (the 10M single-index enabler —
+          SCALE_PROBE.md pass-3 wall), bit-identical output;
+      "auto"      — mmap when vectors + ids exceed 512 MB.
+
+    CPU, the one-task bottleneck (SCALE_PROBE: 186.7 s @ 100k
     nodes, all in one core), spreads across all cores/executors.
     """
     spark = base.sparkSession
@@ -387,11 +460,40 @@ def build_roargraph_dist(base: DataFrame, train_queries: DataFrame,
     n = len(ids)
     if n == 0:
         return RoarGraphIndex(ids=ids, vecs=vecs, adj=[], entry_point=0)
-    # float64 broadcast: callers may feed float64-normalized vectors,
+    if snapshot not in ("auto", "broadcast", "mmap"):
+        raise ValueError(f"unknown snapshot mode {snapshot!r}")
+    snap_bytes = (n + 1) * vecs.shape[1] * vecs.dtype.itemsize + ids.nbytes
+    use_mmap = snapshot == "mmap" or (snapshot == "auto"
+                                      and snap_bytes > _MMAP_SNAPSHOT_BYTES)
+    tmp_dirs: list = []
+    # float64 either way: callers may feed float64-normalized vectors,
     # so no float32 round-trip (a float32-sourced matrix would survive
     # one, but bit-equality with the one-task build must hold for any
     # input dtype)
-    bc = sc.broadcast((ids, vecs))
+    if use_mmap:
+        ids_h = _ship_array(sc, ids, "roar_ids", tmp_dirs)
+        vext_h = _ship_array(sc, vecs, "roar_vecs_ext", tmp_dirs,
+                             pad_zero_row=True)
+
+        def get_ids():
+            return ids_h.load()
+
+        def get_vecs():
+            return vext_h.load()[:-1]          # view, no copy
+
+        def get_vecs_ext():
+            return vext_h.load()
+    else:
+        bc = sc.broadcast((ids, vecs))
+
+        def get_ids():
+            return bc.value[0]
+
+        def get_vecs():
+            return bc.value[1]
+
+        def get_vecs_ext():
+            return None                        # per-task vstack
 
     if train_knn is None:
         train_knn = knn_exact_gemm(
@@ -412,7 +514,7 @@ def build_roargraph_dist(base: DataFrame, train_queries: DataFrame,
         ``_grouped_unique`` order)."""
 
         def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            v64 = bc.value[1]
+            v64 = get_vecs()
             for pdf in it:
                 srcs, outs = [], []
                 for src, cands in zip(pdf["src"].to_numpy(),
@@ -444,7 +546,7 @@ def build_roargraph_dist(base: DataFrame, train_queries: DataFrame,
         .filter(F.size("nn_base") >= 2))
 
     def to_local_pairs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b = bc.value[0]
+        ids_b = get_ids()
         for pdf in it:
             t, m = [], []
             for nn in pdf["nn_base"]:
@@ -493,20 +595,31 @@ def build_roargraph_dist(base: DataFrame, train_queries: DataFrame,
     centroid = vecs.mean(axis=0)
     ep = int(np.argmin(((vecs - centroid) ** 2).sum(axis=1)))
 
-    # ---- pass 3: batched beam searches over the broadcast snapshot -
-    bc_pad = sc.broadcast(core.pad_adjacency(adj, n))
+    # ---- pass 3: batched beam searches over the shared snapshot ----
+    pad_arr = core.pad_adjacency(adj, n)
+    if use_mmap:
+        pad_h = _ship_array(sc, pad_arr, "roar_pad", tmp_dirs)
+
+        def get_pad():
+            return pad_h.load()
+    else:
+        bc_pad = sc.broadcast(pad_arr)
+
+        def get_pad():
+            return bc_pad.value
+    del pad_arr
     l_pjpq = params.l_pjpq
 
     def pass3(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        v64 = bc.value[1]
-        pad = bc_pad.value
+        v64 = get_vecs()
+        pad = get_pad()
         nn = len(v64)
         for pdf in it:
             nodes = pdf["id"].to_numpy(dtype=np.int64)
             if len(nodes) == 0:
                 continue
             traces = core.batch_supply_search_collect(
-                pad, v64, nodes, ep, l_pjpq)
+                pad, v64, nodes, ep, l_pjpq, vecs_ext=get_vecs_ext())
             srcs, outs = [], []
             for node, (ret_ids, ret_dists) in zip(nodes, traces):
                 node = int(node)
@@ -557,8 +670,14 @@ def build_roargraph_dist(base: DataFrame, train_queries: DataFrame,
         final_adj.append(np.asarray(base_nbrs, dtype=np.int64))
     fwd.unpersist()
     supply.unpersist()
-    bc.destroy()
-    bc_pad.destroy()
+    if use_mmap:
+        # the addFile COPIES under SparkFiles root live until context
+        # stop (Spark owns them); the source files are consumed by now
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    else:
+        bc.destroy()
+        bc_pad.destroy()
     return RoarGraphIndex(ids=ids, vecs=vecs, adj=final_adj,
                           entry_point=ep)
 
@@ -570,29 +689,93 @@ def save_graph(index: RoarGraphIndex, spark: SparkSession,
     Mirrors `SaveProjectionGraph`
     (`/root/reference/src/index_bipartite.cpp:3095-3108`): adjacency +
     entry point id; Parquet replaces the packed binary format.
+
+    The adjacency is written with pyarrow straight from the handle's
+    flat arrays (offsets + concatenated neighbor ids): the former
+    ``to_dataframe`` route built 10M python Row tuples through
+    ``createDataFrame`` — minutes of driver loop for a 10M index —
+    where the columnar assembly is three vectorized ops. Spark reads
+    the single-file parquet exactly like its own directory output.
     """
-    index.to_dataframe(spark).write.mode("overwrite") \
-        .parquet(f"{path}/adjacency.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lens = np.fromiter((len(a) for a in index.adj), dtype=np.int64,
+                       count=len(index.adj))
+    offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    flat = (np.concatenate([np.asarray(a, dtype=np.int64)
+                            for a in index.adj if len(a)])
+            if lens.sum() else np.empty(0, dtype=np.int64))
+    table = pa.table({
+        "src": pa.array(index.ids),
+        "nbrs": pa.ListArray.from_arrays(pa.array(offsets),
+                                         pa.array(index.ids[flat])),
+    })
+    os.makedirs(path, exist_ok=True)
+    if os.path.isdir(f"{path}/adjacency.parquet"):
+        shutil.rmtree(f"{path}/adjacency.parquet")  # pre-r12 Spark dir
+    pq.write_table(table, f"{path}/adjacency.parquet")
     spark.createDataFrame(
         [(int(index.ids[index.entry_point]), len(index.ids))],
         "entry_point long, n_nodes long"
     ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
 
+def _to_local(ids_sorted: np.ndarray, vals: np.ndarray,
+              what: str) -> np.ndarray:
+    """original vec_id -> local contiguous index over the SORTED id
+    vector, failing loudly on foreign ids (the load-time id-contract
+    gate: arbitrary parquet must not silently alias wrong nodes)."""
+    loc = np.searchsorted(ids_sorted, vals)
+    bad = (loc >= len(ids_sorted)) | (
+        ids_sorted[loc.clip(max=len(ids_sorted) - 1)] != vals)
+    if bad.any():
+        raise KeyError(f"{what} ids not in base: "
+                       f"{vals[bad][:5].tolist()}")
+    return loc
+
+
 def load_graph(spark: SparkSession, path: str,
                base: DataFrame, id_col: str = "vec_id",
                vec_col: str = "vec") -> RoarGraphIndex:
+    """Columnar load: offsets + flat neighbor ids straight from the
+    parquet list column (no per-row python), vec_id -> local index by
+    searchsorted over the sorted id vector. A 10M adjacency loads in
+    seconds where the former per-row dict loop took minutes."""
+    import pyarrow.parquet as pq
+
     ids, vecs = _collect_matrix(base, id_col, vec_col)
-    id_to_ix = {int(v): i for i, v in enumerate(ids)}
-    adj_pdf = spark.read.parquet(f"{path}/adjacency.parquet").toPandas()
+    tbl = pq.read_table(f"{path}/adjacency.parquet")
+    srcs = tbl["src"].to_numpy().astype(np.int64)
+    nbrs_col = tbl["nbrs"].combine_chunks()
+    offsets = nbrs_col.offsets.to_numpy().astype(np.int64)
+    flat = nbrs_col.flatten().to_numpy().astype(np.int64)
+
+    src_loc = _to_local(ids, srcs, "adjacency src")
+    flat_loc = _to_local(ids, flat, "adjacency neighbor")
+
     adj = [np.empty(0, dtype=np.int64)] * len(ids)
-    for src, nbrs in zip(adj_pdf["src"].to_numpy(),
-                         adj_pdf["nbrs"].to_numpy()):
-        # normalize to first-occurrence order: arbitrary parquet may
-        # duplicate ids within a row; in-repo builds never do, and the
-        # search kernels (sequential and batch) assume unique rows
-        adj[id_to_ix[int(src)]] = np.fromiter(
-            dict.fromkeys(id_to_ix[int(x)] for x in nbrs), dtype=np.int64)
+    lens = np.diff(offsets)
+    # duplicate-in-row detection, vectorized: in-repo builds never
+    # duplicate, but arbitrary parquet may — those rows (only) are
+    # normalized to first-occurrence order, matching the search
+    # kernels' unique-row assumption (sequential dup check vs the
+    # wave kernels' read-before-write visited bitmap).
+    row_of = np.repeat(np.arange(len(srcs), dtype=np.int64), lens)
+    order = np.lexsort((flat_loc, row_of))
+    so_row, so_val = row_of[order], flat_loc[order]
+    dup_rows = np.unique(
+        so_row[1:][(so_row[1:] == so_row[:-1])
+                   & (so_val[1:] == so_val[:-1])])
+    dup_set = set(int(x) for x in dup_rows)
+    for i in range(len(srcs)):
+        seg = flat_loc[offsets[i]:offsets[i + 1]]
+        if i in dup_set:
+            seg = np.fromiter(dict.fromkeys(int(x) for x in seg),
+                              dtype=np.int64)
+        adj[src_loc[i]] = seg
     meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
-    return RoarGraphIndex(ids=ids, vecs=vecs, adj=adj,
-                          entry_point=id_to_ix[int(meta["entry_point"])])
+    ep = int(_to_local(ids, np.asarray([meta["entry_point"]],
+                                       dtype=np.int64), "entry point")[0])
+    return RoarGraphIndex(ids=ids, vecs=vecs, adj=adj, entry_point=ep)

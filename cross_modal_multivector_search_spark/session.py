@@ -42,6 +42,11 @@ def get_spark(app_name: str = "cross-modal-multivector-search-spark",
         # dim-table joins (set mappings, GT, candidate lists) broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # The single-index handle is O(index) on the driver BY DESIGN
+        # (it is searched from one memory); a 10M x 64 float64 matrix
+        # is ~5 GB through the Arrow collect path, over the 1g default.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "16g"))
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
                 os.environ["OPENBLAS_NUM_THREADS"])
         .config("spark.executorEnv.OMP_NUM_THREADS",

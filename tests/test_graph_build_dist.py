@@ -48,6 +48,26 @@ def test_dist_build_bit_equal_ood_train(spark):
     _assert_same(one, dist)
 
 
+def test_dist_build_bit_equal_mmap_snapshot(spark):
+    """snapshot='mmap' (node-local addFile + np.load(mmap_mode='r') —
+    the 10M single-index memory layout, one page-cache copy per machine
+    instead of one unpickled copy per worker) must produce the SAME
+    graph as snapshot='broadcast' and as the one-task build: the mmap
+    path feeds the identical float64 bytes to the identical kernels,
+    including the pre-extended (n+1, d) matrix pass-3 gathers from."""
+    base = generate_clustered_vectors(spark, 500, 16, 8, seed=11) \
+        .select("vec_id", "vec")
+    train = generate_crossmodal_queries(spark, 400, 16, 8, seed=11)
+    p = RoarGraphParams(m_sq=8, m_pjbp=5, l_pjpq=16)
+    one = build_roargraph(base, train, p)
+    mm = build_roargraph_dist(base, train, p, n_batches=8,
+                              snapshot="mmap")
+    bc = build_roargraph_dist(base, train, p, n_batches=8,
+                              snapshot="broadcast")
+    _assert_same(one, mm)
+    _assert_same(one, bc)
+
+
 def test_dist_build_search_recall(spark):
     """The distributed graph serves the same saturating-budget search
     (exact-equivalence regime) as the one-task graph."""
