@@ -442,6 +442,22 @@ FROM c ORDER BY set_id
 """
 
 
+def q_cardinality_mapping_dist(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Same exclusive prefix sum via the DISTRIBUTED two-pass variant
+    (`mapping.cardinality_mapping_dist`): range-bucketed partial sums +
+    driver cumsum of bucket offsets + bucket-partitioned window — no
+    unpartitioned WindowExec anywhere in the plan (the billions-of-sets
+    path; the window variant stays the small-table default). Oracle:
+    identical SQL to `cardinality_mapping` — both variants must produce
+    the same mapping."""
+    v = TD.embeddings_norm(spark, sf_dir)
+    cards = v.select("set_id").distinct().withColumn(
+        "cardinality", (F.col("set_id") % 5 + 1).cast("long"))
+    return mapping.cardinality_mapping_dist(
+        cards, n_buckets=16).orderBy("set_id")
+
+
 def q_knn_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, v = _queries_norm(spark, sf_dir)
     members = q.select(F.col("vec_id").alias("query_id"), "vec")
@@ -2328,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": q_degree_stats,
         "sim_histogram": q_sim_histogram,
         "cardinality_mapping": q_cardinality_mapping,
+        "cardinality_mapping_dist": q_cardinality_mapping_dist,
         "knn_significance": q_knn_significance,
         "nation_revenue": q_nation_revenue,
         # Streaming trio graded early: a wall-clock-capped driver run must
@@ -2418,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_stats": SQL_DEGREE_STATS,
         "sim_histogram": SQL_SIM_HISTOGRAM,
         "cardinality_mapping": SQL_CARDINALITY_MAPPING,
+        "cardinality_mapping_dist": SQL_CARDINALITY_MAPPING,
         "knn_significance": SQL_KNN_SIGNIFICANCE,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "nation_revenue": SQL_NATION_REVENUE,

@@ -95,28 +95,43 @@ def main() -> None:
     for fn in timed.values():
         fn(spark, sf_dir).count()
 
-    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    pass_no = [0]
 
     def timed_pass() -> tuple[dict[str, float], dict[str, int]]:
+        # per-query UNIQUE job group: the former delta-of-
+        # getJobIdsForGroup(None) under-counted when the async status
+        # listener lagged or spark.ui.retainedJobs evicted old jobs.
+        # Counting a group that only this query's jobs ever join is
+        # exact regardless of eviction of OTHER groups; the listener
+        # bus is drained before reading so just-finished jobs are
+        # registered.
+        pass_no[0] += 1
         t, jobs = {}, {}
         for name, fn in timed.items():
-            before = len(tracker.getJobIdsForGroup(None))
+            group = f"bench-p{pass_no[0]}-{name}"
+            sc.setJobGroup(group, name)
             t0 = time.time()
             fn(spark, sf_dir).count()
             t[name] = round(time.time() - t0, 3)
-            jobs[name] = len(tracker.getJobIdsForGroup(None)) - before
+            try:
+                sc._jsc.sc().listenerBus().waitUntilEmpty()
+            except Exception:
+                pass
+            jobs[name] = len(tracker.getJobIdsForGroup(group))
+        sc.setLocalProperty("spark.jobGroup.id", None)
         return t, jobs
 
     # contention canary: nation_revenue is a trivial unchanging query
     # measuring ~0.65s warm at sf0.1 on an idle 32-thread box — a value
     # far above that flags a contended benchmark run (round-2 and
     # round-9 driver BENCH files both shipped inflated draws). The run
-    # self-invalidates: a hot canary (>1.2x idle expectation) triggers
-    # ONE full re-pass and each query keeps its per-pass minimum, so a
-    # transient contender can't manufacture phantom regressions.
-    # Estimator is the SAME in both regimes (r10 advice: min-of-2 on a
-    # hot canary was biased low vs the clean single draw): a hot canary
-    # discards the contended pass entirely and keeps only the rerun.
+    # self-invalidates: a hot canary (>1.2x idle expectation) discards
+    # the contended pass entirely and triggers ONE full re-pass, keeping
+    # only the rerun — so a transient contender can't manufacture
+    # phantom regressions, and the estimator is the same single clean
+    # draw in both regimes (r10 advice: min-of-2 was biased low).
     IDLE_CANARY = 0.65
     run, job_counts = timed_pass()
     canary_first = run.get("nation_revenue", -1.0)

@@ -589,20 +589,141 @@ def extract_features(media: DataFrame,
         run, schema=_FEATURE_SCHEMA)
 
 
+def mux_mjpeg_avi(jpeg_frames: list, width: int, height: int,
+                  scale: int = 1, rate: int = 25) -> bytes:
+    """Mux per-frame JPEG payloads into a minimal MJPEG AVI (RIFF
+    'AVI ': LIST hdrl [avih + LIST strl [strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER]] + LIST movi ['00dc' chunks]). Frame period =
+    scale/rate seconds (the strh timebase). The round-trip partner of
+    the AVI demux path in ``decode_video_frames`` — and a real sink: a
+    standard player accepts the output (no idx1 index chunk; players
+    fall back to sequential reads)."""
+    import struct
+
+    def ck(fcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+
+    n = len(jpeg_frames)
+    maxb = max((len(f) for f in jpeg_frames), default=0)
+    usec = int(1_000_000 * scale / rate)
+    avih = ck(b"avih", struct.pack(
+        "<14I", usec, maxb * rate // max(scale, 1), 0, 0, n, 0, 1,
+        maxb, width, height, 0, 0, 0, 0))
+    strh = ck(b"strh", struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"MJPG", 0, 0, 0, 0,
+        scale, rate, 0, n, maxb, 0xFFFFFFFF, 0, 0, 0, width, height))
+    strf = ck(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0))
+    hdrl = ck(b"LIST", b"hdrl" + avih
+              + ck(b"LIST", b"strl" + strh + strf))
+    movi = ck(b"LIST", b"movi"
+              + b"".join(ck(b"00dc", bytes(f)) for f in jpeg_frames))
+    return ck(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _riff_chunks(buf: bytes, off: int, end: int):
+    import struct
+    while off + 8 <= end:
+        fcc = buf[off:off + 4]
+        size = struct.unpack("<I", buf[off + 4:off + 8])[0]
+        yield fcc, off + 8, min(off + 8 + size, end)
+        off += 8 + size + (size & 1)
+
+
+def _decode_avi_frames(payload: bytes) -> list:
+    """MJPEG-in-AVI demux: RIFF walk to the 'vids' stream's timebase
+    (strh dwScale/dwRate, falling back to avih dwMicroSecPerFrame),
+    then decode every '##dc'/'##db' chunk of that stream in the 'movi'
+    list through the in-repo JPEG decoder (``functions.jpeg`` — every
+    T.81 frame type). Returns [(start_ms, duration_ms, RGBA)], the
+    ``decode_webp_frames`` contract, so ``sample_video_frames`` runs
+    unchanged on AVI payloads."""
+    import struct
+
+    scale, rate, usec_pf = None, None, None
+    stream_no, vids_no = 0, None
+    movi: list[tuple[int, int]] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal scale, rate, usec_pf, stream_no, vids_no
+        for fcc, lo, hi in _riff_chunks(payload, off, end):
+            if fcc == b"LIST":
+                ltype = payload[lo:lo + 4]
+                if ltype == b"strl":
+                    cur = stream_no
+                    stream_no += 1
+                    for f2, l2, h2 in _riff_chunks(payload, lo + 4, hi):
+                        if f2 == b"strh" and \
+                                payload[l2:l2 + 4] == b"vids" and \
+                                vids_no is None:
+                            vids_no = cur
+                            scale, rate = struct.unpack(
+                                "<II", payload[l2 + 20:l2 + 28])
+                elif ltype == b"movi":
+                    walk_movi(lo + 4, hi)
+                else:
+                    walk(lo + 4, hi)
+            elif fcc == b"avih":
+                usec_pf = struct.unpack("<I", payload[lo:lo + 4])[0]
+
+    def walk_movi(off: int, end: int) -> None:
+        for fcc, lo, hi in _riff_chunks(payload, off, end):
+            if fcc == b"LIST" and payload[lo:lo + 4] == b"rec ":
+                walk_movi(lo + 4, hi)
+            elif fcc[2:4] in (b"dc", b"db") and fcc[:2].isdigit():
+                movi.append((int(fcc[:2]), lo, hi))
+
+    walk(12, len(payload))
+    if vids_no is None:
+        raise NotImplementedError(
+            "AVI payload has no 'vids' stream header")
+    frames_raw = [payload[lo:hi] for s, lo, hi in movi if s == vids_no]
+    if scale and rate:
+        period_num, period_den = 1000 * scale, rate
+    elif usec_pf:
+        period_num, period_den = usec_pf, 1000
+    else:
+        period_num, period_den = 1000, 25
+    out = []
+    for i, raw in enumerate(frames_raw):
+        if raw[:3] != b"\xff\xd8\xff":
+            raise NotImplementedError(
+                "AVI video chunk is not MJPEG (JPEG SOI missing); "
+                "other vids codecs need an external library")
+        img = decode_image(raw)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full_like(img[..., :1], 255)], axis=-1)
+        start = i * period_num * 1000 // (period_den * 1000)
+        nxt = (i + 1) * period_num * 1000 // (period_den * 1000)
+        out.append((int(start), int(nxt - start),
+                    img.astype(np.uint8)))
+    return out
+
+
 def decode_video_frames(payload: bytes) -> list:
     """Video payload -> [(start_ms, duration_ms, RGBA frame array)].
 
     Animated WebP decodes fully in-container (ANIM/ANMF demux +
     VP8/VP8L frame decode + canvas composition, ``functions.webp``);
-    other video containers (mp4/webm/...) need an ffmpeg-class
-    library and raise NotImplementedError — the declared seam.
+    MJPEG-in-AVI decodes fully in-container too (RIFF/movi walk +
+    the in-repo T.81 JPEG decoder); other containers (mp4/webm/...)
+    need an ffmpeg-class library and raise NotImplementedError — the
+    declared seam.
     """
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ..functions import webp as _webp
         return _webp.decode_webp_frames(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_avi_frames(payload)
     raise NotImplementedError(
-        "video decode in-container supports animated WebP; other "
-        "containers (mp4/webm/...) need an external ffmpeg-class codec")
+        "video decode in-container supports animated WebP and "
+        "MJPEG-in-AVI; other containers (mp4/webm/...) need an "
+        "external ffmpeg-class codec")
 
 
 _FRAME_SCHEMA = StructType([

@@ -47,9 +47,17 @@ def get_spark(app_name: str = "cross-modal-multivector-search-spark",
         # is ~5 GB through the Arrow collect path, over the 1g default.
         .config("spark.driver.maxResultSize",
                 os.environ.get("SPARK_GRAFT_MAX_RESULT", "16g"))
+        # bench.py counts per-query job-group ids from the status store;
+        # the 1000-job default can evict a long pass's early groups
+        .config("spark.ui.retainedJobs", "20000")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
                 os.environ["OPENBLAS_NUM_THREADS"])
         .config("spark.executorEnv.OMP_NUM_THREADS",
                 os.environ["OMP_NUM_THREADS"])
     )
+    # escape hatch for probes/deployments: semicolon-separated k=v list
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

@@ -109,3 +109,21 @@ def test_ivf_centroids_single_shuffle(spark):
     # formatted mode prints each node twice (tree + detail): count nodes
     assert len(re.findall(r"\(\d+\) Exchange", text)) == 1
     assert "partial" in text.lower()    # map-side partial aggregation
+
+
+def test_cardinality_mapping_dist_no_global_window(spark):
+    """The distributed prefix-sum variant must contain NO unpartitioned
+    WindowExec: every Window node is PARTITIONED by the range bucket
+    (one bucket per task), and the cross-bucket offsets arrive via a
+    broadcast of the driver-cumsum'd bucket totals — the
+    billions-of-sets shape (VERDICT r11 'what's wrong' #1)."""
+    import re
+    df = E.queries()["cardinality_mapping_dist"](spark, SF_SMOKE)
+    text = plan_text(df)
+    # every window spec must lead with the _bucket partition column (an
+    # unpartitioned spec starts straight at the ORDER BY expression)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
+    assert specs, text                 # the within-bucket running sum
+    for spec in specs:
+        assert spec.startswith("_bucket"), spec
+    assert "BroadcastHashJoin" in text  # bucket offsets broadcast back

@@ -142,8 +142,10 @@ def test_iso_recall_qps_interpolation():
     linear between straddling budget rows, measured-QPS lower bound
     when the smallest budget already meets the target, None when the
     target is never reached."""
+    import os
     import sys
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
     from hnsw_compare_probe import iso_recall_qps
     pts = [(0.4, 100.0), (0.6, 50.0), (0.8, 25.0), (0.9, 10.0)]
     assert iso_recall_qps(pts, 0.80) == 25.0        # exact hit

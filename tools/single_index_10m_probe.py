@@ -16,15 +16,20 @@ table in ANN_PROTOCOL.md): clustered base, train + search queries
 from one shifted distribution.
 
 Phased so the timed kernel sweep can run on an idle box:
-  build   — generate, codebook, ivf_knn (+ sampled recall gate),
-            dist build, save_graph; stage times printed + appended.
-  search  — regenerate fixture (deterministic), load_graph, exact
-            set-level GT, budget sweep: recall@10 + single-thread
-            kernel QPS (+ iso-recall interpolation).
+  gen     — generate the fixture ONCE and stage it to parquet
+            (SI_DATA_DIR); build/search scan the staged tables, the
+            shape a real pipeline has (indexes build from storage,
+            not from a generator re-run).
+  build   — read staged parquet, codebook, ivf_knn (+ sampled recall
+            gate), dist build, save_graph; stage times printed.
+  search  — read staged parquet, load_graph, exact set-level GT,
+            budget sweep: recall@10 + single-thread kernel QPS
+            (+ iso-recall interpolation).
 
-Usage: python tools/single_index_10m_probe.py <build|search> [n] [dim]
+Usage: python tools/single_index_10m_probe.py <gen|build|search> [n] [dim]
 Env: SI_CELLS (1024) SI_NPROBE (8) SI_MSQ (20) SI_M (12) SI_L (40)
      SI_QSETS (100) SI_BUDGETS SI_INDEX_DIR (/tmp/roar10m_index)
+     SI_DATA_DIR (/tmp/si10m_data)
      SI_OUT (SCALE_PROBE.md section appended on search)
 """
 
@@ -67,18 +72,31 @@ N_QUERY_SETS = int(os.environ.get("SI_QSETS", 100))
 BUDGETS = tuple(int(x) for x in os.environ.get(
     "SI_BUDGETS", "1000,2000,4000,8000").split(","))
 INDEX_DIR = os.environ.get("SI_INDEX_DIR", "/tmp/roar10m_index")
+DATA_DIR = os.environ.get("SI_DATA_DIR", "/tmp/si10m_data")
 OUT = os.environ.get("SI_OUT", "SCALE_PROBE.md")
 
 
-def fixture(spark, n: int, dim: int):
-    """Deterministic OOD fixture — identical params to the 1M
-    head-to-head (ANN_PROTOCOL.md), regenerable in any phase."""
-    base = generate_clustered_vectors(
+def phase_gen(spark, n: int, dim: int) -> None:
+    """Generate the OOD fixture (identical params to the 1M
+    head-to-head, ANN_PROTOCOL.md) and stage it to parquet — the real
+    pipeline shape: downstream stages scan storage, not a generator."""
+    t0 = time.time()
+    generate_clustered_vectors(
         spark, n, dim, N_CLUSTERS, sigma=0.15) \
-        .select("vec_id", "vec").repartition(64)
-    q_all = generate_crossmodal_queries(
+        .select("vec_id", "vec").repartition(64) \
+        .write.mode("overwrite").parquet(f"{DATA_DIR}/base.parquet")
+    generate_crossmodal_queries(
         spark, n + N_QUERY_SETS * M, dim, N_CLUSTERS,
-        sigma=0.10, gap=0.8, mix=0.35).repartition(64)
+        sigma=0.10, gap=0.8, mix=0.35).repartition(64) \
+        .write.mode("overwrite").parquet(f"{DATA_DIR}/queries.parquet")
+    print(f"gen+stage {time.time() - t0:.1f}s -> {DATA_DIR}",
+          flush=True)
+
+
+def fixture(spark, n: int, dim: int):
+    """The staged fixture tables (run the gen phase first)."""
+    base = spark.read.parquet(f"{DATA_DIR}/base.parquet")
+    q_all = spark.read.parquet(f"{DATA_DIR}/queries.parquet")
     qsets = q_all.filter(F.col("vec_id") < N_QUERY_SETS * M) \
         .withColumn("set_id", (F.col("vec_id") / M).cast("long"))
     train = q_all.filter(F.col("vec_id") >= N_QUERY_SETS * M)
@@ -87,15 +105,7 @@ def fixture(spark, n: int, dim: int):
 
 def phase_build(spark, n: int, dim: int) -> None:
     stage_t: dict[str, float] = {}
-    t0 = time.time()
     base, train, _ = fixture(spark, n, dim)
-    base = base.cache()
-    train = train.cache()
-    base.count()
-    train.count()
-    stage_t["generate"] = time.time() - t0
-    print(f"generate {stage_t['generate']:.1f}s", flush=True)
-
     tq = train.select(F.col("vec_id").alias("query_id"), "vec")
     tb = base.select(F.col("vec_id").alias("base_id"), "vec")
 
@@ -158,8 +168,6 @@ def phase_search(spark, n: int, dim: int) -> None:
     from hnsw_compare_probe import iso_recall_qps
 
     base, _, qsets = fixture(spark, n, dim)
-    base = base.cache()
-    base.count()
     v = base.withColumn("set_id", (F.col("vec_id") / M).cast("long"))
 
     t0 = time.time()
@@ -241,7 +249,9 @@ def main() -> None:
     assert n % M == 0
     spark = get_spark("single-index-10m")
     spark.sparkContext.setLogLevel("ERROR")
-    if phase == "build":
+    if phase == "gen":
+        phase_gen(spark, n, dim)
+    elif phase == "build":
         phase_build(spark, n, dim)
     elif phase == "search":
         phase_search(spark, n, dim)
