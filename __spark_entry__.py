@@ -24,8 +24,8 @@ from cross_modal_multivector_search_spark import testdata as TD
 from cross_modal_multivector_search_spark.functions import vector as V
 from cross_modal_multivector_search_spark.operators import (
     brute_force, curation, dedup, graph_build, graph_search, hnsw,
-    mapping, quantize, recall, rerank, sampling, set_search, sharded,
-    simsearch, stats, text, topk,
+    mapping, nsg, quantize, recall, rerank, sampling, set_search,
+    sharded, simsearch, stats, text, topk,
 )
 from cross_modal_multivector_search_spark.streaming import events as stream_events
 
@@ -663,6 +663,31 @@ def _roar_index(spark: SparkSession, sf_dir: str) -> graph_build.RoarGraphIndex:
 def q_ann_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship ANN pipeline: graph search -> smooth-Chamfer rerank."""
     index = _roar_index(spark, sf_dir)
+    q, v = _queries_norm(spark, sf_dir)
+    out = graph_search.search_and_rerank(
+        index, q, v, K,
+        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M)
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
+_NSG_INDEX_CACHE: dict[str, graph_build.RoarGraphIndex] = {}
+
+
+def q_nsg_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's THIRD engine: NSG (`thirdparty/nsg/`, build
+    params `scripts/nsg/build_nsg_index.sh:26-35`) built Spark-side
+    (`operators/nsg.build_nsg`: distributed exact-kNN init + Link/
+    InterInsert passes + tree_grow), served by the SAME search +
+    smooth-Chamfer rerank stage as every other graph. Saturating
+    budget at this sf -> exact set top-k, so the exact chamfer SQL is
+    the oracle (the accepted ANN oracle pattern)."""
+    if sf_dir not in _NSG_INDEX_CACHE:
+        v = TD.embeddings_norm(spark, sf_dir)
+        base = v.select("vec_id", "vec")
+        _NSG_INDEX_CACHE[sf_dir] = nsg.build_nsg(
+            base, nsg.NsgParams(l_build=60, r_degree=70, c_pool=500,
+                                knn_k=20), n_batches=16)
+    index = _NSG_INDEX_CACHE[sf_dir]
     q, v = _queries_norm(spark, sf_dir)
     out = graph_search.search_and_rerank(
         index, q, v, K,
@@ -2353,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
         "ann_multivector_search": q_ann_multivector_search,
+        "nsg_multivector_search": q_nsg_multivector_search,
         "ann_distbuild_search": q_ann_distbuild_search,
         "ivf_knn_topk": q_ivf_knn,
         "ann_bootstrap_search": q_ann_bootstrap_search,
@@ -2473,6 +2499,7 @@ def oracle_sql() -> dict[str, str]:
         # ANN + exact rerank == exact set-level top-k (reference analogue:
         # tests/test_search_multivector_fullscan_rerank.cpp).
         "ann_multivector_search": SQL_CHAMFER_TOPK,
+        "nsg_multivector_search": SQL_CHAMFER_TOPK,
         # distributed-passes build == one-task build bit-for-bit
         # (tests/test_graph_build_dist), so the same saturation oracle
         "ann_distbuild_search": SQL_CHAMFER_TOPK,

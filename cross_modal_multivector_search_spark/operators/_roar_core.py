@@ -205,7 +205,8 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
                                 query_nodes: np.ndarray, ep: int,
                                 beam_width: int,
                                 batch_rows: int | None = None,
-                                vecs_ext: np.ndarray | None = None) -> list:
+                                vecs_ext: np.ndarray | None = None,
+                                collect: str = "expanded") -> list:
     """Wave-vectorized twin of ``supply_search_collect`` over many target
     nodes at once: per wave, every still-active query expands its closest
     unexpanded candidate, all neighbor gathers / distance dots / beam
@@ -223,7 +224,16 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
     Returns [(ret_ids, ret_dists), ...] aligned with ``query_nodes`` —
     every expanded node in expansion order, exactly like the sequential
     function.
+
+    ``collect="visited"`` returns every FRESH-VISITED node with its
+    distance instead (wave order; the entry point and the target are
+    excluded like seeds are excluded from NSG's fullset) — the pool
+    NSG's ``get_neighbors`` accumulates for ``sync_prune``
+    (`thirdparty/nsg/src/index_nsg.cpp:135-146`). Opt-in: the default
+    path is byte-identical to the pinned expanded-trace contract.
     """
+    if collect not in ("expanded", "visited"):
+        raise ValueError(f"unknown collect mode {collect!r}")
     n = len(vecs)
     nq = len(query_nodes)
     L = beam_width
@@ -291,9 +301,10 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
             rows = np.nonzero(act)[0]
             fidx = un[rows].argmax(axis=1)
             cur = ids[rows, fidx]
-            trace_b.append(rows)
-            trace_id.append(cur)
-            trace_d.append(dists[rows, fidx])
+            if collect == "expanded":
+                trace_b.append(rows)
+                trace_id.append(cur)
+                trace_d.append(dists[rows, fidx])
             expanded[rows, fidx] = True
 
             nbr = adj_pad[cur]                            # (A, dmax)
@@ -303,6 +314,11 @@ def batch_supply_search_collect(adj: list, vecs: np.ndarray,
             visited[rows[:, None], cols] = True
             marks.append((rows, cols))
             nd = -np.einsum("and,ad->an", vecs_ext[nbr], qmat[rows])
+            if collect == "visited":
+                trace_b.append(
+                    np.broadcast_to(rows[:, None], nbr.shape)[fresh])
+                trace_id.append(nbr[fresh])
+                trace_d.append(nd[fresh])
             _merge_wave(ids, dists, expanded, rows, nbr, fresh, nd,
                         np.full(len(rows), L, dtype=np.int64), n)
 

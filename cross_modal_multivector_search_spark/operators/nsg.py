@@ -1,0 +1,290 @@
+"""NSG (Navigating Spreading-out Graph) baseline — the reference's
+third ANN engine (`/root/reference/thirdparty/nsg/src/index_nsg.cpp`,
+build params `scripts/nsg/build_nsg_index.sh:26-35`: kNN graph K=400
+L=400 iter=12 S=15 R=100; NSG L=60 R=70 C=500).
+
+Spark-first reformulation, mirroring the functional pass shape of
+`graph_build.build_roargraph_dist`:
+
+  init     the kNN graph the reference builds with efanna NN-descent
+           (an approximation of exact kNN) is a first-class DataFrame
+           stage here — the distributed exact GEMM table (or the
+           `simsearch.ivf_knn` bootstrap) at any scale;
+  Link     per node: beam search over the kNN graph from the
+           navigating node collecting every fresh-visited candidate
+           with its distance (`get_neighbors` fullset,
+           index_nsg.cpp:89-156), pool ∪= the node's own kNN list,
+           then MRNG `sync_prune` (:246-296) — one `mapInPandas`
+           stage over a broadcast snapshot;
+  reverse  `InterInsert` (:298-366): reverse edges appended, pools
+           over R re-pruned with the same rule — explode → groupBy →
+           prune UDF (functional; the reference mutates shared pools
+           under per-node mutexes, so its result is thread-order
+           unstable — any fixed deterministic order is an equally
+           valid instance, the same argument as the RoarGraph passes);
+  tree     `tree_grow`/`findroot` (:700-760): BFS from the medoid,
+           unreached nodes attached to their nearest reached pool
+           node (the reference falls back to `rand()` when the search
+           pool holds no reached node; here the deterministic exact
+           nearest reached node is used).
+
+Deterministic divergences from the C++ (documented, quality judged by
+search recall per SURVEY §5): seeds for the Link beam search are the
+navigating node only (the reference seeds ep's neighbor list padded
+with `rand()` ids); the medoid is the exact centroid argmin
+(`init_graph` approximates it with a graph search); distances are
+negated inner products over unit-norm rows — rank- and
+comparison-equivalent to the reference's L2 on normalized data
+(d_l2 = 2 + 2*(-ip), affine with positive slope).
+
+Search needs no NSG-specific kernel: the built index is a plain
+(adjacency, vectors, entry point) handle, served by the same
+`_roar_core` beam kernels and `graph_search.search_and_rerank` as
+every other graph in the engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                               StructField, StructType)
+
+from . import _roar_core as core
+from .brute_force import knn_exact_gemm
+from .graph_build import RoarGraphIndex, _collect_matrix
+
+
+@dataclass
+class NsgParams:
+    """Reference build configuration
+    (`scripts/nsg/build_nsg_index.sh:33-35`)."""
+    l_build: int = 60        # nsg_L: Link beam width
+    r_degree: int = 70       # nsg_R: degree bound
+    c_pool: int = 500        # nsg_C: prune pool scan cap
+    knn_k: int = 100         # init kNN graph degree (knn_R)
+
+
+def nsg_prune(cand_ids: np.ndarray, cand_dists: np.ndarray,
+              vecs: np.ndarray, r_degree: int, c_pool: int,
+              exclude: int) -> list[int]:
+    """`sync_prune`'s MRNG edge selection (index_nsg.cpp:264-287):
+    pool sorted by distance, first survivor kept unconditionally, then
+    candidate p is occluded iff some chosen r has d(r, p) < d(q, p);
+    scan capped at C, result at R. Candidates are deduplicated by id
+    up front (distances are a function of the id, and the reference's
+    `p.id == result[t].id` check can only ever occlude a duplicate)."""
+    ids = np.asarray(cand_ids, dtype=np.int64)
+    dists = np.asarray(cand_dists, dtype=np.float64)
+    order = np.lexsort((ids, dists))
+    ids, dists = ids[order], dists[order]
+    keep = np.ones(len(ids), dtype=bool)
+    keep[ids == exclude] = False
+    uniq = np.unique(ids, return_index=True)[1]
+    mask = np.zeros(len(ids), dtype=bool)
+    mask[uniq] = True
+    keep &= mask
+    ids, dists = ids[keep][:c_pool], dists[keep][:c_pool]
+    if len(ids) == 0:
+        return []
+    result = [int(ids[0])]
+    res_vecs = [vecs[int(ids[0])]]
+    for i in range(1, len(ids)):
+        if len(result) >= r_degree:
+            break
+        p, dp = int(ids[i]), dists[i]
+        djk = -(np.asarray(res_vecs) @ vecs[p])
+        if not (djk < dp).any():
+            result.append(p)
+            res_vecs.append(vecs[p])
+    return result
+
+
+_ADJ_SCHEMA = StructType([
+    StructField("src", LongType()),
+    StructField("nbrs", ArrayType(LongType())),
+    StructField("dists", ArrayType(DoubleType())),
+])
+
+
+def build_nsg(base: DataFrame, params: NsgParams = NsgParams(),
+              id_col: str = "vec_id", vec_col: str = "vec",
+              knn: DataFrame | None = None,
+              n_batches: int = 64) -> RoarGraphIndex:
+    """Build an NSG over ``base`` (rows pre-normalized), returning the
+    same broadcastable handle every engine graph uses.
+
+    ``knn`` optionally supplies the init kNN table (query_id, rank,
+    base_id) — e.g. a previous materialization or the
+    `simsearch.ivf_knn` bootstrap; otherwise the distributed exact
+    GEMM self-kNN runs here (the efanna NN-descent stage of the
+    reference, as a first-class Spark stage).
+    """
+    spark = base.sparkSession
+    sc = spark.sparkContext
+    R, L, C = params.r_degree, params.l_build, params.c_pool
+
+    ids, vecs = _collect_matrix(base, id_col, vec_col)
+    n = len(ids)
+    if n == 0:
+        return RoarGraphIndex(ids=ids, vecs=vecs, adj=[], entry_point=0)
+
+    # ---- init: kNN graph as local adjacency ------------------------
+    if knn is None:
+        b = base.select(F.col(id_col).alias("base_id"), vec_col)
+        q = base.select(F.col(id_col).alias("query_id"), vec_col)
+        knn = knn_exact_gemm(q, b, params.knn_k, metric="ip")
+    knn_pdf = (knn.groupBy("query_id")
+               .agg(F.sort_array(F.collect_list(
+                    F.struct("rank", "base_id"))).alias("l"))
+               .select("query_id", F.col("l.base_id").alias("nn"))
+               ).toPandas()
+    ix_sorted = ids                      # _collect_matrix sorts by id
+    knn_adj = [np.empty(0, dtype=np.int64)] * n
+    for qid, nn in zip(knn_pdf["query_id"].to_numpy(),
+                       knn_pdf["nn"].to_numpy()):
+        src = int(np.searchsorted(ix_sorted, qid))
+        loc = np.searchsorted(ix_sorted, np.asarray(nn, dtype=np.int64))
+        knn_adj[src] = loc[loc != src]
+
+    # ---- navigating node: exact medoid -----------------------------
+    centroid = vecs.mean(axis=0)
+    ep = int(np.argmin(((vecs - centroid) ** 2).sum(axis=1)))
+
+    # ---- Link: pool search + sync_prune, distributed ----------------
+    bc_vecs = sc.broadcast(vecs)
+    bc_knn_pad = sc.broadcast(core.pad_adjacency(knn_adj, n))
+
+    def link(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v64 = bc_vecs.value
+        pad = bc_knn_pad.value
+        nn_ = len(v64)
+        for pdf in it:
+            nodes = pdf["id"].to_numpy(dtype=np.int64)
+            if len(nodes) == 0:
+                continue
+            pools = core.batch_supply_search_collect(
+                pad, v64, nodes, ep, L, collect="visited")
+            srcs, outs, douts = [], [], []
+            for node, (pid, pdist) in zip(nodes, pools):
+                node = int(node)
+                own = pad[node]
+                own = own[own < nn_]
+                own_d = -(v64[own] @ v64[node])
+                cand = np.concatenate([pid, own])
+                cd = np.concatenate([pdist, own_d])
+                sel = nsg_prune(cand, cd, v64, R, C, exclude=node)
+                if sel:
+                    srcs.append(node)
+                    outs.append(sel)
+                    douts.append(
+                        [float(-(v64[s] @ v64[node])) for s in sel])
+            yield pd.DataFrame({"src": srcs, "nbrs": outs,
+                                "dists": douts})
+
+    linked = (spark.range(n).repartition(n_batches)
+              .mapInPandas(link, schema=_ADJ_SCHEMA).cache())
+
+    # ---- InterInsert: reverse edges + overflow re-prune -------------
+    fwd = linked.select("src",
+                        F.arrays_zip("nbrs", "dists").alias("z")) \
+        .select("src", F.explode("z").alias("e")) \
+        .select("src", F.col("e.nbrs").alias("dst"),
+                F.col("e.dists").alias("d"))
+    both = fwd.select(F.col("src").alias("node"),
+                      F.col("dst").alias("other"), "d",
+                      F.lit(0).alias("rev")) \
+        .unionByName(fwd.select(F.col("dst").alias("node"),
+                                F.col("src").alias("other"), "d",
+                                F.lit(1).alias("rev")))
+
+    def inter_insert(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v64 = bc_vecs.value
+        for pdf in it:
+            srcs, outs, douts = [], [], []
+            for node, es in zip(pdf["node"].to_numpy(),
+                                pdf["es"].to_numpy()):
+                node = int(node)
+                # forward edges keep their sync_prune order; reverse
+                # candidates join sorted by distance (the reference's
+                # insert order is OpenMP thread arrival — unstable)
+                f = sorted((e for e in es if e["rev"] == 0),
+                           key=lambda e: (e["d"], e["other"]))
+                r = sorted((e for e in es if e["rev"] == 1),
+                           key=lambda e: (e["d"], e["other"]))
+                have = [int(e["other"]) for e in f]
+                have_set = set(have)
+                dists = [float(e["d"]) for e in f]
+                for e in r:
+                    if int(e["other"]) not in have_set:
+                        have.append(int(e["other"]))
+                        have_set.add(int(e["other"]))
+                        dists.append(float(e["d"]))
+                if len(have) > R:
+                    sel = nsg_prune(np.asarray(have, dtype=np.int64),
+                                    np.asarray(dists), v64, R, C,
+                                    exclude=node)
+                else:
+                    sel = have
+                srcs.append(node)
+                outs.append([int(x) for x in sel])
+                douts.append([0.0] * len(sel))
+            yield pd.DataFrame({"src": srcs, "nbrs": outs,
+                                "dists": douts})
+
+    merged = (both
+              .groupBy(F.col("node"))
+              .agg(F.collect_list(F.struct("other", "d", "rev"))
+                   .alias("es"))
+              .mapInPandas(inter_insert, schema=_ADJ_SCHEMA))
+    pdf = merged.toPandas()
+    adj = [np.empty(0, dtype=np.int64)] * n
+    for src, nbrs in zip(pdf["src"].to_numpy(), pdf["nbrs"].to_numpy()):
+        adj[int(src)] = np.asarray(nbrs, dtype=np.int64)
+    linked.unpersist()
+
+    # ---- tree_grow: connect every node to the navigating root ------
+    adj = _tree_grow(adj, vecs, ep, L)
+    bc_vecs.destroy()
+    bc_knn_pad.destroy()
+    return RoarGraphIndex(ids=ids, vecs=vecs, adj=adj, entry_point=ep)
+
+
+def _tree_grow(adj: list, vecs: np.ndarray, ep: int, beam: int) -> list:
+    """BFS reachability from the root; every unreached node gets one
+    edge from its nearest reached search-pool node (findroot,
+    index_nsg.cpp:700-735 — with the rand() fallback replaced by the
+    deterministic exact nearest reached node)."""
+    n = len(adj)
+    reached = np.zeros(n, dtype=bool)
+
+    def bfs(root: int) -> None:
+        stack = [root]
+        reached[root] = True
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if not reached[w]:
+                    reached[w] = True
+                    stack.append(int(w))
+
+    bfs(ep)
+    while not reached.all():
+        node = int(np.argmin(reached))          # first unreached id
+        pid, pdist = core.supply_search_collect(
+            adj, vecs, vecs[node], node, ep, beam)
+        m = reached[pid]
+        if m.any():
+            root = int(pid[m][np.argmin(pdist[m])])
+        else:
+            cand = np.nonzero(reached)[0]
+            root = int(cand[np.argmax(vecs[cand] @ vecs[node])])
+        adj[root] = np.concatenate(
+            [adj[root], np.asarray([node], dtype=np.int64)])
+        bfs(root)
+    return adj
