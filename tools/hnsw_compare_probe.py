@@ -234,6 +234,18 @@ def main() -> None:
     t_hnsw_build = time.time() - t0
     print(f"hnsw build {t_hnsw_build:.1f}s", flush=True)
 
+    # NSG baseline column (reference thirdparty/nsg, params
+    # scripts/nsg/build_nsg_index.sh:33-35), opt-in: OOD_NSG=knn_k
+    nsg_idx = None
+    if int(os.environ.get("OOD_NSG", 0)):
+        from cross_modal_multivector_search_spark.operators import nsg
+        t0 = time.time()
+        nsg_idx = nsg.build_nsg(
+            base, nsg.NsgParams(l_build=60, r_degree=70, c_pool=500,
+                                knn_k=int(os.environ["OOD_NSG"])))
+        t_nsg_build = time.time() - t0
+        print(f"nsg build {t_nsg_build:.1f}s", flush=True)
+
     # query matrices, local
     qpdf = qsets.orderBy("vec_id").toPandas()
     qmats = [np.vstack(qpdf[qpdf.set_id == s]["vec"].to_numpy())
@@ -242,6 +254,8 @@ def main() -> None:
     assert np.array_equal(roar.ids, hidx.ids)
     for _, ridx in roar_engines:
         assert np.array_equal(ridx.ids, hidx.ids)
+    if nsg_idx is not None:
+        assert np.array_equal(nsg_idx.ids, hidx.ids)
 
     if mode == "uniform":
         data_desc = (
@@ -284,9 +298,17 @@ def main() -> None:
                       f"{t_roar_boot:.1f}s (bootstrapped kNN, " \
                       "'roar-boot' columns)"
     engines = list(roar_engines) + [("hnsw", None)]
+    if nsg_idx is not None:
+        engines.append(("nsg", nsg_idx))
+    nsg_desc = "" if nsg_idx is None else (
+        f"; NSG: fixed per-member beam L=budget/m from the medoid, "
+        f"reference params L=60/R=70/C=500 over an exact "
+        f"k={os.environ['OOD_NSG']} init kNN graph, build "
+        f"{t_nsg_build:.1f}s (distributed passes)")
     lines = [
         "",
-        f"## RoarGraph vs HNSW head-to-head at n = {n:,} "
+        f"## RoarGraph vs HNSW{' vs NSG' if nsg_idx is not None else ''}"
+        f" head-to-head at n = {n:,} "
         f"({mode} data, m={M}, single index, single-thread kernel QPS)",
         "",
         data_desc + " — the reference's comparison protocol "
@@ -295,8 +317,8 @@ def main() -> None:
         + build_desc +
         f"; HNSW: fixed ef=budget/m, build {t_hnsw_build:.1f}s "
         "(sequential insert — the per-index serial baseline; the "
-        "engine's scale path shards and builds many in parallel). "
-        + note,
+        "engine's scale path shards and builds many in parallel)"
+        + nsg_desc + ". " + note,
         "",
         "| budget | " + " | ".join(f"{lb} recall@10 | {lb} QPS"
                                    for lb, _ in engines) + " |",
@@ -344,7 +366,30 @@ def main() -> None:
         t_hnsw = time.time() - t0
         rec, qps = hnsw_hits / (N_QUERY_SETS * K), N_QUERY_SETS / t_hnsw
         sweep["hnsw"].append((rec, qps))
-        cells_out.append(f"| {rec:.4f} | {qps:.2f} |")
+        cells_out.append(f"| {rec:.4f} | {qps:.2f} ")
+
+        if nsg_idx is not None:
+            # NSG kernel path: fixed per-member beam, same protocol
+            # shape as the HNSW column (same warmup treatment)
+            for qm in qmats[:2]:
+                for j in range(M):
+                    core.beam_search(nsg_idx.adj, nsg_idx.vecs, qm[j],
+                                     nsg_idx.entry_point, ef, ef)
+            t0 = time.time()
+            nsg_hits = 0
+            for s, qm in enumerate(qmats):
+                cands = np.concatenate([
+                    core.beam_search(nsg_idx.adj, nsg_idx.vecs, qm[j],
+                                     nsg_idx.entry_point, ef, ef)[0]
+                    for j in range(M)])
+                top = _rerank_numpy(nsg_idx.ids[cands], qm, vecs)
+                nsg_hits += len(set(top.tolist()) & gt[s])
+            t_nsg = time.time() - t0
+            rec, qps = (nsg_hits / (N_QUERY_SETS * K),
+                        N_QUERY_SETS / t_nsg)
+            sweep["nsg"].append((rec, qps))
+            cells_out.append(f"| {rec:.4f} | {qps:.2f} ")
+        cells_out.append("|")
         lines.append("".join(cells_out))
         print(lines[-1], flush=True)
 
