@@ -175,12 +175,17 @@ def phase_search(spark, n: int, dim: int) -> None:
     print(f"load_graph {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
-    gt_rows = set_search.set_topk_gemm(qsets, v, K).select(
-        "query_set_id", "data_set_id").collect()
+    gt_path = f"{DATA_DIR}/gt_k{K}_q{N_QUERY_SETS}.parquet"
+    if not os.path.exists(gt_path):
+        set_search.set_topk_gemm(qsets, v, K).select(
+            "query_set_id", "data_set_id") \
+            .write.mode("overwrite").parquet(gt_path)
+    gt_rows = spark.read.parquet(gt_path).collect()
     gt: dict[int, set] = {}
     for r in gt_rows:
         gt.setdefault(r["query_set_id"], set()).add(r["data_set_id"])
-    print(f"exact set-level GT {time.time() - t0:.1f}s", flush=True)
+    print(f"exact set-level GT {time.time() - t0:.1f}s "
+          f"(staged at {gt_path})", flush=True)
 
     qpdf = qsets.orderBy("vec_id").toPandas()
     qmats = [np.vstack(qpdf[qpdf.set_id == s]["vec"].to_numpy())
