@@ -228,11 +228,17 @@ def main() -> None:
             + f"; sampled table recall@{p.m_sq} = {gate:.4f}.")
     roar = roar_engines[0][1]
 
-    t0 = time.time()
-    hidx = hnsw.build_hnsw(base, hnsw.HnswParams(m=12, ef_construction=60,
-                                                 seed=7))
-    t_hnsw_build = time.time() - t0
-    print(f"hnsw build {t_hnsw_build:.1f}s", flush=True)
+    # OOD_SKIP_HNSW=1 drops the HNSW column (its sequential build
+    # dominates large-n sweeps: 2375s at 1M); the RoarGraph-only sweep
+    # still publishes recall + iso-recall lines.
+    skip_hnsw = bool(int(os.environ.get("OOD_SKIP_HNSW", 0)))
+    hidx, t_hnsw_build = None, 0.0
+    if not skip_hnsw:
+        t0 = time.time()
+        hidx = hnsw.build_hnsw(base, hnsw.HnswParams(
+            m=12, ef_construction=60, seed=7))
+        t_hnsw_build = time.time() - t0
+        print(f"hnsw build {t_hnsw_build:.1f}s", flush=True)
 
     # NSG baseline column (reference thirdparty/nsg, params
     # scripts/nsg/build_nsg_index.sh:33-35), opt-in: OOD_NSG=knn_k
@@ -251,11 +257,12 @@ def main() -> None:
     qmats = [np.vstack(qpdf[qpdf.set_id == s]["vec"].to_numpy())
              .astype(np.float64) for s in range(N_QUERY_SETS)]
     vecs = roar.vecs            # same matrix both systems (sorted ids)
-    assert np.array_equal(roar.ids, hidx.ids)
     for _, ridx in roar_engines:
-        assert np.array_equal(ridx.ids, hidx.ids)
+        assert np.array_equal(ridx.ids, roar.ids)
+    if hidx is not None:
+        assert np.array_equal(roar.ids, hidx.ids)
     if nsg_idx is not None:
-        assert np.array_equal(nsg_idx.ids, hidx.ids)
+        assert np.array_equal(nsg_idx.ids, roar.ids)
 
     if mode == "uniform":
         data_desc = (
@@ -297,7 +304,9 @@ def main() -> None:
         build_desc += f"{t_roar_build:.1f}s (exact kNN) / " \
                       f"{t_roar_boot:.1f}s (bootstrapped kNN, " \
                       "'roar-boot' columns)"
-    engines = list(roar_engines) + [("hnsw", None)]
+    engines = list(roar_engines)
+    if hidx is not None:
+        engines.append(("hnsw", None))
     if nsg_idx is not None:
         engines.append(("nsg", nsg_idx))
     nsg_desc = "" if nsg_idx is None else (
@@ -314,10 +323,13 @@ def main() -> None:
         data_desc + " — the reference's comparison protocol "
         "(`tests/hnsw/search_rerank_hnsw.cpp` vs "
         "`tests/test_search_multivector_rerank.cpp`, `-T 1`). "
-        + build_desc +
-        f"; HNSW: fixed ef=budget/m, build {t_hnsw_build:.1f}s "
-        "(sequential insert — the per-index serial baseline; the "
-        "engine's scale path shards and builds many in parallel)"
+        + build_desc
+        + (f"; HNSW: fixed ef=budget/m, build {t_hnsw_build:.1f}s "
+           "(sequential insert — the per-index serial baseline; the "
+           "engine's scale path shards and builds many in parallel)"
+           if hidx is not None else
+           "; HNSW column skipped this run (OOD_SKIP_HNSW=1 — its "
+           "sequential build dominates the wall at this n)")
         + nsg_desc + ". " + note,
         "",
         "| budget | " + " | ".join(f"{lb} recall@10 | {lb} QPS"
@@ -352,21 +364,23 @@ def main() -> None:
 
         # HNSW kernel path (same warmup treatment)
         ef = max(1, b // M)
-        for qm in qmats[:2]:
-            for j in range(M):
-                hnsw.search_knn_local(hidx, qm[j], ef, ef)
-        t0 = time.time()
-        hnsw_hits = 0
-        for s, qm in enumerate(qmats):
-            cands = np.concatenate([
-                hnsw.search_knn_local(hidx, qm[j], ef, ef)[0]
-                for j in range(M)])
-            top = _rerank_numpy(hidx.ids[cands], qm, vecs)
-            hnsw_hits += len(set(top.tolist()) & gt[s])
-        t_hnsw = time.time() - t0
-        rec, qps = hnsw_hits / (N_QUERY_SETS * K), N_QUERY_SETS / t_hnsw
-        sweep["hnsw"].append((rec, qps))
-        cells_out.append(f"| {rec:.4f} | {qps:.2f} ")
+        if hidx is not None:
+            for qm in qmats[:2]:
+                for j in range(M):
+                    hnsw.search_knn_local(hidx, qm[j], ef, ef)
+            t0 = time.time()
+            hnsw_hits = 0
+            for s, qm in enumerate(qmats):
+                cands = np.concatenate([
+                    hnsw.search_knn_local(hidx, qm[j], ef, ef)[0]
+                    for j in range(M)])
+                top = _rerank_numpy(hidx.ids[cands], qm, vecs)
+                hnsw_hits += len(set(top.tolist()) & gt[s])
+            t_hnsw = time.time() - t0
+            rec, qps = (hnsw_hits / (N_QUERY_SETS * K),
+                        N_QUERY_SETS / t_hnsw)
+            sweep["hnsw"].append((rec, qps))
+            cells_out.append(f"| {rec:.4f} | {qps:.2f} ")
 
         if nsg_idx is not None:
             # NSG kernel path: fixed per-member beam, same protocol
