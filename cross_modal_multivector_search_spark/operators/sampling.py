@@ -71,12 +71,21 @@ def validate_superset(superset: DataFrame, subset: DataFrame,
 
 
 #: Block size of the counter-based generator contract (r11). Row id i's
-#: draws are row (i % GEN_BLOCK) of the (seed, i // GEN_BLOCK[, tag])
+#: draws are row (i % GEN_BLOCK) of the (seed, tag, i // GEN_BLOCK)
 #: stream — a whole block's draws are recomputed wherever any of its
 #: rows land, so output is partition-independent like the former
 #: per-row-seeded scheme, but RNG construction is per BLOCK, not per
 #: row (the r10 verdict's named fix: per-row default_rng spin-up was
 #: minutes of pure Python at 10M ids).
+#:
+#: Every SeedSequence in this module carries a generator TAG as its
+#: second entropy word so no two streams can collide (r11 advice: the
+#: untagged [seed, blk] base stream collided with the centers stream
+#: [seed, n_clusters] at blk == n_clusters, and random/clustered drew
+#: from each other's blocks): 0 = driver-side derived constants (the
+#: modality-gap direction), 1 = crossmodal query blocks, 2 = random
+#: base blocks, 3 = clustered base blocks. Cluster centers keep the
+#: 2-word stream [seed, n_clusters], disjoint from every 3-word one.
 GEN_BLOCK = 4096
 
 
@@ -109,8 +118,9 @@ def generate_random_vectors(spark: SparkSession, n: int, dim: int,
 
     Distributed: spark.range partitions the id space; draws follow the
     ``GEN_BLOCK`` counter-based contract (row i = row i%B of the
-    (seed, i//B) stream), so output is independent of partitioning and
-    the generator runs as whole-block vectorized NumPy.
+    (seed, 2, i//B) stream — tag 2 is this generator's namespace), so
+    output is independent of partitioning and the generator runs as
+    whole-block vectorized NumPy.
     """
     schema = StructType([
         StructField("vec_id", LongType(), False),
@@ -122,7 +132,7 @@ def generate_random_vectors(spark: SparkSession, n: int, dim: int,
             ids = pdf["id"].to_numpy(dtype=np.int64)
             vs = np.empty((len(ids), dim))
             for sel, (nv,) in _by_block(
-                    ids, [seed],
+                    ids, [seed, 2],
                     lambda r: (r.standard_normal((GEN_BLOCK, dim)),)):
                 vs[sel] = nv
             yield pd.DataFrame({"vec_id": ids, "vec": _unit_rows(vs)})
@@ -140,9 +150,10 @@ def generate_clustered_vectors(spark: SparkSession, n: int, dim: int,
     Cluster centers are generated once on the driver (tiny:
     n_clusters x dim) and folded into the mapInPandas closure; draws
     follow the ``GEN_BLOCK`` counter-based contract (cluster picks and
-    noise for a whole id block come from the (seed, block) stream —
-    integers first, then the noise matrix) so output is independent of
-    partitioning, exactly like `generate_random_vectors`.
+    noise for a whole id block come from the (seed, 3, block) stream —
+    integers first, then the noise matrix; tag 3 is this generator's
+    namespace) so output is independent of partitioning, exactly like
+    `generate_random_vectors`.
     """
     rng = np.random.default_rng([seed, n_clusters])
     centers = rng.standard_normal((n_clusters, dim))
@@ -160,7 +171,7 @@ def generate_clustered_vectors(spark: SparkSession, n: int, dim: int,
             cl = np.empty(len(ids), dtype=np.int64)
             vs = np.empty((len(ids), dim))
             for sel, (c, nv) in _by_block(
-                    ids, [seed],
+                    ids, [seed, 3],
                     lambda r: (r.integers(n_clusters, size=GEN_BLOCK),
                                r.standard_normal((GEN_BLOCK, dim)))):
                 cl[sel] = c
@@ -205,7 +216,7 @@ def generate_crossmodal_queries(spark: SparkSession, n: int, dim: int,
     rng = np.random.default_rng([seed, n_clusters])
     centers = rng.standard_normal((n_clusters, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    g = np.random.default_rng([seed, n_clusters, 7]).standard_normal(dim)
+    g = np.random.default_rng([seed, 0, n_clusters]).standard_normal(dim)
     g /= np.linalg.norm(g)
 
     schema = StructType([

@@ -261,9 +261,10 @@ def test_trained_codebook_assign_and_recall(spark):
 def test_clustered_vectors_seeded_per_block(spark):
     """generate_clustered_vectors follows the GEN_BLOCK counter-based
     contract (r11): each row equals the driver-side recomputation of
-    row i%B of the (seed, i//B) stream (integers first, then the noise
-    matrix), so output cannot depend on partitioning; rows are
-    unit-norm. Ids straddling a block boundary pin the block math."""
+    row i%B of the (seed, 3, i//B) stream (integers first, then the
+    noise matrix; tag 3 = clustered-base namespace, r11 advice), so
+    output cannot depend on partitioning; rows are unit-norm. Ids
+    straddling a block boundary pin the block math."""
     import numpy as np
 
     from cross_modal_multivector_search_spark.operators.sampling import (
@@ -279,7 +280,7 @@ def test_clustered_vectors_seeded_per_block(spark):
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     for i in (0, 17, GEN_BLOCK - 1, GEN_BLOCK, GEN_BLOCK + 49):
         blk, off = divmod(i, GEN_BLOCK)
-        r = np.random.default_rng([11, blk])
+        r = np.random.default_rng([11, 3, blk])
         c = r.integers(4, size=GEN_BLOCK)[off]
         v = centers[c] + 0.2 * r.standard_normal((GEN_BLOCK, 8))[off]
         v = v / np.linalg.norm(v)
@@ -1101,7 +1102,7 @@ def test_crossmodal_queries_seeded_per_block(spark):
     rng = np.random.default_rng([11, 4])
     centers = rng.standard_normal((4, 8))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    g = np.random.default_rng([11, 4, 7]).standard_normal(8)
+    g = np.random.default_rng([11, 0, 4]).standard_normal(8)
     g /= np.linalg.norm(g)
     for i in (0, 17, GEN_BLOCK - 1, GEN_BLOCK, GEN_BLOCK + 49):
         blk, off = divmod(i, GEN_BLOCK)
