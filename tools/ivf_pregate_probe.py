@@ -1,0 +1,83 @@
+"""Pre-gate the ivf_knn (cells, nprobe) choice for a big single-index
+build WITHOUT paying the full train-kNN table: run `simsearch.ivf_knn`
+on a ~2k-query SAMPLE of the staged train set against the FULL staged
+base for each candidate config, compare to the exact sampled table,
+and report gate recall + measured sample wall (which extrapolates
+linearly in n_queries to the full-table cost, since routing + per-cell
+GEMM work is per-query).
+
+Usage: python tools/ivf_pregate_probe.py [n_sample] [cfg1 cfg2 ...]
+       cfg = cells:nprobe, e.g. 1024:8 2048:12
+Env: SI_DATA_DIR (staged fixture, see single_index_10m_probe.py),
+     SI_MSQ (k for the table, default 20)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
+from pyspark.sql import functions as F
+
+from cross_modal_multivector_search_spark.operators import simsearch
+from cross_modal_multivector_search_spark.operators.brute_force import (
+    knn_exact_gemm,
+)
+from cross_modal_multivector_search_spark.session import get_spark
+
+DATA_DIR = os.environ.get("SI_DATA_DIR", "/tmp/si10m_data")
+K = int(os.environ.get("SI_MSQ", 20))
+
+
+def main() -> None:
+    n_sample = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    cfgs = [tuple(int(x) for x in c.split(":")) for c in sys.argv[2:]] \
+        or [(1024, 8), (2048, 8), (2048, 16), (4096, 16)]
+
+    spark = get_spark("ivf-pregate")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{DATA_DIR}/base.parquet")
+    q_all = spark.read.parquet(f"{DATA_DIR}/queries.parquet")
+    tb = base.select(F.col("vec_id").alias("base_id"), "vec").cache()
+    n = tb.count()
+    n_q_total = q_all.count()
+    step = max(1, n_q_total // n_sample)
+    sq = q_all.select(F.col("vec_id").alias("query_id"), "vec") \
+        .filter(F.col("query_id") % step == 0).cache()
+    n_sq = sq.count()
+    print(f"base n={n:,}; sampled {n_sq:,} of {n_q_total:,} train "
+          f"queries (step {step})", flush=True)
+
+    t0 = time.time()
+    exact = knn_exact_gemm(sq, tb, K, metric="ip").cache()
+    exact.count()
+    print(f"exact sampled table {time.time() - t0:.1f}s", flush=True)
+
+    for cells, nprobe in cfgs:
+        t0 = time.time()
+        cb = simsearch.train_codebook(base, cells, iters=10,
+                                      sample_n=100_000)
+        t_cb = time.time() - t0
+        t0 = time.time()
+        boot = simsearch.ivf_knn(sq, tb, cb, K, nprobe=nprobe).cache()
+        boot.count()
+        t_boot = time.time() - t0
+        gate = simsearch.knn_table_recall(boot, exact, K) \
+            .collect()[0]["mean_recall"]
+        est_full = t_boot * n_q_total / n_sq
+        print(f"cells={cells:5d} nprobe={nprobe:3d}: gate@{K} "
+              f"{gate:.4f}  codebook {t_cb:.1f}s  sample table "
+              f"{t_boot:.1f}s  -> full-table est "
+              f"{est_full / 60:.0f} min", flush=True)
+        boot.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

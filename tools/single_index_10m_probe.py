@@ -116,12 +116,34 @@ def phase_build(spark, n: int, dim: int) -> None:
     print(f"codebook {CELLS} cells {stage_t['codebook']:.1f}s",
           flush=True)
 
+    # Chunk the train queries through ivf_knn, staging each chunk's
+    # table to parquet: the merge stage shuffles n_q * nprobe * k rows
+    # (3.2B at 10M/16/20 — ~75 GB of shuffle spill, more than this
+    # box's free disk), so bounding the in-flight query count bounds
+    # the spill at 1/chunks while total FLOPs are unchanged. Chunking
+    # is also the 100 TB shape: a bounded-footprint pass per query
+    # partition, results landing in storage, downstream reading the
+    # union.
     t0 = time.time()
-    knn_boot = simsearch.ivf_knn(tq, tb, cb, P.m_sq,
-                                 nprobe=NPROBE).cache()
-    knn_boot.count()
+    chunks = int(os.environ.get("SI_KNN_CHUNKS", 5))
+    knn_dir = f"{DATA_DIR}/knn_boot.parquet"
+    for c in range(chunks):
+        simsearch.ivf_knn(
+            tq.filter(F.col("query_id") % chunks == c), tb, cb,
+            P.m_sq, nprobe=NPROBE) \
+            .write.mode("overwrite" if c == 0 else "append") \
+            .parquet(knn_dir)
+        print(f"  ivf_knn chunk {c + 1}/{chunks} done "
+              f"[{time.time() - t0:.1f}s]", flush=True)
+        # drop the chunk's lineage so ContextCleaner frees its shuffle
+        # files before the next chunk writes its own
+        import gc
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    knn_boot = spark.read.parquet(knn_dir)
     stage_t["ivf_knn"] = time.time() - t0
-    print(f"ivf_knn table {stage_t['ivf_knn']:.1f}s", flush=True)
+    print(f"ivf_knn table {stage_t['ivf_knn']:.1f}s "
+          f"({chunks} staged chunks)", flush=True)
 
     # sampled recall gate (~2k queries, exact table on the sample only)
     t0 = time.time()
