@@ -18,6 +18,11 @@ recall is the directly comparable axis, QPS columns are per-shape.
 Usage: python tools/ann_10m_headtohead.py [n] [dim] [n_shards] [out]
 Env: SI_DATA_DIR SI_INDEX_DIR SI_QSETS SI_BUDGETS (shared with
      single_index_10m_probe.py) HH_SKIP_ROAR=1 (hnsw rows only)
+     HH_ROAR_BUDGETS / HH_HNSW_BUDGETS — per-engine budget lists
+     (default SI_BUDGETS). The two shapes need different ranges: the
+     single index must scale its beam with n to hold recall, while the
+     sharded fan-out explores budget x n_shards total work per row and
+     saturates recall (and wall) at far smaller per-shard budgets.
 """
 
 from __future__ import annotations
@@ -45,6 +50,12 @@ from hnsw_compare_probe import iso_recall_qps
 M, K = SI.M, SI.K
 BUDGETS = tuple(int(x) for x in os.environ.get(
     "SI_BUDGETS", "1000,2000,4000,8000").split(","))
+ROAR_BUDGETS = tuple(int(x) for x in os.environ.get(
+    "HH_ROAR_BUDGETS", "").split(",")) if os.environ.get(
+    "HH_ROAR_BUDGETS") else BUDGETS
+HNSW_BUDGETS = tuple(int(x) for x in os.environ.get(
+    "HH_HNSW_BUDGETS", "").split(",")) if os.environ.get(
+    "HH_HNSW_BUDGETS") else BUDGETS
 
 
 def main() -> None:
@@ -83,7 +94,7 @@ def main() -> None:
         qpdf = qsets.orderBy("vec_id").toPandas()
         qmats = [np.vstack(qpdf[qpdf.set_id == s]["vec"].to_numpy())
                  .astype(np.float64) for s in range(SI.N_QUERY_SETS)]
-        for b in BUDGETS:
+        for b in ROAR_BUDGETS:
             core.batch_multivector_search(
                 idx.adj, idx.vecs, qmats[:2], idx.entry_point, 5, b, b,
                 True)
@@ -103,7 +114,7 @@ def main() -> None:
                   f"QPS {roar_rows[-1][1]:.2f}", flush=True)
         del idx
 
-    for b in BUDGETS:
+    for b in HNSW_BUDGETS:
         t0 = time.time()
         cands = hnsw.search_hnsw_sharded(work, qsets, budget=b).cache()
         cands.count()
@@ -140,11 +151,15 @@ def main() -> None:
         "| hnsw-sharded recall@10 | hnsw-sharded QPS (spark fan-out) |",
         "|---|---|---|---|---|",
     ]
-    for i, b in enumerate(BUDGETS):
-        rr = (f"{roar_rows[i][0]:.4f} | {roar_rows[i][1]:.2f}"
-              if roar_rows else "- | -")
-        lines.append(f"| {b} | {rr} | {hnsw_rows[i][0]:.4f} "
-                     f"| {hnsw_rows[i][1]:.2f} |")
+    roar_by_b = dict(zip(ROAR_BUDGETS, roar_rows))
+    hnsw_by_b = dict(zip(HNSW_BUDGETS, hnsw_rows))
+    for b in sorted(set(ROAR_BUDGETS if roar_rows else ())
+                    | set(HNSW_BUDGETS)):
+        rr = (f"{roar_by_b[b][0]:.4f} | {roar_by_b[b][1]:.2f}"
+              if b in roar_by_b else "- | -")
+        hh = (f"{hnsw_by_b[b][0]:.4f} | {hnsw_by_b[b][1]:.2f}"
+              if b in hnsw_by_b else "- | -")
+        lines.append(f"| {b} | {rr} | {hh} |")
     iso = []
     for target in (0.80, 0.90):
         qr = iso_recall_qps(roar_rows, target) if roar_rows else None
