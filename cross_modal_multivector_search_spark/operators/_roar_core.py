@@ -613,13 +613,22 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
             sum_size = b_budget_set.copy()
 
         def run_waves():
+            # rows leave the wave front monotonically inside one call
+            # (expansion only consumes unexpanded slots; cur_size is
+            # frozen here), so the O(F x L) candidacy mask only ever
+            # needs the rows still alive — finished rows would
+            # otherwise be rescanned every wave for the whole batch's
+            # longest straggler chain (budget-many waves at L = budget
+            # columns: the dominant fixed cost of big-budget sweeps)
+            alive = np.arange(F_)
             while True:
-                un = ~expanded & (col < cur_size[:, None])
+                un = ~expanded[alive] & (col < cur_size[alive, None])
                 act = un.any(axis=1)
                 if not act.any():
                     return
-                rows = np.nonzero(act)[0]
-                fidx = un[rows].argmax(axis=1)
+                alive = alive[act]
+                rows = alive
+                fidx = un[act].argmax(axis=1)
                 cur = ids[rows, fidx]
                 expanded[rows, fidx] = True
                 nbr = adj_pad[cur]
