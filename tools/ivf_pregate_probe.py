@@ -2,9 +2,15 @@
 build WITHOUT paying the full train-kNN table: run `simsearch.ivf_knn`
 on a ~2k-query SAMPLE of the staged train set against the FULL staged
 base for each candidate config, compare to the exact sampled table,
-and report gate recall + measured sample wall (which extrapolates
-linearly in n_queries to the full-table cost, since routing + per-cell
-GEMM work is per-query).
+and report gate recall + measured sample wall. The printed full-table
+extrapolation is a LOOSE UPPER BOUND: with ~2k queries spread over
+cells x nprobe cell-groups, per-cell GEMM batches are degenerate (a
+handful of queries each) and per-task overhead dominates, so the
+per-query cost is far above the full run's (measured r12 at 10M:
+sample extrapolation said 1745 min, the real chunked table took 45
+min — 39x less). Use the gate RECALL from this probe and estimate
+wall from FLOPs against a measured run instead: t ~= n_q * nprobe *
+(n_base / cells) * dim / 1.15e13 FLOPs/s on this box.
 
 Usage: python tools/ivf_pregate_probe.py [n_sample] [cfg1 cfg2 ...]
        cfg = cells:nprobe, e.g. 1024:8 2048:12
@@ -58,6 +64,7 @@ def main() -> None:
     exact = knn_exact_gemm(sq, tb, K, metric="ip").cache()
     exact.count()
     print(f"exact sampled table {time.time() - t0:.1f}s", flush=True)
+    dim = len(tb.select("vec").head()["vec"])
 
     for cells, nprobe in cfgs:
         t0 = time.time()
@@ -71,10 +78,12 @@ def main() -> None:
         gate = simsearch.knn_table_recall(boot, exact, K) \
             .collect()[0]["mean_recall"]
         est_full = t_boot * n_q_total / n_sq
+        flops = n_q_total * nprobe * (n / cells) * dim
         print(f"cells={cells:5d} nprobe={nprobe:3d}: gate@{K} "
               f"{gate:.4f}  codebook {t_cb:.1f}s  sample table "
-              f"{t_boot:.1f}s  -> full-table est "
-              f"{est_full / 60:.0f} min", flush=True)
+              f"{t_boot:.1f}s  -> full-table <= {est_full / 60:.0f} "
+              f"min (loose; FLOPs-based ~{flops / 1.15e13 / 60:.0f} "
+              "min — see module docstring)", flush=True)
         boot.unpersist()
     spark.stop()
 
