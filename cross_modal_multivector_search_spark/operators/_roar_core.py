@@ -535,11 +535,19 @@ def multivector_search(adj: list, vecs: np.ndarray, queries: np.ndarray,
     return out
 
 
+# engine="auto" switches to the windowed pool at this max_pq: below it
+# the full-width sorted kernel's O(L) ops are cheap enough that its
+# lower fixed overhead wins; above it the O(L)-per-expansion terms
+# dominate (crossover measured in tools/beam_engine_probe.py)
+WINDOW_ENGINE_MIN_PQ = 512
+
+
 def batch_multivector_search(adj: list, vecs: np.ndarray,
                              query_sets: list, ep: int,
                              min_pq, max_pq, budget,
                              adaptive: bool = True,
-                             mem_budget_bytes: int = 200_000_000) -> list:
+                             mem_budget_bytes: int = 200_000_000,
+                             engine: str = "auto") -> list:
     """Wave-vectorized twin of ``multivector_search`` across MANY query
     sets at once: all sets' member beam searches advance one expansion
     per wave, with neighbor gathers / distance dots / beam merges as
@@ -562,6 +570,23 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
 
     Returns a list aligned with ``query_sets``; each element is the
     per-member [(ids, dists), ...] like ``multivector_search``.
+
+    ``engine`` picks the pool representation — bit-identical results
+    either way (both are pinned against the sequential twin):
+      * "sorted": the wave kernel below (sorted-array pool at the full
+        max_pq width L, O(L) per expansion — the reference's own
+        NeighborPriorityQueue cost class). Lower constant at small
+        beams.
+      * "window": `_beam_window.window_multivector_search` — the same
+        pool windowed at each member's own cur_size-driven width, the
+        overflow archived; per-wave work ~ budget instead of
+        m x budget (the r12 1M sweep's named kernel gap). Sets whose
+        cur_size can reach max_pq (non-adaptive budget//m >= max_pq,
+        or min_pq >= max_pq) fall back to "sorted" — the windowed
+        uncapped-pool equivalence (see `_beam_window`) needs
+        cur_size < max_pq.
+      * "auto": "window" when the widest max_pq >=
+        WINDOW_ENGINE_MIN_PQ.
     """
     n = len(vecs)
     nq = len(query_sets)
@@ -572,6 +597,30 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
     max_pq_a = np.broadcast_to(np.asarray(max_pq, dtype=np.int64), (nq,))
     budget_a = np.broadcast_to(np.asarray(budget, dtype=np.int64), (nq,))
     L = int(max_pq_a.max()) if nq else 1
+    if engine not in ("auto", "sorted", "window"):
+        raise ValueError(f"unknown engine {engine!r}")
+    use_window = engine == "window" or (
+        engine == "auto" and L >= WINDOW_ENGINE_MIN_PQ)
+    if use_window and nq:
+        # the windowed equivalence requires cur_size < max_pq forever
+        # (see _beam_window docstring); route capped-shape sets back
+        # through this kernel
+        m_all = np.array([len(q) for q in query_sets], dtype=np.int64)
+        cs0 = min_pq_a if adaptive else np.maximum(1, budget_a // m_all)
+        capped = cs0 >= max_pq_a
+        if capped.any():
+            out: list = [None] * nq
+            for mask, eng in ((capped, "sorted"), (~capped, "window")):
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                sub = batch_multivector_search(
+                    adj, vecs, [query_sets[i] for i in idx], ep,
+                    min_pq_a[idx], max_pq_a[idx], budget_a[idx],
+                    adaptive, mem_budget_bytes, engine=eng)
+                for i, r in zip(idx, sub):
+                    out[i] = r
+            return out
     results: list = [None] * nq
     # sub-batch whole sets so the visited bitmap stays bounded
     max_members = max(1, mem_budget_bytes // max(n + 1, 1))
@@ -586,6 +635,25 @@ def batch_multivector_search(adj: list, vecs: np.ndarray,
             members += len(query_sets[e])
             e += 1
         batch = query_sets[s:e]
+        if use_window:
+            from . import _beam_window
+            out_sets, tainted = _beam_window.window_multivector_search(
+                adj_pad, vecs, vecs_ext, batch, ep, min_pq_a[s:e],
+                max_pq_a[s:e], budget_a[s:e], adaptive)
+            results[s:e] = out_sets
+            if len(tainted):
+                # duplicate-distance sets: the windowed uncapped-pool
+                # equivalence doesn't hold under exact ties — recompute
+                # exactly with the capped kernel (incl. its tie replay)
+                idx = np.asarray(tainted) + s
+                redo = batch_multivector_search(
+                    adj, vecs, [query_sets[i] for i in idx], ep,
+                    min_pq_a[idx], max_pq_a[idx], budget_a[idx],
+                    adaptive, mem_budget_bytes, engine="sorted")
+                for i, r in zip(idx, redo):
+                    results[i] = r
+            s = e
+            continue
         m_of = np.array([len(q) for q in batch])
         F_ = int(m_of.sum())
         qmat = np.vstack(batch)

@@ -45,6 +45,10 @@ every other graph in the engine.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -57,7 +61,8 @@ from pyspark.sql.types import (ArrayType, DoubleType, LongType,
 
 from . import _roar_core as core
 from .brute_force import knn_exact_gemm
-from .graph_build import RoarGraphIndex, _collect_matrix
+from .graph_build import (_MMAP_SNAPSHOT_BYTES, RoarGraphIndex,
+                          _collect_matrix, _NodeLocalArray, _ship_array)
 
 
 @dataclass
@@ -112,10 +117,65 @@ _ADJ_SCHEMA = StructType([
 ])
 
 
+def _assemble_knn_pad(knn: DataFrame, ids_sorted: np.ndarray, n: int,
+                      path: str) -> None:
+    """Materialize the init kNN table as the padded (n, k) int64
+    adjacency at ``path`` WITHOUT collecting n x k rows to the driver
+    (the r12 NSG scale wall, VERDICT "what's wrong" #1): the grouping
+    and rank-sort run distributed, land in a staged parquet, and the
+    driver streams its record batches into a write-memmap — columnar
+    Arrow list offsets straight to vectorized scatter, bounded driver
+    memory at the batch size. Per-row semantics are exactly the former
+    driver loop's: neighbors in (rank, base_id) order, global ids
+    mapped to local via searchsorted, self dropped, sentinel n."""
+    import pyarrow.dataset as pads
+
+    spark = knn.sparkSession
+    k_max = knn.agg(F.max("rank")).head()[0] or 1
+    stage = tempfile.mkdtemp(prefix="nsg_knn_")
+    pq_dir = os.path.join(stage, f"nn_{uuid.uuid4().hex}.parquet")
+    try:
+        (knn.groupBy("query_id")
+         .agg(F.sort_array(F.collect_list(
+              F.struct("rank", "base_id"))).alias("l"))
+         .select("query_id", F.col("l.base_id").alias("nn"))
+         .write.mode("overwrite").parquet(pq_dir))
+        mm = np.lib.format.open_memmap(
+            path, mode="w+", dtype=np.int64, shape=(n, int(k_max)))
+        mm[:] = n
+        for batch in pads.dataset(pq_dir).to_batches(
+                columns=["query_id", "nn"], batch_size=65536):
+            if batch.num_rows == 0:
+                continue
+            qid = batch.column("query_id").to_numpy()
+            nn = batch.column("nn")
+            # a sliced ListArray's offsets need not start at 0 and its
+            # values buffer may be the (longer) parent's — re-base both
+            offs = nn.offsets.to_numpy().astype(np.int64)
+            flat = nn.values.to_numpy().astype(np.int64)[offs[0]:offs[-1]]
+            offs = offs - offs[0]
+            lens = np.diff(offs)
+            src = np.searchsorted(ids_sorted, qid)
+            nbr = np.searchsorted(ids_sorted, flat)
+            rows = np.repeat(src, lens)
+            idx = np.arange(len(flat))
+            pos = idx - np.repeat(offs[:-1], lens)
+            bad = (nbr == rows).astype(np.int64)       # self edges
+            cb0 = np.concatenate([[0], np.cumsum(bad)])
+            pos = pos - (cb0[idx] - cb0[np.repeat(offs[:-1], lens)])
+            keep = bad == 0
+            mm[rows[keep], pos[keep]] = nbr[keep]
+        mm.flush()
+        del mm
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def build_nsg(base: DataFrame, params: NsgParams = NsgParams(),
               id_col: str = "vec_id", vec_col: str = "vec",
               knn: DataFrame | None = None,
-              n_batches: int = 64) -> RoarGraphIndex:
+              n_batches: int = 64,
+              snapshot: str = "auto") -> RoarGraphIndex:
     """Build an NSG over ``base`` (rows pre-normalized), returning the
     same broadcastable handle every engine graph uses.
 
@@ -124,52 +184,86 @@ def build_nsg(base: DataFrame, params: NsgParams = NsgParams(),
     `simsearch.ivf_knn` bootstrap; otherwise the distributed exact
     GEMM self-kNN runs here (the efanna NN-descent stage of the
     reference, as a first-class Spark stage).
+
+    ``snapshot`` picks how the Link-stage snapshot (vectors + padded
+    kNN adjacency) reaches workers, exactly like
+    `graph_build.build_roargraph_dist`: "broadcast" unpickles a
+    private copy per Python worker; "mmap" ships ONE node-local .npy
+    per machine (`sc.addFile` + page-cache-shared `np.load(mmap_mode=
+    'r')`) — bit-identical output, and the reference-scale enabler
+    (at the reference's 10M NSG config, `scripts/nsg/
+    build_nsg_index.sh` K=400, the padded kNN adjacency alone is
+    ~32 GB — per-worker broadcast copies are the r12 wall this
+    removes); "auto" switches to mmap past the size threshold. The
+    init kNN table itself is never collected to the driver: the
+    grouped, rank-sorted lists land in a staged parquet and stream
+    into the padded array batch-by-batch (`_assemble_knn_pad`).
     """
     spark = base.sparkSession
     sc = spark.sparkContext
     R, L, C = params.r_degree, params.l_build, params.c_pool
+    if snapshot not in ("auto", "broadcast", "mmap"):
+        raise ValueError(f"unknown snapshot mode {snapshot!r}")
 
     ids, vecs = _collect_matrix(base, id_col, vec_col)
     n = len(ids)
     if n == 0:
         return RoarGraphIndex(ids=ids, vecs=vecs, adj=[], entry_point=0)
 
-    # ---- init: kNN graph as local adjacency ------------------------
+    # ---- init: kNN graph, assembled distributed --------------------
     if knn is None:
         b = base.select(F.col(id_col).alias("base_id"), vec_col)
         q = base.select(F.col(id_col).alias("query_id"), vec_col)
         knn = knn_exact_gemm(q, b, params.knn_k, metric="ip")
-    knn_pdf = (knn.groupBy("query_id")
-               .agg(F.sort_array(F.collect_list(
-                    F.struct("rank", "base_id"))).alias("l"))
-               .select("query_id", F.col("l.base_id").alias("nn"))
-               ).toPandas()
-    ix_sorted = ids                      # _collect_matrix sorts by id
-    knn_adj = [np.empty(0, dtype=np.int64)] * n
-    for qid, nn in zip(knn_pdf["query_id"].to_numpy(),
-                       knn_pdf["nn"].to_numpy()):
-        src = int(np.searchsorted(ix_sorted, qid))
-        loc = np.searchsorted(ix_sorted, np.asarray(nn, dtype=np.int64))
-        knn_adj[src] = loc[loc != src]
+    tmp_dirs: list = []
+    pad_dir = tempfile.mkdtemp(prefix="nsg_snap_")
+    tmp_dirs.append(pad_dir)
+    pad_name = f"nsg_knn_pad_{uuid.uuid4().hex}.npy"
+    pad_path = os.path.join(pad_dir, pad_name)
+    _assemble_knn_pad(knn, ids, n, pad_path)
+
+    snap_bytes = (os.path.getsize(pad_path)
+                  + (n + 1) * vecs.shape[1] * vecs.dtype.itemsize)
+    use_mmap = snapshot == "mmap" or (snapshot == "auto"
+                                      and snap_bytes > _MMAP_SNAPSHOT_BYTES)
+    if use_mmap:
+        sc.addFile(pad_path)
+        pad_h = _NodeLocalArray(pad_name)
+        vext_h = _ship_array(sc, vecs, "nsg_vecs_ext", tmp_dirs,
+                             pad_zero_row=True)
+
+        def get_pad():
+            return pad_h.load()
+
+        def get_vecs_ext():
+            return vext_h.load()
+    else:
+        bc = sc.broadcast((np.load(pad_path),
+                           np.vstack([vecs, np.zeros((1, vecs.shape[1]))])))
+
+        def get_pad():
+            return bc.value[0]
+
+        def get_vecs_ext():
+            return bc.value[1]
 
     # ---- navigating node: exact medoid -----------------------------
     centroid = vecs.mean(axis=0)
     ep = int(np.argmin(((vecs - centroid) ** 2).sum(axis=1)))
 
     # ---- Link: pool search + sync_prune, distributed ----------------
-    bc_vecs = sc.broadcast(vecs)
-    bc_knn_pad = sc.broadcast(core.pad_adjacency(knn_adj, n))
-
     def link(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        v64 = bc_vecs.value
-        pad = bc_knn_pad.value
+        vext = get_vecs_ext()
+        v64 = vext[:-1]
+        pad = get_pad()
         nn_ = len(v64)
         for pdf in it:
             nodes = pdf["id"].to_numpy(dtype=np.int64)
             if len(nodes) == 0:
                 continue
             pools = core.batch_supply_search_collect(
-                pad, v64, nodes, ep, L, collect="visited")
+                pad, v64, nodes, ep, L, collect="visited",
+                vecs_ext=vext)
             srcs, outs, douts = [], [], []
             for node, (pid, pdist) in zip(nodes, pools):
                 node = int(node)
@@ -204,7 +298,7 @@ def build_nsg(base: DataFrame, params: NsgParams = NsgParams(),
                                 F.lit(1).alias("rev")))
 
     def inter_insert(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        v64 = bc_vecs.value
+        v64 = get_vecs_ext()[:-1]
         for pdf in it:
             srcs, outs, douts = [], [], []
             for node, es in zip(pdf["node"].to_numpy(),
@@ -250,8 +344,10 @@ def build_nsg(base: DataFrame, params: NsgParams = NsgParams(),
 
     # ---- tree_grow: connect every node to the navigating root ------
     adj = _tree_grow(adj, vecs, ep, L)
-    bc_vecs.destroy()
-    bc_knn_pad.destroy()
+    if not use_mmap:
+        bc.destroy()
+    for d in tmp_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     return RoarGraphIndex(ids=ids, vecs=vecs, adj=adj, entry_point=ep)
 
 
