@@ -95,3 +95,15 @@ def test_nsg_accepts_precomputed_knn_table(spark):
     b = nsg.build_nsg(base, p, n_batches=4, knn=tbl)
     assert a.entry_point == b.entry_point
     assert all(np.array_equal(x, y) for x, y in zip(a.adj, b.adj))
+
+
+def test_nsg_build_bit_equal_mmap_snapshot(spark):
+    """snapshot='mmap' (node-local .npy, the reference-10M-config
+    enabler) must build the exact graph snapshot='broadcast' builds —
+    same bytes reach the Link/InterInsert workers either way."""
+    a = _build(spark, n=250, seed=5, snapshot="broadcast")
+    b = _build(spark, n=250, seed=5, snapshot="mmap")
+    assert a.entry_point == b.entry_point
+    assert all(np.array_equal(x, y) for x, y in zip(a.adj, b.adj))
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        _build(spark, n=50, seed=5, snapshot="zerocopy")

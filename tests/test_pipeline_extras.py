@@ -1155,3 +1155,28 @@ def test_mjpeg_avi_roundtrip_frame_exact(spark):
     bad = multimodal.mux_mjpeg_avi([b"\x00\x01\x02\x03"], 2, 2)
     with pytest.raises(NotImplementedError, match="not MJPEG"):
         multimodal.decode_video_frames(bad)
+
+def test_random_vectors_seeded_per_block(spark):
+    """generate_random_vectors follows the same GEN_BLOCK counter
+    contract as the clustered twin (r12 advice: the (seed, 2, blk)
+    stream had no pinned per-block test, so a tag regression in the
+    base generator would pass silently): row i equals the driver-side
+    row i%B of the (seed, 2, i//B) stream, unit-normalized — ids
+    straddling a block boundary pin the block math."""
+    import numpy as np
+
+    from cross_modal_multivector_search_spark.operators.sampling import (
+        GEN_BLOCK, generate_random_vectors,
+    )
+    n = GEN_BLOCK + 50
+    rows = {r["vec_id"]: np.asarray(r["vec"])
+            for r in generate_random_vectors(spark, n, 8,
+                                             seed=11).collect()}
+    assert len(rows) == n
+    for i in (0, 17, GEN_BLOCK - 1, GEN_BLOCK, GEN_BLOCK + 49):
+        blk, off = divmod(i, GEN_BLOCK)
+        v = np.random.default_rng(
+            [11, 2, blk]).standard_normal((GEN_BLOCK, 8))[off]
+        v = v / np.linalg.norm(v)
+        assert np.allclose(rows[i], v.astype(np.float32))
+        assert abs(np.linalg.norm(rows[i]) - 1.0) < 1e-5

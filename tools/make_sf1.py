@@ -135,6 +135,14 @@ def main() -> None:
     emb = _read("embeddings")
     schema = pq.read_table(f"{SRC}/embeddings.parquet").schema
     n = len(emb)
+    # vec_id offsets of i * n preserve the vec_id // M set boundaries
+    # ONLY when n is a multiple of M (the engine's multivector set
+    # cardinality, __spark_entry__'s `vec_id // 5`); a non-divisible
+    # source would silently produce copy-straddling sets mixing
+    # original and re-mixed vectors — fail loudly instead
+    M = 5
+    assert n % M == 0, \
+        f"embeddings rows ({n}) not divisible by set cardinality {M}"
     vecs = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
     parts = [emb]
     for i in range(1, COPIES):

@@ -36,6 +36,10 @@ from verify_oracle import SF001_CALIBRATED, TABLES
 
 def main() -> None:
     args = sys.argv[1:]
+    if args and "/" in args[0] and not os.path.isdir(args[0]):
+        # a path-looking first arg that isn't a directory is a typo'd
+        # sf_dir — erroring beats silently timing /tmp/sf1_data
+        raise SystemExit(f"sf_dir {args[0]!r} is not a directory")
     sf_dir = args[0] if args and os.path.isdir(args[0]) else \
         "/tmp/sf1_data"
     if args and os.path.isdir(args[0]):
@@ -92,6 +96,12 @@ def main() -> None:
     ts_sum, td_sum = sum(spark_t.values()), sum(duck_t.values())
     print(f"| **total ({len(names)} queries)** | **{ts_sum:.2f}** | "
           f"**{td_sum:.2f}** | **{ts_sum / td_sum:.2f}x** |")
+    print("\nMethodology note: Spark is timed via .count() (the final "
+          "projection can be pruned), DuckDB via fetchall() (full "
+          "materialization) — a mild pro-Spark asymmetry; the result "
+          "rows here are aggregate-sized, so the materialization "
+          "delta is per-query small, but read the ratio with it in "
+          "mind (also noted beside the BASELINE.md table).")
 
 
 if __name__ == "__main__":
