@@ -174,6 +174,29 @@ def main() -> None:
     with open(out, "a") as f:
         f.write("\n".join(lines) + "\n")
     print(f"appended to {out}", flush=True)
+
+    # machine-readable twin (ANN_PROTOCOL.json) — one record per
+    # engine SHAPE, with the qps basis labeled (the roar column is
+    # single-thread kernel time; the sharded-HNSW column is a Spark
+    # fan-out wall that includes the per-job floor)
+    import ann_protocol_json
+    fixture = {"n": n, "dim": dim, "mode": "ood", "m": M,
+               "n_query_sets": SI.N_QUERY_SETS, "k": K,
+               "index_dir": SI.INDEX_DIR, "n_shards": n_shards}
+    if roar_rows:
+        ann_protocol_json.record(
+            tool="ann_10m_headtohead", fixture=fixture, engine="roar",
+            shape="single", qps_basis="kernel-1thread",
+            sweep=[(b, r, q) for b, (r, q) in zip(ROAR_BUDGETS,
+                                                  roar_rows)],
+            iso={f"{t:.2f}": iso_recall_qps(roar_rows, t)
+                 for t in (0.80, 0.90)})
+    ann_protocol_json.record(
+        tool="ann_10m_headtohead", fixture=fixture, engine="hnsw",
+        shape="sharded", qps_basis="spark-jobs", build_s=t_hnsw,
+        sweep=[(b, r, q) for b, (r, q) in zip(HNSW_BUDGETS, hnsw_rows)],
+        iso={f"{t:.2f}": iso_recall_qps(hnsw_rows, t)
+             for t in (0.80, 0.90)})
     spark.stop()
 
 

@@ -432,6 +432,32 @@ def main() -> None:
         with open(out, "a") as f:
             f.write("\n".join(lines) + "\n")
         print(f"appended to {out}")
+
+    # machine-readable twin of the table above (ANN_PROTOCOL.json)
+    import ann_protocol_json
+    fixture = {"n": n, "dim": dim, "mode": mode, "m": M,
+               "n_query_sets": N_QUERY_SETS, "k": K,
+               "m_sq": M_SQ, "train_knn": TRAIN_KNN}
+    if mode == "ood":
+        fixture.update(clusters=N_CLUSTERS, sigma_base=SIGMA_BASE,
+                       sigma_q=SIGMA_Q, gap=GAP, mix=MIX)
+    builds = {}
+    if knn_mode in ("exact", "both"):
+        builds["roar"] = t_roar_build
+    if knn_mode in ("ivf", "both"):
+        builds["roar" if knn_mode == "ivf" else "roar-boot"] = t_roar_boot
+    if hidx is not None:
+        builds["hnsw"] = t_hnsw_build
+    if nsg_idx is not None:
+        builds["nsg"] = t_nsg_build
+    for lb, _ in engines:
+        ann_protocol_json.record(
+            tool="hnsw_compare_probe", fixture=fixture, engine=lb,
+            shape="single", qps_basis="kernel-1thread",
+            sweep=[(b, r, q) for b, (r, q) in zip(BUDGETS, sweep[lb])],
+            iso={f"{t:.2f}": iso_recall_qps(sweep[lb], t)
+                 for t in (0.80, 0.90)},
+            build_s=builds.get(lb))
     spark.stop()
 
 

@@ -268,6 +268,20 @@ def phase_search(spark, n: int, dim: int) -> None:
         f.write("\n".join(lines) + "\n")
     print(f"appended to {OUT}", flush=True)
 
+    # machine-readable twin (ANN_PROTOCOL.json)
+    import ann_protocol_json
+    ann_protocol_json.record(
+        tool="single_index_10m_probe", engine="roar", shape="single",
+        qps_basis="kernel-1thread",
+        fixture={"n": n, "dim": dim, "mode": "ood", "m": M,
+                 "n_query_sets": N_QUERY_SETS, "k": K, "m_sq": P.m_sq,
+                 "m_pjbp": P.m_pjbp, "l_pjpq": P.l_pjpq,
+                 "cells": CELLS, "nprobe": NPROBE,
+                 "index_dir": INDEX_DIR},
+        sweep=[(b, r, q) for b, (r, q) in zip(BUDGETS, sweep)],
+        iso={f"{t:.2f}": iso_recall_qps(sweep, t)
+             for t in (0.80, 0.90)})
+
 
 def main() -> None:
     phase = sys.argv[1]
