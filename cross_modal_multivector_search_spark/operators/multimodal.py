@@ -705,25 +705,236 @@ def _decode_avi_frames(payload: bytes) -> list:
     return out
 
 
+def mux_mjpeg_mp4(jpeg_frames: list, width: int, height: int,
+                  scale: int = 1, rate: int = 25) -> bytes:
+    """Mux per-frame JPEG payloads into a minimal ISO-BMFF MP4 with a
+    'jpeg' video sample entry (the QuickTime/ISO Motion-JPEG codec
+    box): ftyp + mdat (one chunk per sample) + moov[mvhd + trak[tkhd +
+    mdia[mdhd + hdlr 'vide' + minf[vmhd + dinf/dref + stbl[stsd 'jpeg'
+    + stts + stsc + stsz + stco]]]]]. Frame period = scale/rate
+    seconds (mdhd timescale = rate, per-sample delta = scale). The
+    round-trip partner of the MP4 demux path in
+    ``decode_video_frames``."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    def full(typ: bytes, body: bytes, ver: int = 0) -> bytes:
+        return box(typ, struct.pack(">I", ver << 24) + body)
+
+    n = len(jpeg_frames)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+               + b"isom" + b"iso2")
+    mdat_body = b"".join(bytes(f) for f in jpeg_frames)
+    mdat = box(b"mdat", mdat_body)
+    # absolute sample offsets: ftyp + mdat header, then cumulative
+    off0 = len(ftyp) + 8
+    offs, acc = [], off0
+    for f in jpeg_frames:
+        offs.append(acc)
+        acc += len(f)
+
+    dur = n * scale
+    mvhd = full(b"mvhd", struct.pack(
+        ">IIII", 0, 0, rate, dur) + struct.pack(">Ihh", 0x00010000,
+        0x0100, 0) + b"\x00" * 8
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", struct.pack(
+        ">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", width << 16, height << 16), ver=0)
+    # tkhd flags: enabled+in-movie
+    tkhd = tkhd[:8] + b"\x00\x00\x00\x03" + tkhd[12:]
+    mdhd = full(b"mdhd", struct.pack(
+        ">IIII", 0, 0, rate, dur) + struct.pack(">HH", 0x55C4, 0))
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                + b"\x00" * 12 + b"jpeg mux\x00")
+    vmhd = box(b"vmhd", struct.pack(">I", 1)
+               + struct.pack(">HHHH", 0, 0, 0, 0))
+    # url box with the self-contained flag: size 12, type, ver/flags=1
+    dref = full(b"dref", struct.pack(">I", 1)
+                + struct.pack(">I", 12) + b"url "
+                + struct.pack(">I", 1))
+    dinf = box(b"dinf", dref)
+    entry = (struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+             + struct.pack(">H", 1) + b"\x00" * 16
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + struct.pack(">I", 0) + struct.pack(">H", 1)
+             + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full(b"stts", struct.pack(">III", 1, n, scale))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = full(b"stsz", struct.pack(">II", 0, n) + b"".join(
+        struct.pack(">I", len(f)) for f in jpeg_frames))
+    stco = full(b"stco", struct.pack(">I", n) + b"".join(
+        struct.pack(">I", o) for o in offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _iso_boxes(buf: bytes, off: int, end: int):
+    import struct
+    while off + 8 <= end:
+        size = struct.unpack(">I", buf[off:off + 4])[0]
+        typ = buf[off + 4:off + 8]
+        lo = off + 8
+        if size == 1:
+            size = struct.unpack(">Q", buf[off + 8:off + 16])[0]
+            lo = off + 16
+        elif size == 0:
+            size = end - off
+        yield typ, lo, min(off + size, end)
+        off += max(size, 8)
+
+
+def _decode_mp4_frames(payload: bytes) -> list:
+    """MJPEG ('jpeg' sample entry) in ISO-BMFF demux: walk
+    moov/trak/mdia to the first video track, require a 'jpeg' coding
+    name in stsd, then map samples to byte ranges via the full
+    stsc/stsz/stco(co64) chunk tables and timestamps via stts at the
+    mdhd timescale. Each sample decodes through the in-repo T.81 JPEG
+    decoder; returns [(start_ms, duration_ms, RGBA)], the
+    ``decode_webp_frames`` contract. Non-jpeg video tracks (avc1,
+    hev1, vp09, mp4v...) raise NotImplementedError — bitstream codecs
+    are the declared external seam; the CONTAINER walk is complete."""
+    import struct
+
+    def u32s(b: bytes, k: int, at: int = 0):
+        return struct.unpack(f">{k}I", b[at:at + 4 * k])
+
+    tracks = []
+
+    def walk_trak(lo, hi):
+        t = {"handler": None, "timescale": None, "fmt": None}
+        for typ, l1, h1 in _iso_boxes(payload, lo, hi):
+            if typ != b"mdia":
+                continue
+            for typ2, l2, h2 in _iso_boxes(payload, l1, h1):
+                if typ2 == b"mdhd":
+                    ver = payload[l2]
+                    t["timescale"] = struct.unpack(
+                        ">I", payload[l2 + (20 if ver else 12):
+                                      l2 + (24 if ver else 16)])[0]
+                elif typ2 == b"hdlr":
+                    t["handler"] = payload[l2 + 8:l2 + 12]
+                elif typ2 == b"minf":
+                    for typ3, l3, h3 in _iso_boxes(payload, l2, h2):
+                        if typ3 == b"stbl":
+                            _read_stbl(t, l3, h3)
+        tracks.append(t)
+
+    def _read_stbl(t, lo, hi):
+        for typ, l1, h1 in _iso_boxes(payload, lo, hi):
+            b = payload[l1:h1]
+            if typ == b"stsd":
+                t["fmt"] = b[12:16]
+            elif typ == b"stts":
+                cnt = u32s(b, 1, 4)[0]
+                t["stts"] = [u32s(b, 2, 8 + 8 * i) for i in range(cnt)]
+            elif typ == b"stsc":
+                cnt = u32s(b, 1, 4)[0]
+                t["stsc"] = [u32s(b, 3, 8 + 12 * i) for i in range(cnt)]
+            elif typ == b"stsz":
+                fixed, cnt = u32s(b, 2, 4)
+                t["stsz"] = ([fixed] * cnt if fixed else
+                             list(u32s(b, cnt, 12)))
+            elif typ in (b"stco", b"co64"):
+                cnt = u32s(b, 1, 4)[0]
+                if typ == b"stco":
+                    t["stco"] = list(u32s(b, cnt, 8))
+                else:
+                    t["stco"] = list(struct.unpack(
+                        f">{cnt}Q", b[8:8 + 8 * cnt]))
+
+    for typ, lo, hi in _iso_boxes(payload, 0, len(payload)):
+        if typ == b"moov":
+            for typ2, l1, h1 in _iso_boxes(payload, lo, hi):
+                if typ2 == b"trak":
+                    walk_trak(l1, h1)
+
+    vid = next((t for t in tracks if t["handler"] == b"vide"), None)
+    if vid is None:
+        raise NotImplementedError("ISO-BMFF payload has no video track")
+    if vid["fmt"] != b"jpeg":
+        raise NotImplementedError(
+            f"ISO-BMFF video coding name {vid['fmt']!r} is not 'jpeg' "
+            "(Motion-JPEG); bitstream codecs (avc1/hev1/vp09/...) "
+            "need an external decoder — the container walk itself is "
+            "complete")
+    sizes, stco, stsc = vid["stsz"], vid["stco"], vid["stsc"]
+    n = len(sizes)
+    # expand sample->chunk: stsc rows are (first_chunk, per_chunk, _)
+    # runs; offsets accumulate within a chunk
+    ranges, si = [], 0
+    for row, nxt in zip(stsc, stsc[1:] + [None]):
+        first, per, _ = row
+        last = (nxt[0] - 1) if nxt else len(stco)
+        for c in range(first, last + 1):
+            off = stco[c - 1]
+            for _ in range(per):
+                if si >= n:
+                    break
+                ranges.append((off, off + sizes[si]))
+                off += sizes[si]
+                si += 1
+    ts = vid["timescale"] or 1000
+    deltas = []
+    for cnt, delta in vid.get("stts", []):
+        deltas.extend([delta] * cnt)
+    out, start_units = [], 0
+    for i, (lo, hi) in enumerate(ranges[:n]):
+        raw = payload[lo:hi]
+        if raw[:3] != b"\xff\xd8\xff":
+            raise NotImplementedError(
+                "'jpeg' sample is not a JPEG bitstream (SOI missing)")
+        img = decode_image(raw)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full_like(img[..., :1], 255)], axis=-1)
+        d = deltas[i] if i < len(deltas) else (deltas[-1] if deltas
+                                               else ts)
+        start = start_units * 1000 // ts
+        end = (start_units + d) * 1000 // ts
+        out.append((int(start), int(end - start), img.astype(np.uint8)))
+        start_units += d
+    return out
+
+
 def decode_video_frames(payload: bytes) -> list:
     """Video payload -> [(start_ms, duration_ms, RGBA frame array)].
 
     Animated WebP decodes fully in-container (ANIM/ANMF demux +
     VP8/VP8L frame decode + canvas composition, ``functions.webp``);
-    MJPEG-in-AVI decodes fully in-container too (RIFF/movi walk +
-    the in-repo T.81 JPEG decoder); other containers (mp4/webm/...)
-    need an ffmpeg-class library and raise NotImplementedError — the
-    declared seam.
+    MJPEG-in-AVI decodes fully in-container (RIFF/movi walk) and so
+    does Motion-JPEG in ISO-BMFF MP4 ('jpeg' sample entries via the
+    full moov/trak/stbl walk) — both through the in-repo T.81 JPEG
+    decoder. The remaining seam is bitstream codecs (avc1/hev1/vp09
+    in mp4, vp8/vp9 in webm/Matroska) which need an ffmpeg-class
+    library and raise NotImplementedError.
     """
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ..functions import webp as _webp
         return _webp.decode_webp_frames(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return _decode_avi_frames(payload)
+    if payload[4:8] == b"ftyp":
+        return _decode_mp4_frames(payload)
     raise NotImplementedError(
-        "video decode in-container supports animated WebP and "
-        "MJPEG-in-AVI; other containers (mp4/webm/...) need an "
-        "external ffmpeg-class codec")
+        "video decode in-container supports animated WebP, "
+        "MJPEG-in-AVI, and Motion-JPEG in ISO-BMFF mp4; webm/Matroska "
+        "and bitstream codecs need an external ffmpeg-class decoder")
 
 
 _FRAME_SCHEMA = StructType([

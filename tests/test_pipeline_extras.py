@@ -1180,3 +1180,45 @@ def test_random_vectors_seeded_per_block(spark):
         v = v / np.linalg.norm(v)
         assert np.allclose(rows[i], v.astype(np.float32))
         assert abs(np.linalg.norm(rows[i]) - 1.0) < 1e-5
+
+def test_mjpeg_mp4_roundtrip_frame_exact(spark):
+    """Motion-JPEG in ISO-BMFF (VERDICT r12 directive #6): an
+    in-repo-muxed mp4 ('jpeg' sample entries, one chunk per sample)
+    demuxes through the full moov/trak/stbl walk (stsc/stsz/stco
+    sample mapping, stts timing at the mdhd timescale) and decodes
+    frame-exact against decoding each JPEG payload directly — and it
+    drives sample_video_frames through Spark unchanged. Bitstream
+    codecs and missing video tracks stay loud seams."""
+    from cross_modal_multivector_search_spark.functions import jpeg
+
+    rng = np.random.default_rng(34)
+    frames_rgb = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+                  for _ in range(3)]
+    payloads = [jpeg.encode_jpeg(f, quality=90) for f in frames_rgb]
+    mp4 = multimodal.mux_mjpeg_mp4(payloads, width=24, height=16,
+                                   scale=1, rate=4)     # 250 ms/frame
+
+    out = multimodal.decode_video_frames(mp4)
+    assert [(s, d) for s, d, _ in out] == \
+        [(0, 250), (250, 250), (500, 250)]
+    for (_, _, rgba), p in zip(out, payloads):
+        direct = multimodal.decode_image(p)
+        assert np.array_equal(rgba[..., :3], direct)
+        assert (rgba[..., 3] == 255).all()
+
+    media = spark.createDataFrame(
+        [(8, "video", bytearray(mp4), "mp4", 24, 16, 750)],
+        schema=multimodal.MEDIA_SCHEMA)
+    rows = multimodal.sample_video_frames(media, every_ms=250).collect()
+    assert sorted(r["frame_ts_ms"] for r in rows) == [0, 250, 500]
+    for r in rows:
+        img = multimodal.decode_image(bytes(r["frame_png"]))
+        i = r["frame_ts_ms"] // 250
+        assert np.array_equal(
+            img[..., :3], multimodal.decode_image(payloads[i]))
+
+    # bitstream codecs and track-less files stay loud seams
+    with pytest.raises(NotImplementedError, match="not 'jpeg'"):
+        multimodal.decode_video_frames(mp4.replace(b"jpeg", b"avc1"))
+    with pytest.raises(NotImplementedError, match="no video track"):
+        multimodal.decode_video_frames(mp4.replace(b"vide", b"soun"))
