@@ -241,14 +241,32 @@ def main() -> None:
         print(f"hnsw build {t_hnsw_build:.1f}s", flush=True)
 
     # NSG baseline column (reference thirdparty/nsg, params
-    # scripts/nsg/build_nsg_index.sh:33-35), opt-in: OOD_NSG=knn_k
+    # scripts/nsg/build_nsg_index.sh:33-35), opt-in: OOD_NSG=knn_k.
+    # OOD_NSG_BOOT=cells:nprobe bootstraps the init SELF-kNN graph via
+    # simsearch.ivf_knn (exclude_self) instead of the quadratic exact
+    # table — the same engine-native stage the roar build uses, and
+    # the 1M+ enabler (the exact self-kNN at k=400 is the 2500s wall).
     nsg_idx = None
     if int(os.environ.get("OOD_NSG", 0)):
         from cross_modal_multivector_search_spark.operators import nsg
+        knn_k = int(os.environ["OOD_NSG"])
+        nsg_knn = None
         t0 = time.time()
+        if os.environ.get("OOD_NSG_BOOT"):
+            cells2, nprobe2 = (int(x) for x in
+                               os.environ["OOD_NSG_BOOT"].split(":"))
+            cb2 = simsearch.train_codebook(base, cells2, iters=10,
+                                           sample_n=100_000)
+            nsg_knn = simsearch.ivf_knn(
+                tb.withColumnRenamed("base_id", "query_id"), tb, cb2,
+                knn_k, nprobe=nprobe2, exclude_self=True).cache()
+            nsg_knn.count()
+            print(f"nsg ivf_knn init table {time.time() - t0:.1f}s "
+                  f"(cells={cells2} nprobe={nprobe2} k={knn_k})",
+                  flush=True)
         nsg_idx = nsg.build_nsg(
             base, nsg.NsgParams(l_build=60, r_degree=70, c_pool=500,
-                                knn_k=int(os.environ["OOD_NSG"])))
+                                knn_k=knn_k), knn=nsg_knn)
         t_nsg_build = time.time() - t0
         print(f"nsg build {t_nsg_build:.1f}s", flush=True)
 
@@ -309,9 +327,12 @@ def main() -> None:
         engines.append(("hnsw", None))
     if nsg_idx is not None:
         engines.append(("nsg", nsg_idx))
+    nsg_init = ("an ivf_knn-BOOTSTRAPPED (exclude_self, "
+                f"{os.environ.get('OOD_NSG_BOOT')}) "
+                if os.environ.get("OOD_NSG_BOOT") else "an exact ")
     nsg_desc = "" if nsg_idx is None else (
         f"; NSG: fixed per-member beam L=budget/m from the medoid, "
-        f"reference params L=60/R=70/C=500 over an exact "
+        f"reference params L=60/R=70/C=500 over {nsg_init}"
         f"k={os.environ['OOD_NSG']} init kNN graph, build "
         f"{t_nsg_build:.1f}s (distributed passes)")
     lines = [
