@@ -672,9 +672,13 @@ def test_sample_video_frames_over_spark_pipeline(spark):
                 exp = exp.copy()
                 exp[2:4, 2:4, :3] = f1
             assert np.array_equal(img, exp), r["frame_ts_ms"]
-    # non-WebP video payloads are the declared seam
-    with pytest.raises(NotImplementedError, match="ffmpeg-class"):
+    # undecodable containers stay loud seams: an ISO-BMFF stub with no
+    # moov/trak (r13: mp4 now demuxes in-container when it carries a
+    # 'jpeg' track), and an unknown container magic
+    with pytest.raises(NotImplementedError, match="no video track"):
         multimodal.decode_video_frames(b"\x00\x00\x00\x18ftypmp42")
+    with pytest.raises(NotImplementedError, match="ffmpeg-class"):
+        multimodal.decode_video_frames(b"\x1aE\xdf\xa3webm-ish")
 
 
 def _wav_raw(data: bytes, fmt_code: int, ch: int, rate: int,
