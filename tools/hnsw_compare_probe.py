@@ -404,19 +404,23 @@ def main() -> None:
             cells_out.append(f"| {rec:.4f} | {qps:.2f} ")
 
         if nsg_idx is not None:
-            # NSG kernel path: fixed per-member beam, same protocol
-            # shape as the HNSW column (same warmup treatment)
-            for qm in qmats[:2]:
-                for j in range(M):
-                    core.beam_search(nsg_idx.adj, nsg_idx.vecs, qm[j],
-                                     nsg_idx.entry_point, ef, ef)
+            # NSG kernel path: fixed per-member beam ef, via the batch
+            # kernel's non-adaptive mode (budget//m = max_pq = ef is
+            # exactly one BeamQueue(ef) search per member — pinned
+            # equal to the sequential beam_search by the non-adaptive
+            # property tests; r13: the former per-member sequential
+            # loop made >1k-ef sweeps at 1M wall-prohibitive). Same
+            # warmup treatment.
+            core.batch_multivector_search(
+                nsg_idx.adj, nsg_idx.vecs, qmats[:2],
+                nsg_idx.entry_point, ef, ef, ef * M, adaptive=False)
             t0 = time.time()
             nsg_hits = 0
-            for s, qm in enumerate(qmats):
-                cands = np.concatenate([
-                    core.beam_search(nsg_idx.adj, nsg_idx.vecs, qm[j],
-                                     nsg_idx.entry_point, ef, ef)[0]
-                    for j in range(M)])
+            all_nsg = core.batch_multivector_search(
+                nsg_idx.adj, nsg_idx.vecs, qmats, nsg_idx.entry_point,
+                ef, ef, ef * M, adaptive=False)
+            for s, (qm, res) in enumerate(zip(qmats, all_nsg)):
+                cands = np.concatenate([ids for ids, _ in res])
                 top = _rerank_numpy(nsg_idx.ids[cands], qm, vecs)
                 nsg_hits += len(set(top.tolist()) & gt[s])
             t_nsg = time.time() - t0
