@@ -670,6 +670,24 @@ def q_ann_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_window_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 WINDOWED beam-pool engine under the driver's oracle
+    gate: the `ann_multivector_search` pipeline with max_pq/budget 600
+    — above the auto-dispatch threshold (`_roar_core.
+    WINDOW_ENGINE_MIN_PQ` = 512), so the search stage runs through
+    `_beam_window.window_multivector_search` (per-member cur_size-
+    sized pools + spill archive; bit-equal to the sequential queue,
+    tests/test_beam_window.py). Saturating budget at this sf -> exact
+    set top-k, so the exact chamfer SQL is the oracle (the accepted
+    ANN oracle pattern)."""
+    index = _roar_index(spark, sf_dir)
+    q, v = _queries_norm(spark, sf_dir)
+    out = graph_search.search_and_rerank(
+        index, q, v, K,
+        graph_search.SearchParams(min_pq=5, max_pq=600, budget=600), m=M)
+    return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
+
+
 _NSG_INDEX_CACHE: dict[str, graph_build.RoarGraphIndex] = {}
 
 
@@ -2378,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
         "ann_multivector_search": q_ann_multivector_search,
+        "ann_window_search": q_ann_window_search,
         "nsg_multivector_search": q_nsg_multivector_search,
         "ann_distbuild_search": q_ann_distbuild_search,
         "ivf_knn_topk": q_ivf_knn,
@@ -2499,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
         # ANN + exact rerank == exact set-level top-k (reference analogue:
         # tests/test_search_multivector_fullscan_rerank.cpp).
         "ann_multivector_search": SQL_CHAMFER_TOPK,
+        "ann_window_search": SQL_CHAMFER_TOPK,
         "nsg_multivector_search": SQL_CHAMFER_TOPK,
         # distributed-passes build == one-task build bit-for-bit
         # (tests/test_graph_build_dist), so the same saturation oracle
