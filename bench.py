@@ -83,6 +83,9 @@ def main() -> None:
     # fixed-split search at the SAME budget (400) the RoarGraph row
     # (ann_multivector_search) runs, per tests/hnsw/search_rerank_hnsw.cpp
     from cross_modal_multivector_search_spark.operators import hnsw as _h
+    from cross_modal_multivector_search_spark.operators import (
+        graph_search as _gs,
+    )
 
     def hnsw_b400(spark, sf_dir):
         index = E._hnsw_index(spark, sf_dir)
@@ -90,8 +93,22 @@ def main() -> None:
         return _h.search_and_rerank_hnsw(index, q, v, E.K, budget=400,
                                          m=E.M)
 
+    # ann_window_search_b1600: the same RoarGraph pipeline at budget
+    # 1600 — above WINDOW_ENGINE_MIN_PQ (512), so the search stage runs
+    # the r13 windowed beam-pool engine (`_beam_window.py`). The other
+    # graded budgets sit below the dispatch threshold and keep the
+    # sorted kernel; this row makes plan/perf drift in the window
+    # engine visible to the driver bench (VERDICT r13 directive #4).
+    def ann_window_b1600(spark, sf_dir):
+        index = E._roar_index(spark, sf_dir)
+        q, v = E._queries_norm(spark, sf_dir)
+        return _gs.search_and_rerank(
+            index, q, v, E.K,
+            _gs.SearchParams(min_pq=5, max_pq=1600, budget=1600), m=E.M)
+
     timed = {name: qs[name] for name in HEADLINE}
     timed["hnsw_search_b400"] = hnsw_b400
+    timed["ann_window_search_b1600"] = ann_window_b1600
     for fn in timed.values():
         fn(spark, sf_dir).count()
 

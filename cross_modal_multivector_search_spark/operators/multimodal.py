@@ -871,6 +871,12 @@ def _decode_mp4_frames(payload: bytes) -> list:
             "(Motion-JPEG); bitstream codecs (avc1/hev1/vp09/...) "
             "need an external decoder — the container walk itself is "
             "complete")
+    missing = [k for k in ("stsz", "stco", "stsc") if k not in vid]
+    if missing:
+        raise NotImplementedError(
+            "ISO-BMFF 'jpeg' video track is missing required sample "
+            f"table box(es) {missing} (stbl incomplete — fragmented "
+            "mp4 / moof-based sample layout is not supported)")
     sizes, stco, stsc = vid["stsz"], vid["stco"], vid["stsc"]
     n = len(sizes)
     # expand sample->chunk: stsc rows are (first_chunk, per_chunk, _)

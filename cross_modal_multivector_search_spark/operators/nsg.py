@@ -127,7 +127,16 @@ def _assemble_knn_pad(knn: DataFrame, ids_sorted: np.ndarray, n: int,
     Arrow list offsets straight to vectorized scatter, bounded driver
     memory at the batch size. Per-row semantics are exactly the former
     driver loop's: neighbors in (rank, base_id) order, global ids
-    mapped to local via searchsorted, self dropped, sentinel n."""
+    mapped to local via searchsorted, self dropped, sentinel n.
+
+    Mirrors `_roar_core.pad_adjacency`'s input contract for
+    user-supplied tables (the wave kernel requires first-occurrence-
+    unique rows — a duplicated (query_id, base_id) would be inserted
+    twice where the sequential queue's dup check admits it once):
+    duplicate ids within a row are dropped keeping the first
+    (rank, base_id) occurrence, and every id must be a member of
+    ``ids_sorted`` — an unknown query_id or base_id fails loudly
+    instead of silently aliasing the nearest sorted slot."""
     import pyarrow.dataset as pads
 
     spark = knn.sparkSession
@@ -157,11 +166,30 @@ def _assemble_knn_pad(knn: DataFrame, ids_sorted: np.ndarray, n: int,
             lens = np.diff(offs)
             src = np.searchsorted(ids_sorted, qid)
             nbr = np.searchsorted(ids_sorted, flat)
+            if ((src >= n).any()
+                    or (ids_sorted[np.minimum(src, n - 1)] != qid).any()):
+                raise ValueError(
+                    "knn table contains query_id values not present in "
+                    "the base id vector")
+            if ((nbr >= n).any()
+                    or (ids_sorted[np.minimum(nbr, n - 1)] != flat).any()):
+                raise ValueError(
+                    "knn table contains base_id values not present in "
+                    "the base id vector")
             rows = np.repeat(src, lens)
             idx = np.arange(len(flat))
-            pos = idx - np.repeat(offs[:-1], lens)
-            bad = (nbr == rows).astype(np.int64)       # self edges
+            # first-occurrence dedup within each row: stable lexsort by
+            # (row, nbr, original pos) flags every repeat of an id
+            # after its first (rank, base_id) occurrence
+            ordk = np.lexsort((idx, nbr, rows))
+            dup_s = np.zeros(len(flat), dtype=bool)
+            dup_s[1:] = ((rows[ordk][1:] == rows[ordk][:-1])
+                         & (nbr[ordk][1:] == nbr[ordk][:-1]))
+            dup = np.zeros(len(flat), dtype=bool)
+            dup[ordk] = dup_s
+            bad = ((nbr == rows) | dup).astype(np.int64)  # self + dups
             cb0 = np.concatenate([[0], np.cumsum(bad)])
+            pos = idx - np.repeat(offs[:-1], lens)
             pos = pos - (cb0[idx] - cb0[np.repeat(offs[:-1], lens)])
             keep = bad == 0
             mm[rows[keep], pos[keep]] = nbr[keep]
@@ -355,7 +383,61 @@ def _tree_grow(adj: list, vecs: np.ndarray, ep: int, beam: int) -> list:
     """BFS reachability from the root; every unreached node gets one
     edge from its nearest reached search-pool node (findroot,
     index_nsg.cpp:700-735 — with the rand() fallback replaced by the
-    deterministic exact nearest reached node)."""
+    deterministic exact nearest reached node).
+
+    Frontier-vectorized (r14, the VERDICT r13 directive): the per-node
+    Python stack walk — the slowest pure-Python stage left in the 1M
+    build — becomes level-synchronous frontier expansion over the
+    padded adjacency (one gather + one unique per level). Bit-equal to
+    the sequential walk (`_tree_grow_seq`, kept as the spec twin for
+    the pin tests): the loop only consumes the reachable CLOSURE, and
+    both traversals compute the identical closure before the next
+    first-unreached argmin; the repair edge root->node never needs a
+    pad rebuild because root is already reached — new reachability
+    flows only through ``node``, whose outgoing row is already in the
+    pad."""
+    n = len(adj)
+    if n == 0:
+        return adj
+    pad = core.pad_adjacency(adj, n)
+    reached = np.zeros(n + 1, dtype=bool)
+    reached[n] = True                            # pad sentinel
+
+    def expand(seed: int) -> None:
+        frontier = np.array([seed], dtype=np.int64)
+        reached[frontier] = True
+        while len(frontier):
+            nxt = pad[frontier].ravel()
+            nxt = np.unique(nxt[~reached[nxt]])
+            reached[nxt] = True
+            frontier = nxt
+
+    expand(ep)
+    while not reached[:n].all():
+        node = int(np.argmin(reached[:n]))      # first unreached id
+        pid, pdist = core.supply_search_collect(
+            adj, vecs, vecs[node], node, ep, beam)
+        m = reached[pid]
+        if m.any():
+            root = int(pid[m][np.argmin(pdist[m])])
+        else:
+            cand = np.nonzero(reached[:n])[0]
+            root = int(cand[np.argmax(vecs[cand] @ vecs[node])])
+        adj[root] = np.concatenate(
+            [adj[root], np.asarray([node], dtype=np.int64)])
+        expand(node)
+    return adj
+
+
+def _tree_grow_seq(adj: list, vecs: np.ndarray, ep: int,
+                   beam: int) -> list:
+    """The sequential spec twin of `_tree_grow` (the pre-r14 stack
+    walk, shape-identical to the reference's findroot/dfs loop) —
+    retained solely as the bit-equality oracle for the vectorized
+    frontier version (tests/test_nsg.py + tools/nsg_10m_probe.py pin
+    `_tree_grow(adj) == _tree_grow_seq(adj)` on random graphs and the
+    1M fixture), the same kept-twin pattern as the sorted/window beam
+    engines."""
     n = len(adj)
     reached = np.zeros(n, dtype=bool)
 

@@ -107,3 +107,68 @@ def test_nsg_build_bit_equal_mmap_snapshot(spark):
     assert all(np.array_equal(x, y) for x, y in zip(a.adj, b.adj))
     with pytest.raises(ValueError, match="unknown snapshot"):
         _build(spark, n=50, seed=5, snapshot="zerocopy")
+
+
+def test_tree_grow_vectorized_bit_equal_seq():
+    """The r14 frontier-vectorized `_tree_grow` must produce the exact
+    adjacency of the sequential stack walk (`_tree_grow_seq`, the spec
+    twin) — including the repair-edge targets and their append order —
+    on disconnected graphs with multiple stranded components."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n = int(rng.integers(30, 120))
+        vecs = rng.normal(size=(n, 8))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        # sparse random digraph: ~half the nodes get 0-3 out-edges, so
+        # several components are unreachable from the entry point
+        adj = []
+        for i in range(n):
+            deg = int(rng.integers(0, 4)) if rng.random() < 0.6 else 0
+            nbrs = rng.choice(n, size=deg, replace=False) if deg else \
+                np.empty(0, dtype=np.int64)
+            adj.append(np.asarray(nbrs, dtype=np.int64))
+        ep = int(rng.integers(0, n))
+        a = nsg._tree_grow([x.copy() for x in adj], vecs, ep, beam=12)
+        b = nsg._tree_grow_seq([x.copy() for x in adj], vecs, ep,
+                               beam=12)
+        assert all(np.array_equal(x, y) for x, y in zip(a, b)), trial
+        # and the result is actually fully reachable from ep
+        pad = core.pad_adjacency(a, n)
+        reached = np.zeros(n + 1, dtype=bool)
+        reached[[ep, n]] = True
+        frontier = np.array([ep])
+        while len(frontier):
+            nxt = pad[frontier].ravel()
+            nxt = np.unique(nxt[~reached[nxt]])
+            reached[nxt] = True
+            frontier = nxt
+        assert reached[:n].all()
+
+
+def test_assemble_knn_pad_dedup_and_id_gate(spark, tmp_path):
+    """User-supplied knn tables (r13 ADVICE): duplicate (query_id,
+    base_id) rows must land ONCE in the padded adjacency (first
+    (rank, base_id) occurrence — the wave kernel's pre-padded rows
+    contract), and ids absent from the base id vector must fail
+    loudly instead of aliasing a sorted slot."""
+    ids = np.array([10, 20, 30, 40], dtype=np.int64)
+    rows = [(10, 1, 20), (10, 2, 30), (10, 3, 20),   # dup of (10,20)
+            (20, 1, 10), (20, 2, 20),                # self edge
+            (30, 1, 40)]
+    knn = spark.createDataFrame(rows, "query_id long, rank long, "
+                                      "base_id long")
+    path = str(tmp_path / "pad.npy")
+    nsg._assemble_knn_pad(knn, ids, len(ids), path)
+    pad = np.load(path)
+    assert pad[0].tolist()[:2] == [1, 2] and (pad[0][2:] == 4).all()
+    assert pad[1].tolist()[0] == 0 and (pad[1][1:] == 4).all()
+    assert pad[2].tolist()[0] == 3 and (pad[2][1:] == 4).all()
+    bad = spark.createDataFrame([(99, 1, 10)],
+                                "query_id long, rank long, base_id long")
+    with pytest.raises(ValueError, match="query_id"):
+        nsg._assemble_knn_pad(bad, ids, len(ids), str(tmp_path / "b.npy"))
+    bad2 = spark.createDataFrame([(10, 1, 99)],
+                                 "query_id long, rank long, base_id long")
+    with pytest.raises(ValueError, match="base_id"):
+        nsg._assemble_knn_pad(bad2, ids, len(ids),
+                              str(tmp_path / "c.npy"))

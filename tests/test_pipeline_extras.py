@@ -1226,3 +1226,10 @@ def test_mjpeg_mp4_roundtrip_frame_exact(spark):
         multimodal.decode_video_frames(mp4.replace(b"jpeg", b"avc1"))
     with pytest.raises(NotImplementedError, match="no video track"):
         multimodal.decode_video_frames(mp4.replace(b"vide", b"soun"))
+
+    # missing stbl sample tables (fragmented-mp4 shape) are a declared
+    # seam, not a KeyError (r13 ADVICE): stripping stsz renames it to
+    # a free box, leaving a 'jpeg' track with an incomplete stbl
+    assert mp4.count(b"stsz") == 1
+    with pytest.raises(NotImplementedError, match="stsz"):
+        multimodal.decode_video_frames(mp4.replace(b"stsz", b"free"))

@@ -33,8 +33,17 @@ def record(tool: str, fixture: dict, engine: str, shape: str,
     path = path or PATH
     doc = {"records": []}
     if os.path.exists(path):
+        # a concurrent writer mid-os.replace (or a truncated file from
+        # a killed run) must not be clobbered: keep the unreadable file
+        # and fail loudly instead of overwriting it with a fresh doc
         with open(path) as f:
-            doc = json.load(f)
+            raw = f.read()
+        try:
+            doc = json.loads(raw)
+        except ValueError as e:
+            raise RuntimeError(
+                f"{path} exists but is not parseable JSON ({e}); "
+                "refusing to overwrite — inspect/repair it first") from e
     doc["records"].append({
         "ts": round(time.time(), 1),
         "tool": tool,
@@ -49,6 +58,10 @@ def record(tool: str, fixture: dict, engine: str, shape: str,
                            for k, v in iso.items()},
         "notes": notes,
     })
-    with open(path, "w") as f:
+    # atomic publish: a reader (or concurrent recorder) never sees a
+    # partially written file — write a sibling temp then os.replace
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(doc, f, indent=1)
+    os.replace(tmp, path)
     print(f"recorded {tool}/{engine} sweep -> {path}", flush=True)

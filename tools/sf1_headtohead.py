@@ -35,20 +35,23 @@ from verify_oracle import SF001_CALIBRATED, TABLES
 
 
 def main() -> None:
+    qs, oracles = E.queries(), E.oracle_sql()
     args = sys.argv[1:]
-    if args and "/" in args[0] and not os.path.isdir(args[0]):
-        # a path-looking first arg that isn't a directory is a typo'd
-        # sf_dir — erroring beats silently timing /tmp/sf1_data
-        raise SystemExit(f"sf_dir {args[0]!r} is not a directory")
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else \
-        "/tmp/sf1_data"
     if args and os.path.isdir(args[0]):
+        sf_dir = args[0]
         args = args[1:]
+    else:
+        sf_dir = "/tmp/sf1_data"
+        # any first arg that is not a directory must be a rep count or
+        # a known query name — a typo'd sf_dir (with or without a '/')
+        # errors instead of silently timing the default fixture
+        if args and not args[0].isdigit() and args[0] not in oracles:
+            raise SystemExit(
+                f"first arg {args[0]!r} is not a directory, a rep "
+                "count, or a query name")
     reps = int(args[0]) if args and args[0].isdigit() else 3
     if args and args[0].isdigit():
         args = args[1:]
-
-    qs, oracles = E.queries(), E.oracle_sql()
     names = args or [q for q in HEADLINE
                      if q in oracles and q not in SF001_CALIBRATED]
     missing = [q for q in names if q not in oracles]
