@@ -674,7 +674,8 @@ def q_ann_window_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r13 WINDOWED beam-pool engine under the driver's oracle
     gate: the `ann_multivector_search` pipeline with max_pq/budget 600
     — above the auto-dispatch threshold (`_roar_core.
-    WINDOW_ENGINE_MIN_PQ` = 512), so the search stage runs through
+    WINDOW_ENGINE_MIN_PQ`, 512 when this row was added, 300
+    since the r14 real-fixture crossover), so the search stage runs through
     `_beam_window.window_multivector_search` (per-member cur_size-
     sized pools + spill archive; bit-equal to the sequential queue,
     tests/test_beam_window.py). Saturating budget at this sf -> exact

@@ -94,7 +94,7 @@ def main() -> None:
                                          m=E.M)
 
     # ann_window_search_b1600: the same RoarGraph pipeline at budget
-    # 1600 — above WINDOW_ENGINE_MIN_PQ (512), so the search stage runs
+    # 1600 — far above WINDOW_ENGINE_MIN_PQ, so the search stage runs
     # the r13 windowed beam-pool engine (`_beam_window.py`). The other
     # graded budgets sit below the dispatch threshold and keep the
     # sorted kernel; this row makes plan/perf drift in the window

@@ -538,8 +538,15 @@ def multivector_search(adj: list, vecs: np.ndarray, queries: np.ndarray,
 # engine="auto" switches to the windowed pool at this max_pq: below it
 # the full-width sorted kernel's O(L) ops are cheap enough that its
 # lower fixed overhead wins; above it the O(L)-per-expansion terms
-# dominate (crossover measured in tools/beam_engine_probe.py)
-WINDOW_ENGINE_MIN_PQ = 512
+# dominate. r13 set 512 from the synthetic 100k probe graph
+# (tools/beam_engine_probe.py: window 0.98x at 400, >=1.07x from 800);
+# r14 re-measured on the REAL 1M OOD fixture
+# (tools/window_crossover_probe.py, outputs asserted bit-equal): the
+# window engine wins at EVERY swept budget — 1.17x at 300, 1.66x at
+# 400, 1.42x at 512, 1.6x at 1600-2560 — so the threshold drops to
+# the measured floor of that sweep (300); smaller beams keep the
+# sorted kernel, unmeasured on the real fixture and sub-5s absolute.
+WINDOW_ENGINE_MIN_PQ = 300
 
 
 def batch_multivector_search(adj: list, vecs: np.ndarray,

@@ -918,17 +918,244 @@ def _decode_mp4_frames(payload: bytes) -> list:
     return out
 
 
+# --- Matroska/webm (EBML) Motion-JPEG, r14 (VERDICT r13 directive #6) ---
+# Written against the public Matroska element registry (RFC 8794 EBML +
+# the matroska.org element ids). Only the MJPEG codec path decodes
+# in-container (composing with the in-repo T.81 decoder exactly like
+# the mp4/AVI paths); bitstream codecs (V_VP8/V_VP9/V_MPEG4/...) stay
+# the declared external-decoder seam.
+
+_MKV_MAGIC = b"\x1aE\xdf\xa3"           # EBML header element id
+
+
+def _ebml_vint(buf: bytes, off: int, keep_marker: bool = False):
+    """Parse one EBML variable-width integer at ``off``. Returns
+    (value, next_off). Element IDs keep the length-marker bit
+    (``keep_marker=True``, the registry form); sizes strip it."""
+    if off >= len(buf):
+        raise ValueError("EBML vint past end of buffer")
+    first = buf[off]
+    if first == 0:
+        raise ValueError("invalid EBML vint (>8 bytes)")
+    length = 8 - first.bit_length() + 1
+    if off + length > len(buf):
+        raise ValueError("EBML vint truncated")
+    val = first if keep_marker else first & (0xFF >> length)
+    for i in range(1, length):
+        val = (val << 8) | buf[off + i]
+    return val, off + length
+
+
+def _mkv_elements(buf: bytes, off: int, end: int):
+    """Yield (element_id, body_lo, body_hi) for the EBML elements in
+    buf[off:end]. An 'unknown size' element (all-ones size vint, legal
+    for Segment/Cluster in streamed files) extends to ``end``."""
+    while off < end:
+        eid, off = _ebml_vint(buf, off, keep_marker=True)
+        size_start = off
+        size, off = _ebml_vint(buf, off)
+        nbytes = off - size_start
+        # unknown-size: every payload bit of the size vint set
+        hi = end if size == (1 << (7 * nbytes)) - 1 else \
+            min(off + size, end)
+        yield eid, off, hi
+        off = hi
+
+
+def _ebml_uint(buf: bytes, lo: int, hi: int) -> int:
+    v = 0
+    for i in range(lo, hi):
+        v = (v << 8) | buf[i]
+    return v
+
+
+def _enc_vint_size(val: int) -> bytes:
+    """Encode a size as a fixed 8-byte EBML vint (always legal)."""
+    import struct
+    return struct.pack(">Q", val | (1 << 56))
+
+
+def _enc_el(eid: bytes, body: bytes) -> bytes:
+    return eid + _enc_vint_size(len(body)) + body
+
+
+def _enc_uint(val: int) -> bytes:
+    out = []
+    while True:
+        out.append(val & 0xFF)
+        val >>= 8
+        if not val:
+            break
+    return bytes(reversed(out))
+
+
+def mux_mjpeg_mkv(jpeg_frames: list, width: int, height: int,
+                  frame_ms: int = 40) -> bytes:
+    """Mux per-frame JPEG payloads into a minimal Matroska file with a
+    V_MJPEG video track (EBML header + Segment[Info(TimestampScale
+    1 ms) + Tracks[TrackEntry V_MJPEG] + one Cluster of SimpleBlocks,
+    one keyframe block per JPEG at ``frame_ms`` spacing]). The
+    round-trip partner of the Matroska path in
+    ``decode_video_frames`` — the same pairing as ``mux_mjpeg_mp4``."""
+    import struct
+    ebml = _enc_el(_MKV_MAGIC, b"".join([
+        _enc_el(b"\x42\x86", b"\x01"),           # EBMLVersion
+        _enc_el(b"\x42\xf7", b"\x01"),           # EBMLReadVersion
+        _enc_el(b"\x42\xf2", b"\x04"),           # EBMLMaxIDLength
+        _enc_el(b"\x42\xf3", b"\x08"),           # EBMLMaxSizeLength
+        _enc_el(b"\x42\x82", b"matroska"),       # DocType
+        _enc_el(b"\x42\x87", b"\x04"),           # DocTypeVersion
+        _enc_el(b"\x42\x85", b"\x02"),           # DocTypeReadVersion
+    ]))
+    info = _enc_el(b"\x15\x49\xa9\x66", b"".join([
+        # TimestampScale: 1_000_000 ns = 1 ms per timestamp unit
+        _enc_el(b"\x2a\xd7\xb1", _enc_uint(1_000_000)),
+        # Duration (float64, in timestamp units)
+        _enc_el(b"\x44\x89", struct.pack(
+            ">d", float(len(jpeg_frames) * frame_ms))),
+    ]))
+    video = _enc_el(b"\xe0", b"".join([
+        _enc_el(b"\xb0", _enc_uint(width)),      # PixelWidth
+        _enc_el(b"\xba", _enc_uint(height)),     # PixelHeight
+    ]))
+    track = _enc_el(b"\xae", b"".join([
+        _enc_el(b"\xd7", b"\x01"),               # TrackNumber = 1
+        _enc_el(b"\x73\xc5", b"\x01"),           # TrackUID
+        _enc_el(b"\x83", b"\x01"),               # TrackType = video
+        _enc_el(b"\x86", b"V_MJPEG"),            # CodecID
+        video,
+    ]))
+    tracks = _enc_el(b"\x16\x54\xae\x6b", track)
+    blocks = []
+    for i, f in enumerate(jpeg_frames):
+        # SimpleBlock: vint track (0x81 = track 1), int16 relative
+        # timestamp, flags 0x80 (keyframe), then the frame bytes
+        blocks.append(_enc_el(
+            b"\xa3", b"\x81" + struct.pack(">h", i * frame_ms)
+            + b"\x80" + bytes(f)))
+    cluster = _enc_el(b"\x1f\x43\xb6\x75",
+                      _enc_el(b"\xe7", _enc_uint(0)) + b"".join(blocks))
+    segment = _enc_el(b"\x18\x53\x80\x67", info + tracks + cluster)
+    return ebml + segment
+
+
+def _decode_mkv_frames(payload: bytes) -> list:
+    """Matroska/webm demux: EBML walk -> Segment[Info, Tracks,
+    Cluster*] -> the first video TrackEntry's SimpleBlock/BlockGroup
+    frames, decoded through the in-repo JPEG decoder when the CodecID
+    is V_MJPEG. Timestamps = (cluster ts + block relative ts) x
+    TimestampScale; per-frame duration = gap to the next frame (the
+    last frame falls back to Info Duration, else the previous gap,
+    else one timestamp unit)."""
+    import struct
+
+    ts_scale = 1_000_000                 # ns per unit (spec default)
+    seg_duration = None
+    video_track, codec = None, None
+    blocks: list[tuple[int, int, int]] = []   # (ts_units, lo, hi)
+
+    def walk_track(lo: int, hi: int) -> None:
+        nonlocal video_track, codec
+        num, ttype, cid = None, None, None
+        for eid, l2, h2 in _mkv_elements(payload, lo, hi):
+            if eid == 0xD7:
+                num = _ebml_uint(payload, l2, h2)
+            elif eid == 0x83:
+                ttype = _ebml_uint(payload, l2, h2)
+            elif eid == 0x86:
+                cid = payload[l2:h2].rstrip(b"\x00").decode(
+                    "ascii", "replace")
+        if ttype == 1 and video_track is None:
+            video_track, codec = num, cid
+
+    def block_frame(lo: int, hi: int, cluster_ts: int) -> None:
+        tnum, off = _ebml_vint(payload, lo)
+        rel = struct.unpack(">h", payload[off:off + 2])[0]
+        flags = payload[off + 2]
+        if flags & 0x06:
+            raise NotImplementedError(
+                "Matroska block lacing is not supported (the in-repo "
+                "muxer writes one frame per SimpleBlock)")
+        if video_track is not None and tnum == video_track:
+            blocks.append((cluster_ts + rel, off + 3, hi))
+
+    def walk_cluster(lo: int, hi: int) -> None:
+        cluster_ts = 0
+        for eid, l2, h2 in _mkv_elements(payload, lo, hi):
+            if eid == 0xE7:
+                cluster_ts = _ebml_uint(payload, l2, h2)
+            elif eid == 0xA3:                     # SimpleBlock
+                block_frame(l2, h2, cluster_ts)
+            elif eid == 0xA0:                     # BlockGroup
+                for e3, l3, h3 in _mkv_elements(payload, l2, h2):
+                    if e3 == 0xA1:                # Block
+                        block_frame(l3, h3, cluster_ts)
+
+    for eid, lo, hi in _mkv_elements(payload, 0, len(payload)):
+        if eid != 0x18538067:                     # Segment
+            continue
+        for e2, l2, h2 in _mkv_elements(payload, lo, hi):
+            if e2 == 0x1549A966:                  # Info
+                for e3, l3, h3 in _mkv_elements(payload, l2, h2):
+                    if e3 == 0x2AD7B1:
+                        ts_scale = _ebml_uint(payload, l3, h3)
+                    elif e3 == 0x4489:
+                        raw = payload[l3:h3]
+                        seg_duration = struct.unpack(
+                            ">f" if len(raw) == 4 else ">d", raw)[0]
+            elif e2 == 0x1654AE6B:                # Tracks
+                for e3, l3, h3 in _mkv_elements(payload, l2, h2):
+                    if e3 == 0xAE:
+                        walk_track(l3, h3)
+            elif e2 == 0x1F43B675:                # Cluster
+                walk_cluster(l2, h2)
+
+    if video_track is None:
+        raise NotImplementedError("Matroska payload has no video track")
+    if codec != "V_MJPEG":
+        raise NotImplementedError(
+            f"Matroska video CodecID {codec!r} is not V_MJPEG; "
+            "bitstream codecs (V_VP8/V_VP9/V_MPEG4/...) need an "
+            "external decoder — the container walk itself is complete")
+    ms_per_unit = ts_scale / 1_000_000.0
+    out = []
+    for i, (ts_units, lo, hi) in enumerate(blocks):
+        raw = payload[lo:hi]
+        if raw[:3] != b"\xff\xd8\xff":
+            raise NotImplementedError(
+                "V_MJPEG block is not a JPEG bitstream (SOI missing)")
+        img = decode_image(raw)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full_like(img[..., :1], 255)], axis=-1)
+        start = int(round(ts_units * ms_per_unit))
+        if i + 1 < len(blocks):
+            end = int(round(blocks[i + 1][0] * ms_per_unit))
+        elif seg_duration is not None:
+            end = int(round(seg_duration * ms_per_unit))
+        elif i > 0:
+            end = start + (start - int(round(
+                blocks[i - 1][0] * ms_per_unit)))
+        else:
+            end = start + max(1, int(round(ms_per_unit)))
+        out.append((start, max(0, end - start), img.astype(np.uint8)))
+    return out
+
+
 def decode_video_frames(payload: bytes) -> list:
     """Video payload -> [(start_ms, duration_ms, RGBA frame array)].
 
     Animated WebP decodes fully in-container (ANIM/ANMF demux +
     VP8/VP8L frame decode + canvas composition, ``functions.webp``);
-    MJPEG-in-AVI decodes fully in-container (RIFF/movi walk) and so
-    does Motion-JPEG in ISO-BMFF MP4 ('jpeg' sample entries via the
-    full moov/trak/stbl walk) — both through the in-repo T.81 JPEG
-    decoder. The remaining seam is bitstream codecs (avc1/hev1/vp09
-    in mp4, vp8/vp9 in webm/Matroska) which need an ffmpeg-class
-    library and raise NotImplementedError.
+    MJPEG-in-AVI decodes fully in-container (RIFF/movi walk), and so
+    do Motion-JPEG in ISO-BMFF MP4 ('jpeg' sample entries via the
+    full moov/trak/stbl walk) and Motion-JPEG in Matroska/webm
+    (V_MJPEG SimpleBlocks via the EBML walk, r14) — all through the
+    in-repo T.81 JPEG decoder. The remaining seam is bitstream codecs
+    (avc1/hev1/vp09 in mp4, V_VP8/V_VP9 in webm/Matroska) which need
+    an ffmpeg-class library and raise NotImplementedError.
     """
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from ..functions import webp as _webp
@@ -937,10 +1164,13 @@ def decode_video_frames(payload: bytes) -> list:
         return _decode_avi_frames(payload)
     if payload[4:8] == b"ftyp":
         return _decode_mp4_frames(payload)
+    if payload[:4] == _MKV_MAGIC:
+        return _decode_mkv_frames(payload)
     raise NotImplementedError(
         "video decode in-container supports animated WebP, "
-        "MJPEG-in-AVI, and Motion-JPEG in ISO-BMFF mp4; webm/Matroska "
-        "and bitstream codecs need an external ffmpeg-class decoder")
+        "MJPEG-in-AVI, Motion-JPEG in ISO-BMFF mp4, and Motion-JPEG "
+        "in Matroska/webm; bitstream codecs need an external "
+        "ffmpeg-class decoder")
 
 
 _FRAME_SCHEMA = StructType([

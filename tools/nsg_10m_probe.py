@@ -121,9 +121,29 @@ def phase_knn(spark, n: int, dim: int) -> None:
 def phase_build(spark, n: int, dim: int) -> None:
     base = spark.read.parquet(f"{DATA_DIR}/base.parquet")
     knn = spark.read.parquet(f"{DATA_DIR}/nsg_selfknn.parquet")
+    pin_path = os.environ.get("NSG_PIN_TREE")
+    if pin_path:
+        # capture the pre-tree_grow state (flat adjacency + ep/beam)
+        # so the pintree phase can replay BOTH tree_grow engines on
+        # the REAL 10M input and pin them bit-equal offline
+        orig = nsg._tree_grow
+
+        def capture(adj, vecs, ep, beam):
+            lens = np.fromiter((len(a) for a in adj), dtype=np.int64,
+                               count=len(adj))
+            flat = (np.concatenate([a for a in adj if len(a)])
+                    if lens.sum() else np.empty(0, dtype=np.int64))
+            np.savez(pin_path, lens=lens, flat=flat,
+                     ep=np.int64(ep), beam=np.int64(beam))
+            print(f"pre-tree state captured -> {pin_path}", flush=True)
+            return orig(adj, vecs, ep, beam)
+
+        nsg._tree_grow = capture
     t0 = time.time()
     idx = nsg.build_nsg(base, PARAMS, knn=knn, n_batches=256,
                         snapshot="mmap")
+    if pin_path:
+        nsg._tree_grow = orig
     t_build = time.time() - t0
     print(f"nsg build {t_build:.1f}s", flush=True)
     t0 = time.time()
@@ -242,6 +262,45 @@ def phase_search(spark, n: int, dim: int) -> None:
               "same init as the 1M NSG column)")
 
 
+def phase_pintree(spark, n: int, dim: int) -> None:
+    """Replay BOTH tree_grow engines on the captured pre-tree state of
+    the real build (NSG_PIN_TREE during phase build) and pin them
+    bit-equal — the directive's 1M pin, run at the build's own scale.
+    Contention-safe: the comparison is deterministic; only the printed
+    walls depend on box state."""
+    pin_path = os.environ.get("NSG_PIN_TREE", "/tmp/nsg10m_pretree.npz")
+    z = np.load(pin_path)
+    lens, flat = z["lens"], z["flat"]
+    ep, beam = int(z["ep"]), int(z["beam"])
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    base = spark.read.parquet(f"{DATA_DIR}/base.parquet")
+    from cross_modal_multivector_search_spark.operators.graph_build \
+        import _collect_matrix
+    _, vecs = _collect_matrix(base, "vec_id", "vec")
+    assert len(lens) == len(vecs)
+
+    def mk_adj():
+        return [flat[offs[i]:offs[i + 1]].copy()
+                for i in range(len(lens))]
+
+    t0 = time.time()
+    a = nsg._tree_grow(mk_adj(), vecs, ep, beam)
+    t_vec = time.time() - t0
+    t0 = time.time()
+    b = nsg._tree_grow_seq(mk_adj(), vecs, ep, beam)
+    t_seq = time.time() - t0
+    equal = all(np.array_equal(x, y) for x, y in zip(a, b))
+    msg = (f"tree_grow pin at n={len(lens):,}: bit_equal={equal}, "
+           f"vectorized {t_vec:.1f}s vs sequential walk {t_seq:.1f}s "
+           f"({t_seq / max(t_vec, 1e-9):.1f}x)")
+    print(msg, flush=True)
+    assert equal, "tree_grow engines diverged on the real build state"
+    with open(OUT, "a") as f:
+        f.write(f"\n{msg} (replayed on the captured pre-tree state of "
+                "the real build — NSG_PIN_TREE capture in "
+                "tools/nsg_10m_probe.py).\n")
+
+
 def main() -> None:
     phase = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
@@ -254,6 +313,8 @@ def main() -> None:
         phase_build(spark, n, dim)
     elif phase == "search":
         phase_search(spark, n, dim)
+    elif phase == "pintree":
+        phase_pintree(spark, n, dim)
     else:
         raise SystemExit(f"unknown phase {phase}")
     spark.stop()
