@@ -219,19 +219,24 @@ def _search_layer(adj_l: list, vecs: np.ndarray, q: np.ndarray,
     return ids, dists
 
 
-def _hnsw_insert_pipeline(vecs: np.ndarray, params: HnswParams):
+def _hnsw_insert_pipeline(vecs: np.ndarray, params: HnswParams,
+                          levels: np.ndarray | None = None):
     """Sequential HNSW construction over a local matrix (runs inside
     one Spark task). Returns (levels, adj-per-level, entry, max_level).
 
     Deterministic: node i's level is floor(-ln(u_i) * 1/ln(M)) with u_i
     drawn once from a seeded generator — same index for the same input
-    order regardless of cluster layout."""
+    order regardless of cluster layout. ``levels`` overrides the draw
+    (the wave build inserts its first wave serially with the GLOBAL
+    level assignment so prefix and wave nodes share one draw)."""
     n = len(vecs)
     m, efc = params.m, params.ef_construction
     ml = 1.0 / math.log(m)
-    u = np.random.default_rng(params.seed).random(n)
-    levels = np.minimum(
-        (-np.log(np.clip(u, 1e-300, None)) * ml).astype(np.int64), 31)
+    if levels is None:
+        u = np.random.default_rng(params.seed).random(n)
+        levels = np.minimum(
+            (-np.log(np.clip(u, 1e-300, None)) * ml).astype(np.int64),
+            31)
     max_level_cap = int(levels.max()) if n else 0
     adj: list[list[np.ndarray]] = [
         [np.empty(0, dtype=np.int64) for _ in range(n)]
@@ -398,6 +403,314 @@ def search_and_rerank_hnsw(index: HnswIndex, query_vecs: DataFrame,
     cands = multivector_search_hnsw(index, query_vecs, budget)
     return rerank.rerank(cands.select("query_set_id", "base_vec_id"),
                          query_vecs, data_vecs, k, m=m, metric=metric)
+
+
+# ---------------------------------------------------------------------------
+# Wave-parallel SINGLE-index HNSW (r14, VERDICT r13 directive #3): the
+# serial insert loop is the 10M wall (~7-10h extrapolated from the
+# measured 1M 2555s), so the single-index scale path inserts nodes in
+# geometrically growing WAVES — every node of a wave runs its insert
+# SEARCHES against the frozen pre-wave graph as one distributed stage
+# (mapInPandas over a node-local snapshot, the same layout as the
+# RoarGraph/NSG build passes), then edges commit deterministically in
+# id order and overflowing reverse targets re-prune (distributed for
+# large waves). This is a LABELED build shape, not serial-equal:
+# same-wave nodes are invisible to each other's searches (hnswlib's
+# own lock-based parallel insert is likewise not serial-equal — its
+# graph depends on thread arrival; this one is deterministic), the
+# entry point updates between waves rather than between inserts, and
+# reverse-edge pruning batches per wave. Level assignment, neighbor
+# heuristic, and caps are byte-identical to the serial pipeline, and
+# the probe protocol validates the shape by recall parity against the
+# serial build at the same budgets.
+# ---------------------------------------------------------------------------
+
+_WAVE_SEARCH_SCHEMA = StructType([
+    StructField("node", LongType()),
+    StructField("level", IntegerType()),
+    StructField("nbrs", ArrayType(LongType())),
+])
+
+_WAVE_PRUNE_SCHEMA = StructType([
+    StructField("level", IntegerType()),
+    StructField("target", LongType()),
+    StructField("nbrs", ArrayType(LongType())),
+])
+
+
+_EMPTY_ROW = np.empty(0, dtype=np.int64)
+
+
+class _PadView:
+    """Adjacency accessor over a sentinel-padded matrix restricted to
+    the first ``n_ins`` inserted nodes — the read-only per-level view
+    the frozen-snapshot searches traverse."""
+
+    def __init__(self, pad: np.ndarray, n_ins: int):
+        self.pad, self.n_ins = pad, n_ins
+
+    def __getitem__(self, i):
+        row = self.pad[i]
+        return row[row < self.n_ins]
+
+
+class _SparsePadView:
+    """Row-compressed `_PadView` for the upper HNSW layers: only ~n/m^L
+    nodes exist at layer L, so the snapshot stores (sorted node ids,
+    their padded rows) instead of an n_ins-row dense matrix (which at
+    10M would broadcast ~1 GB per layer per wave)."""
+
+    def __init__(self, node_ids: np.ndarray, pad: np.ndarray,
+                 n_ins: int):
+        self.node_ids, self.pad, self.n_ins = node_ids, pad, n_ins
+
+    def __getitem__(self, i):
+        j = int(np.searchsorted(self.node_ids, i))
+        if j >= len(self.node_ids) or self.node_ids[j] != i:
+            return _EMPTY_ROW
+        row = self.pad[j]
+        return row[row < self.n_ins]
+
+
+def build_hnsw_wave(base: DataFrame, params: HnswParams = HnswParams(),
+                    id_col: str = "vec_id", vec_col: str = "vec",
+                    wave0: int = 1024, growth: float = 2.0,
+                    n_batches: int = 64) -> HnswIndex:
+    """Wave-parallel single-index HNSW build (see block comment above).
+
+    Deterministic: the wave schedule is a pure function of n, level
+    draws reuse the serial pipeline's seeded RNG over id order, wave
+    searches read a frozen snapshot, and commits/prunes apply in
+    (id, level) order."""
+    from .graph_build import (_collect_matrix, _NodeLocalArray,
+                              _ship_array)
+    spark = base.sparkSession
+    sc = spark.sparkContext
+    m, efc = params.m, params.ef_construction
+    ids, vecs = _collect_matrix(base, id_col, vec_col)
+    n = len(ids)
+    if n == 0:
+        return HnswIndex(ids=ids, vecs=vecs,
+                         levels=np.zeros(0, dtype=np.int64), adj=[[]],
+                         entry_point=0, max_level=0)
+    ml = 1.0 / math.log(m)
+    u = np.random.default_rng(params.seed).random(n)
+    levels = np.minimum(
+        (-np.log(np.clip(u, 1e-300, None)) * ml).astype(np.int64), 31)
+    max_level_cap = int(levels.max())
+    adj: list[list[np.ndarray]] = [
+        [np.empty(0, dtype=np.int64) for _ in range(n)]
+        for _ in range(max_level_cap + 1)]
+
+    # the first wave inserts SERIALLY (driver-local, bounded at wave0
+    # nodes): a wave searching a near-empty frozen graph would funnel
+    # every forward edge into the same few targets, whose reverse caps
+    # then evict most of the wave — the degenerate-pocket shape the
+    # connectivity repair exists for. A serial prefix gives the first
+    # real wave a graph with m-diverse targets.
+    prefix = min(n, max(2, wave0))
+    _, pre_adj, entry, top = _hnsw_insert_pipeline(
+        vecs[:prefix], params, levels=levels[:prefix])
+    for lc in range(top + 1):
+        for i in range(prefix):
+            adj[lc][i] = pre_adj[lc][i]
+
+    tmp_dirs: list = []
+    vecs_h = _ship_array(sc, vecs, "hnsw_wave_vecs", tmp_dirs)
+    bc_static = sc.broadcast((m, efc))
+
+    lo = prefix
+    wave_no = 0
+    try:
+        while lo < n:
+            size = max(1, int(wave0 * growth ** wave_no))
+            hi = min(n, lo + size)
+            wave_no += 1
+            n_ins = lo
+            wave_tmp: list = []
+            # --- frozen snapshot of the inserted prefix ---------------
+            # level 0: dense pad, node-local mmap (the big one);
+            # levels >0: row-compressed (only ~n/m^L nodes exist there)
+            rows0 = adj[0][:n_ins]
+            dmax = max((len(r) for r in rows0), default=0)
+            pad0 = np.full((n_ins, max(dmax, 1)), n, dtype=np.int64)
+            for i, r in enumerate(rows0):
+                pad0[i, :len(r)] = r
+            pad0_h = _ship_array(sc, pad0, f"hnsw_wave_p{wave_no}",
+                                 wave_tmp)
+            del pad0
+            sparse_hi = []
+            for lc in range(1, top + 1):
+                node_ids = np.nonzero(levels[:n_ins] >= lc)[0]
+                rows = [adj[lc][i] for i in node_ids]
+                dmax = max((len(r) for r in rows), default=0)
+                pad = np.full((len(node_ids), max(dmax, 1)), n,
+                              dtype=np.int64)
+                for i, r in enumerate(rows):
+                    pad[i, :len(r)] = r
+                sparse_hi.append((node_ids, pad))
+            bc_hi = sc.broadcast((sparse_hi, entry, top, n_ins))
+
+            def search(it: Iterator[pd.DataFrame]) \
+                    -> Iterator[pd.DataFrame]:
+                m_l, efc_l = bc_static.value
+                hi_l, ep0, top_l, n_ins_l = bc_hi.value
+                v = vecs_h.load()
+                views = [_PadView(pad0_h.load(), n_ins_l)] + [
+                    _SparsePadView(nids, p, n_ins_l)
+                    for nids, p in hi_l]
+                for pdf in it:
+                    out_n, out_l, out_s = [], [], []
+                    for node, lvl in zip(pdf["node"].to_numpy(),
+                                         pdf["lvl"].to_numpy()):
+                        q = np.asarray(v[int(node)], dtype=np.float64)
+                        ep = ep0
+                        for lc in range(top_l, int(lvl), -1):
+                            ep = _greedy_descend(views[lc], v, q, ep)
+                        for lc in range(min(top_l, int(lvl)), -1, -1):
+                            cids, cd = _search_layer(views[lc], v, q,
+                                                     ep, efc_l)
+                            sel = _select_neighbors(cids, cd, v, m_l)
+                            out_n.append(int(node))
+                            out_l.append(lc)
+                            out_s.append([int(x) for x in sel])
+                            ep = int(sel[0]) if len(sel) else ep
+                    yield pd.DataFrame({"node": out_n, "level": out_l,
+                                        "nbrs": out_s})
+
+            wave_df = spark.createDataFrame(pd.DataFrame({
+                "node": np.arange(lo, hi, dtype=np.int64),
+                "lvl": levels[lo:hi].astype(np.int32),
+            })).repartition(min(n_batches, max(1, (hi - lo) // 32)))
+            rows = wave_df.mapInPandas(
+                search, schema=_WAVE_SEARCH_SCHEMA).toPandas()
+            bc_hi.destroy()
+
+            # --- commit in (id, level) order --------------------------
+            rows = rows.sort_values(["node", "level"],
+                                    ascending=[True, False])
+            appends: dict[tuple[int, int], list[int]] = {}
+            for node, lc, sel in zip(rows["node"].to_numpy(),
+                                     rows["level"].to_numpy(),
+                                     rows["nbrs"].to_numpy()):
+                sel_a = np.asarray(sel, dtype=np.int64)
+                adj[int(lc)][int(node)] = sel_a
+                for t in sel_a:
+                    appends.setdefault((int(lc), int(t)),
+                                       []).append(int(node))
+            # reverse edges: concat in id order; overflow re-prunes
+            overflow: list[tuple[int, int, np.ndarray]] = []
+            for (lc, t), srcs in sorted(appends.items()):
+                cap = 2 * m if lc == 0 else m
+                cur = np.concatenate(
+                    [adj[lc][t], np.asarray(srcs, dtype=np.int64)])
+                if len(cur) > cap:
+                    overflow.append((lc, t, cur))
+                else:
+                    adj[lc][t] = cur
+            if len(overflow) > 20_000:
+                # distribute the prune for large waves: one row per
+                # overflowing target, vecs from the shipped snapshot
+                ov_df = spark.createDataFrame(
+                    pd.DataFrame({
+                        "level": [lc for lc, _, _ in overflow],
+                        "target": [t for _, t, _ in overflow],
+                        "cand": [c.tolist() for _, _, c in overflow],
+                    }))
+
+                def prune(it: Iterator[pd.DataFrame]) \
+                        -> Iterator[pd.DataFrame]:
+                    m_l, _ = bc_static.value
+                    v = vecs_h.load()
+                    for pdf in it:
+                        out = {"level": [], "target": [], "nbrs": []}
+                        for lc, t, cand in zip(
+                                pdf["level"].to_numpy(),
+                                pdf["target"].to_numpy(),
+                                pdf["cand"].to_numpy()):
+                            cap = 2 * m_l if lc == 0 else m_l
+                            cand = np.asarray(cand, dtype=np.int64)
+                            d = -(v[cand] @ np.asarray(
+                                v[int(t)], dtype=np.float64))
+                            kept = _select_neighbors(cand, d, v, cap)
+                            out["level"].append(int(lc))
+                            out["target"].append(int(t))
+                            out["nbrs"].append([int(x) for x in kept])
+                        yield pd.DataFrame(out)
+
+                pruned = ov_df.repartition(n_batches).mapInPandas(
+                    prune, schema=_WAVE_PRUNE_SCHEMA).toPandas()
+                for lc, t, nb in zip(pruned["level"].to_numpy(),
+                                     pruned["target"].to_numpy(),
+                                     pruned["nbrs"].to_numpy()):
+                    adj[int(lc)][int(t)] = np.asarray(nb,
+                                                      dtype=np.int64)
+            else:
+                for lc, t, cur in overflow:
+                    cap = 2 * m if lc == 0 else m
+                    d = -(vecs[cur] @ vecs[t])
+                    adj[lc][t] = _select_neighbors(cur, d, vecs, cap)
+            # entry-point update between waves (id order)
+            for i in range(lo, hi):
+                if levels[i] > top:
+                    entry, top = int(i), int(levels[i])
+            lo = hi
+            # the wave's snapshot files were consumed by the completed
+            # jobs — drop them so per-wave pads don't accumulate on disk
+            import shutil
+            for d in wave_tmp:
+                shutil.rmtree(d, ignore_errors=True)
+    finally:
+        import shutil
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    _wave_repair_layer0(adj[0], vecs, entry)
+    return HnswIndex(ids=ids, vecs=vecs, levels=levels,
+                     adj=adj[:top + 1], entry_point=entry,
+                     max_level=top)
+
+
+def _wave_repair_layer0(adj0: list, vecs: np.ndarray,
+                        entry: int) -> None:
+    """Deterministic layer-0 connectivity repair for the wave build:
+    reverse pruning can evict a wave node's only surviving in-edge
+    (batched appends compete for the same target's cap where serial
+    inserts claim slots one at a time), so unreachable nodes get ONE
+    in-edge from their nearest reachable forward neighbor (fallback:
+    nearest reachable node overall) — the same closure-repair shape as
+    `nsg._tree_grow`, frontier-vectorized. Serial HNSW keeps this
+    property implicitly; the wave shape restores it explicitly and the
+    saturating-ef exactness test gates it."""
+    n = len(adj0)
+    if n == 0:
+        return
+    from . import _roar_core as core
+    pad = core.pad_adjacency(adj0, n)
+    reached = np.zeros(n + 1, dtype=bool)
+    reached[n] = True
+
+    def expand(seed: int) -> None:
+        frontier = np.array([seed], dtype=np.int64)
+        reached[frontier] = True
+        while len(frontier):
+            nxt = pad[frontier].ravel()
+            nxt = np.unique(nxt[~reached[nxt]])
+            reached[nxt] = True
+            frontier = nxt
+
+    expand(entry)
+    while not reached[:n].all():
+        node = int(np.argmin(reached[:n]))
+        fwd = adj0[node]
+        m_r = reached[fwd] if len(fwd) else np.zeros(0, dtype=bool)
+        if m_r.any():
+            root = int(fwd[m_r][0])        # nearest-first sel order
+        else:
+            cand = np.nonzero(reached[:n])[0]
+            root = int(cand[np.argmax(vecs[cand] @ vecs[node])])
+        adj0[root] = np.concatenate(
+            [adj0[root], np.asarray([node], dtype=np.int64)])
+        expand(node)
 
 
 # ---------------------------------------------------------------------------

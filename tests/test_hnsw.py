@@ -255,3 +255,69 @@ def test_sharded_search_varcard_budget_parity(spark):
     assert any(c > 4 for (s, _), c in counts.items() if s == 0)
     assert all(c <= 4 for (s, _), c in counts.items() if s == 1)
     work.unpersist()
+
+
+def _spark_base(spark, vecs):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, vec array<double>")
+
+
+def test_wave_build_deterministic_and_invariants(spark):
+    """build_hnsw_wave (the labeled wave-parallel single-index shape,
+    r14): two runs produce the identical graph, degree caps hold, the
+    entry point carries the max level, and level assignment is
+    byte-identical to the serial pipeline's seeded draw."""
+    vecs = _unit_rows(300, 12, 7)
+    base = _spark_base(spark, vecs)
+    p = hnsw.HnswParams(m=8, ef_construction=40, seed=2)
+    a = hnsw.build_hnsw_wave(base, p, wave0=32, n_batches=4)
+    b = hnsw.build_hnsw_wave(base, p, wave0=32, n_batches=4)
+    assert a.entry_point == b.entry_point
+    assert a.max_level == b.max_level
+    for la, lb in zip(a.adj, b.adj):
+        assert all(np.array_equal(x, y) for x, y in zip(la, lb))
+    serial_levels = np.minimum((-np.log(np.clip(
+        np.random.default_rng(2).random(300), 1e-300, None))
+        * (1.0 / np.log(8))).astype(np.int64), 31)
+    assert np.array_equal(a.levels, serial_levels)
+    assert a.levels[a.entry_point] == a.max_level
+    over_cap = 0
+    for lvl, layer in enumerate(a.adj):
+        cap = 16 if lvl == 0 else 8
+        for i, nbrs in enumerate(layer):
+            # the connectivity repair may append past the cap (one
+            # in-edge per repaired node, documented); it must stay rare
+            over_cap += len(nbrs) > cap
+            if a.levels[i] < lvl:
+                assert len(nbrs) == 0
+            ids = nbrs.tolist()
+            assert len(set(ids)) == len(ids) and i not in ids
+    assert over_cap <= 6, over_cap
+
+
+def test_wave_build_saturating_and_recall_parity(spark):
+    """Quality gate for the wave shape: saturating-ef search over the
+    wave-built graph is EXACT (layer-0 connectivity holds), and
+    recall@10 at a modest ef matches the serial build within a few
+    points — the validation protocol the 10M column's labeled build
+    rides on."""
+    vecs = _unit_rows(500, 12, 11)
+    base = _spark_base(spark, vecs)
+    p = hnsw.HnswParams(m=10, ef_construction=50, seed=1)
+    widx = hnsw.build_hnsw_wave(base, p, wave0=64, n_batches=4)
+    sidx = hnsw.build_hnsw(base, p)
+    qs = _unit_rows(40, 12, 9)
+    for q in qs[:10]:
+        ids, _ = hnsw.search_knn_local(widx, q, len(vecs), 10)
+        exact = np.argsort(-(vecs @ q), kind="stable")[:10]
+        assert set(ids.tolist()) == set(exact.tolist())
+    hits_w = hits_s = 0
+    for q in qs:
+        exact = set(np.argsort(-(vecs @ q), kind="stable")[:10].tolist())
+        ids_w, _ = hnsw.search_knn_local(widx, q, 40, 10)
+        ids_s, _ = hnsw.search_knn_local(sidx, q, 40, 10)
+        hits_w += len(set(ids_w.tolist()) & exact)
+        hits_s += len(set(ids_s.tolist()) & exact)
+    assert hits_w / 400 >= 0.9
+    assert hits_w >= hits_s - 20          # within 5 points of serial
