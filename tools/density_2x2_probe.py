@@ -154,8 +154,11 @@ def main() -> None:
     spark = get_spark("density-2x2")
     spark.sparkContext.setLogLevel("ERROR")
 
+    want = os.environ.get("DX_CELLS", "ABCD")
     results = []
     for tag, m_sq, sb, sq_, label in CELLS:
+        if tag not in want:
+            continue
         print(f"cell {tag}: m_sq={m_sq} geometry={label} "
               f"(sigma_base={sb}, sigma_q={sq_})", flush=True)
         r = run_cell(spark, n, dim, ivf_cells, m_sq, sb, sq_, label)
@@ -164,6 +167,10 @@ def main() -> None:
         print(f"  -> degree mean {r['deg_mean']:.1f} max "
               f"{r['deg_max']}, gate {r['gate']:.4f}, build "
               f"{r['t_build']:.1f}s", flush=True)
+        # crash-safe checkpoint: a deadline mid-run keeps finished cells
+        import json
+        with open("/tmp/density_cells.json", "w") as f:
+            json.dump(results, f, indent=1, default=float)
 
     qps_note = (" (QPS indicative only — contended box, concurrent "
                 "build; recall/degree are deterministic)"
