@@ -58,7 +58,7 @@ CELLS = int(os.environ.get("NSG_CELLS", 2048))
 NPROBE = int(os.environ.get("NSG_NPROBE", 16))
 KNN_K = int(os.environ.get("NSG_K", 100))
 CHUNKS = int(os.environ.get("NSG_KNN_CHUNKS", 20))
-N_QUERY_SETS = 100
+N_QUERY_SETS = int(os.environ.get("NSG_QSETS", 100))
 BUDGETS = tuple(int(x) for x in os.environ.get(
     "NSG_BUDGETS", "2000,8000,16000,32000,48000").split(","))
 INDEX_DIR = os.environ.get("NSG_INDEX_DIR", "/tmp/nsg10m_index")
@@ -170,7 +170,9 @@ def phase_search(spark, n: int, dim: int) -> None:
     idx = graph_build.load_graph(spark, INDEX_DIR, base)
     print(f"load_graph {time.time() - t0:.1f}s", flush=True)
 
-    gt_path = f"{DATA_DIR}/gt_k{K}_q{N_QUERY_SETS}.parquet"
+    # the staged GT covers the full 100 query sets; a smaller
+    # NSG_QSETS run reads the same file and subsets
+    gt_path = f"{DATA_DIR}/gt_k{K}_q{max(N_QUERY_SETS, 100)}.parquet"
     if not os.path.exists(gt_path):
         set_search.set_topk_gemm(qsets, v, K).select(
             "query_set_id", "data_set_id") \
@@ -217,7 +219,7 @@ def phase_search(spark, n: int, dim: int) -> None:
     for b in BUDGETS:
         ef = max(1, b // M)
         core.batch_multivector_search(
-            idx.adj, vecs, qmats[:2], idx.entry_point, ef, ef, ef * M,
+            idx.adj, vecs, qmats[:1], idx.entry_point, ef, ef, ef * M,
             adaptive=False)
         t0 = time.time()
         hits = 0
