@@ -1026,16 +1026,26 @@ def mux_mjpeg_mkv(jpeg_frames: list, width: int, height: int,
         video,
     ]))
     tracks = _enc_el(b"\x16\x54\xae\x6b", track)
-    blocks = []
-    for i, f in enumerate(jpeg_frames):
-        # SimpleBlock: vint track (0x81 = track 1), int16 relative
-        # timestamp, flags 0x80 (keyframe), then the frame bytes
-        blocks.append(_enc_el(
-            b"\xa3", b"\x81" + struct.pack(">h", i * frame_ms)
-            + b"\x80" + bytes(f)))
-    cluster = _enc_el(b"\x1f\x43\xb6\x75",
-                      _enc_el(b"\xe7", _enc_uint(0)) + b"".join(blocks))
-    segment = _enc_el(b"\x18\x53\x80\x67", info + tracks + cluster)
+    # SimpleBlock relative timestamps are int16, so a Cluster can only
+    # cover 32767 timestamp units past its own Timestamp — start a new
+    # Cluster whenever the next frame would overflow (real muxers cut
+    # clusters the same way; spec has no other escape hatch).
+    per_cluster = max(1, 32767 // max(frame_ms, 1) + 1)
+    clusters = []
+    for c0 in range(0, len(jpeg_frames), per_cluster):
+        cts = c0 * frame_ms
+        blocks = []
+        for i in range(c0, min(c0 + per_cluster, len(jpeg_frames))):
+            # SimpleBlock: vint track (0x81 = track 1), int16 relative
+            # timestamp, flags 0x80 (keyframe), then the frame bytes
+            blocks.append(_enc_el(
+                b"\xa3", b"\x81" + struct.pack(">h", i * frame_ms - cts)
+                + b"\x80" + bytes(jpeg_frames[i])))
+        clusters.append(_enc_el(
+            b"\x1f\x43\xb6\x75",
+            _enc_el(b"\xe7", _enc_uint(cts)) + b"".join(blocks)))
+    segment = _enc_el(b"\x18\x53\x80\x67",
+                      info + tracks + b"".join(clusters))
     return ebml + segment
 
 
@@ -1091,9 +1101,11 @@ def _decode_mkv_frames(payload: bytes) -> list:
                     if e3 == 0xA1:                # Block
                         block_frame(l3, h3, cluster_ts)
 
+    saw_segment = False
     for eid, lo, hi in _mkv_elements(payload, 0, len(payload)):
         if eid != 0x18538067:                     # Segment
             continue
+        saw_segment = True
         for e2, l2, h2 in _mkv_elements(payload, lo, hi):
             if e2 == 0x1549A966:                  # Info
                 for e3, l3, h3 in _mkv_elements(payload, l2, h2):
@@ -1110,6 +1122,13 @@ def _decode_mkv_frames(payload: bytes) -> list:
             elif e2 == 0x1F43B675:                # Cluster
                 walk_cluster(l2, h2)
 
+    if not saw_segment:
+        # distinguishes garbage behind the EBML magic from a valid
+        # Matroska file that simply lacks a video track: a well-formed
+        # file always carries a Segment element after the EBML header
+        raise NotImplementedError(
+            "payload has the EBML magic but no Matroska Segment — "
+            "malformed, truncated, or header-only EBML")
     if video_track is None:
         raise NotImplementedError("Matroska payload has no video track")
     if codec != "V_MJPEG":

@@ -378,7 +378,12 @@ def build_nsg(base: DataFrame, params: NsgParams = NsgParams(),
     linked.unpersist()
 
     # ---- tree_grow: connect every node to the navigating root ------
-    adj = _tree_grow(adj, vecs, ep, L)
+    # default = the sequential stack walk: the r14 10M pin measured it
+    # 2.8x FASTER than the frontier-vectorized form (92.4s vs 263.3s
+    # on the captured real pre-tree state — the per-level
+    # pad[frontier] gather touches ~degree x the work the
+    # visited-checked walk does); both engines are bit-equal pinned.
+    adj = _tree_grow_seq(adj, vecs, ep, L)
     if not use_mmap:
         bc.destroy()
     for d in tmp_dirs:
@@ -392,17 +397,20 @@ def _tree_grow(adj: list, vecs: np.ndarray, ep: int, beam: int) -> list:
     index_nsg.cpp:700-735 — with the rand() fallback replaced by the
     deterministic exact nearest reached node).
 
-    Frontier-vectorized (r14, the VERDICT r13 directive): the per-node
-    Python stack walk — the slowest pure-Python stage left in the 1M
-    build — becomes level-synchronous frontier expansion over the
-    padded adjacency (one gather + one unique per level). Bit-equal to
-    the sequential walk (`_tree_grow_seq`, kept as the spec twin for
-    the pin tests): the loop only consumes the reachable CLOSURE, and
-    both traversals compute the identical closure before the next
-    first-unreached argmin; the repair edge root->node never needs a
-    pad rebuild because root is already reached — new reachability
-    flows only through ``node``, whose outgoing row is already in the
-    pad."""
+    Frontier-vectorized form (r14) — KEPT AS THE BIT-EQUALITY TWIN,
+    no longer the default: the r14 10M pin (SCALE_PROBE.md, replayed
+    on the captured real pre-tree state) measured this level-
+    synchronous expansion 2.8x SLOWER than the sequential stack walk
+    (263.3s vs 92.4s) — the per-level ``pad[frontier].ravel()`` +
+    ``np.unique`` over a degree-47 pad does ~degree x the touch-work
+    of the visited-checked walk. ``build_nsg`` dispatches to
+    `_tree_grow_seq`; this twin stays for the pin tests
+    (tests/test_nsg.py, tools/nsg_10m_probe.py pintree). Equivalence:
+    the loop only consumes the reachable CLOSURE, and both traversals
+    compute the identical closure before the next first-unreached
+    argmin; the repair edge root->node never needs a pad rebuild
+    because root is already reached — new reachability flows only
+    through ``node``, whose outgoing row is already in the pad."""
     n = len(adj)
     if n == 0:
         return adj
@@ -438,13 +446,15 @@ def _tree_grow(adj: list, vecs: np.ndarray, ep: int, beam: int) -> list:
 
 def _tree_grow_seq(adj: list, vecs: np.ndarray, ep: int,
                    beam: int) -> list:
-    """The sequential spec twin of `_tree_grow` (the pre-r14 stack
-    walk, shape-identical to the reference's findroot/dfs loop) —
-    retained solely as the bit-equality oracle for the vectorized
-    frontier version (tests/test_nsg.py + tools/nsg_10m_probe.py pin
+    """The sequential stack walk (shape-identical to the reference's
+    findroot/dfs loop, index_nsg.cpp:700-735) — THE DEFAULT since r15:
+    the r14 10M pin measured it 2.8x faster than the frontier-
+    vectorized `_tree_grow` on the real build state (92.4s vs 263.3s),
+    so `build_nsg` calls this one. `_tree_grow` stays as the
+    bit-equality twin (tests/test_nsg.py + tools/nsg_10m_probe.py pin
     `_tree_grow(adj) == _tree_grow_seq(adj)` on random graphs and the
-    1M fixture), the same kept-twin pattern as the sorted/window beam
-    engines."""
+    real 10M pre-tree capture), the same kept-twin pattern as the
+    sorted/window beam engines."""
     n = len(adj)
     reached = np.zeros(n, dtype=bool)
 

@@ -674,11 +674,27 @@ def test_sample_video_frames_over_spark_pipeline(spark):
             assert np.array_equal(img, exp), r["frame_ts_ms"]
     # undecodable containers stay loud seams: an ISO-BMFF stub with no
     # moov/trak (r13: mp4 now demuxes in-container when it carries a
-    # 'jpeg' track), and an unknown container magic
+    # 'jpeg' track), and garbage behind the EBML magic (r14: Matroska
+    # demuxes in-container, so the seam message is now the demuxer's
+    # own — and it distinguishes malformed EBML from a well-formed
+    # file that lacks a video track)
     with pytest.raises(NotImplementedError, match="no video track"):
         multimodal.decode_video_frames(b"\x00\x00\x00\x18ftypmp42")
-    with pytest.raises(NotImplementedError, match="ffmpeg-class"):
+    with pytest.raises(NotImplementedError, match="no Matroska Segment"):
         multimodal.decode_video_frames(b"\x1aE\xdf\xa3webm-ish")
+    # a WELL-FORMED Matroska segment whose only track is audio is the
+    # other half of the split seam: "no video track", not "malformed"
+    mm = multimodal
+    audio_track = mm._enc_el(b"\xae", b"".join([
+        mm._enc_el(b"\xd7", b"\x01"),            # TrackNumber
+        mm._enc_el(b"\x83", b"\x02"),            # TrackType = audio
+        mm._enc_el(b"\x86", b"A_PCM/INT/LIT"),
+    ]))
+    seg = mm._enc_el(b"\x18\x53\x80\x67",
+                     mm._enc_el(b"\x16\x54\xae\x6b", audio_track))
+    payload = mm._enc_el(mm._MKV_MAGIC, b"") + seg
+    with pytest.raises(NotImplementedError, match="no video track"):
+        multimodal.decode_video_frames(payload)
 
 
 def _wav_raw(data: bytes, fmt_code: int, ch: int, rate: int,
@@ -1281,3 +1297,28 @@ def test_mjpeg_mkv_roundtrip_frame_exact(spark):
     assert mkv.count(tt) == 1
     with pytest.raises(NotImplementedError, match="no video track"):
         multimodal.decode_video_frames(mkv.replace(tt, tt[:-1] + b"\x02"))
+
+
+def test_mjpeg_mkv_multi_cluster_long_timeline():
+    """SimpleBlock relative timestamps are int16, so a timeline past
+    32767 ms must be cut into multiple Clusters (r14 ADVICE: the
+    single-cluster mux raised a bare struct.error past ~819 frames at
+    40 ms). The mux now starts a new Cluster with its own Timestamp;
+    the demuxer composes cluster ts + relative ts, so the round trip
+    is exact across the cluster boundary."""
+    from cross_modal_multivector_search_spark.functions import jpeg
+
+    rng = np.random.default_rng(36)
+    frame = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    payload = jpeg.encode_jpeg(frame, quality=90)
+    n, frame_ms = 300, 250                     # timeline to 74750 ms
+    mkv = multimodal.mux_mjpeg_mkv([payload] * n, width=2, height=2,
+                                   frame_ms=frame_ms)
+    # 32767 // 250 + 1 = 132 blocks per cluster -> 3 clusters
+    assert mkv.count(b"\x1f\x43\xb6\x75") == 3
+    out = multimodal.decode_video_frames(mkv)
+    assert [(s, d) for s, d, _ in out] == \
+        [(i * frame_ms, frame_ms) for i in range(n)]
+    direct = multimodal.decode_image(payload)
+    assert np.array_equal(out[0][2][..., :3], direct)
+    assert np.array_equal(out[-1][2][..., :3], direct)

@@ -122,11 +122,13 @@ def phase_build(spark, n: int, dim: int) -> None:
     base = spark.read.parquet(f"{DATA_DIR}/base.parquet")
     knn = spark.read.parquet(f"{DATA_DIR}/nsg_selfknn.parquet")
     pin_path = os.environ.get("NSG_PIN_TREE")
+    orig = nsg._tree_grow_seq
     if pin_path:
         # capture the pre-tree_grow state (flat adjacency + ep/beam)
         # so the pintree phase can replay BOTH tree_grow engines on
-        # the REAL 10M input and pin them bit-equal offline
-        orig = nsg._tree_grow
+        # the REAL 10M input and pin them bit-equal offline.
+        # (build_nsg dispatches to _tree_grow_seq since r15 — the
+        # measured-faster walk — so that is the hook point now.)
 
         def capture(adj, vecs, ep, beam):
             lens = np.fromiter((len(a) for a in adj), dtype=np.int64,
@@ -138,12 +140,13 @@ def phase_build(spark, n: int, dim: int) -> None:
             print(f"pre-tree state captured -> {pin_path}", flush=True)
             return orig(adj, vecs, ep, beam)
 
-        nsg._tree_grow = capture
+        nsg._tree_grow_seq = capture
     t0 = time.time()
-    idx = nsg.build_nsg(base, PARAMS, knn=knn, n_batches=256,
-                        snapshot="mmap")
-    if pin_path:
-        nsg._tree_grow = orig
+    try:
+        idx = nsg.build_nsg(base, PARAMS, knn=knn, n_batches=256,
+                            snapshot="mmap")
+    finally:
+        nsg._tree_grow_seq = orig
     t_build = time.time() - t0
     print(f"nsg build {t_build:.1f}s", flush=True)
     t0 = time.time()
@@ -171,10 +174,15 @@ def phase_search(spark, n: int, dim: int) -> None:
     print(f"load_graph {time.time() - t0:.1f}s", flush=True)
 
     # the staged GT covers the full 100 query sets; a smaller
-    # NSG_QSETS run reads the same file and subsets
-    gt_path = f"{DATA_DIR}/gt_k{K}_q{max(N_QUERY_SETS, 100)}.parquet"
+    # NSG_QSETS run reads the same file and subsets. ALWAYS compute
+    # the staging over all 100 sets (not the current subset) so a
+    # subset-first run can never stage a partial table under the
+    # full-set name (r14 ADVICE).
+    gt_path = f"{DATA_DIR}/gt_k{K}_q100.parquet"
     if not os.path.exists(gt_path):
-        set_search.set_topk_gemm(qsets, v, K).select(
+        q100 = q_all.filter(F.col("vec_id") < 100 * M) \
+            .withColumn("set_id", (F.col("vec_id") / M).cast("long"))
+        set_search.set_topk_gemm(q100, v, K).select(
             "query_set_id", "data_set_id") \
             .write.mode("overwrite").parquet(gt_path)
     gt_rows = spark.read.parquet(gt_path).collect()
