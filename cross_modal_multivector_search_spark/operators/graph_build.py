@@ -137,12 +137,37 @@ def _ship_array(sc, arr: np.ndarray, tag: str, tmp_dirs: list,
 
 
 def _collect_matrix(base: DataFrame, id_col: str, vec_col: str):
-    # Arrow fetch, not collect(): no per-row Row objects, ~5-10x faster
-    # materialization of the broadcast payload. (The single-index path
-    # is bounded by one machine's memory by design — the index must fit
-    # wherever it is searched; the sharded path is the beyond-memory
-    # shape.)
-    pdf = base.select(id_col, vec_col).orderBy(id_col).toPandas()
+    # Arrow fetch, not collect(): no per-row Row objects. (The
+    # single-index path is bounded by one machine's memory by design —
+    # the index must fit wherever it is searched; the sharded path is
+    # the beyond-memory shape.)
+    #
+    # Columnar fast path (r15): toArrow() + flat-values reshape. The
+    # former toPandas() + np.vstack materialized one ndarray OBJECT per
+    # row and concatenated 10M of them — the dominant cost of the
+    # measured 860-925s 10M load_graph walls (SCALE_PROBE.md r15). The
+    # list column's flat value buffer reshapes in one copy when every
+    # row has the same length (always true for vector columns); ragged
+    # or null-bearing input falls back to the per-row path.
+    sel = base.select(id_col, vec_col).orderBy(id_col)
+    try:
+        tbl = sel.toArrow()
+    except Exception:  # noqa: BLE001 — e.g. non-Arrow-capable plan
+        tbl = None
+    if tbl is not None:
+        ids = tbl[id_col].to_numpy().astype(np.int64)
+        col = tbl[vec_col].combine_chunks()
+        if col.null_count == 0:
+            lens = np.diff(col.offsets.to_numpy().astype(np.int64))
+            if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+                # flatten() respects the list offsets, so the value
+                # buffer is exactly row-major (n, d)
+                mat = col.flatten().to_numpy().astype(
+                    np.float64).reshape(len(ids), int(lens[0]))
+                return ids, mat
+        pdf = tbl.to_pandas()
+    else:
+        pdf = sel.toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     return ids, mat
