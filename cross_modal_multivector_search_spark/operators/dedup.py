@@ -28,7 +28,8 @@ from .partitioning import ensure_parallelism
 
 def tokens(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text",
-           extra_cols: tuple[str, ...] = ()) -> DataFrame:
+           extra_cols: tuple[str, ...] = (),
+           work_factor: float = 1.0) -> DataFrame:
     """(doc_id, idx, token): whitespace tokens, contiguous 1-based index.
 
     Empty tokens are filtered BEFORE numbering (filter-then-number, like
@@ -36,10 +37,13 @@ def tokens(docs: DataFrame, id_col: str = "doc_id",
     repeated whitespace. Input is repartitioned up to cluster parallelism
     first (identity at scale) so the explode+hash consumers parallelize
     even from a one-split file. ``extra_cols`` ride along unchanged.
+    ``work_factor``: the caller's downstream per-byte map cost relative
+    to plain tokenize+count (see ensure_parallelism) — hash-heavy
+    consumers pass >1 so their smaller break-even input still splits.
     """
     toks = F.filter(F.split(F.col(text_col), r"\s+"),
                     lambda x: F.length(x) > 0)
-    return (ensure_parallelism(docs)
+    return (ensure_parallelism(docs, work_factor=work_factor)
             .select(F.col(id_col), *extra_cols,
                     F.posexplode(toks).alias("pos0", "token"))
             .select(id_col, *extra_cols,
@@ -47,7 +51,8 @@ def tokens(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text",
+             work_factor: float = 3.0) -> DataFrame:
     """(doc_id, idx, shingle): n-token shingles, 1-based idx.
 
     Array formulation — tokenize once, build every shingle with
@@ -55,6 +60,12 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     window, hence NO shuffle at all before the consumer's aggregation
     (the lead()-window alternative shuffles and sorts every token by
     document). Semantically identical to the windowed ANSI-SQL oracle.
+
+    Default ``work_factor`` 3: shingle construction + the n-times-wider
+    emitted rows measure ~3x the per-byte map cost of plain tokenize
+    (r15 stage metrics: 0.53 s vs 0.18 s single-task over the same
+    sf0.1 file). Hash-per-shingle consumers (minhash, winnowing) pass
+    higher factors.
     """
     toks = F.filter(F.split(F.col(text_col), r"\s+"),
                     lambda x: F.length(x) > 0)
@@ -64,7 +75,8 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     # guard: sequence(1, 0) would infer step -1 and yield [1, 0]
     sh = F.when(F.size(F.col("_toks")) >= n, sh).otherwise(
         F.array().cast("array<string>"))
-    return (ensure_parallelism(docs).select(F.col(id_col), toks.alias("_toks"))
+    return (ensure_parallelism(docs, work_factor=work_factor)
+            .select(F.col(id_col), toks.alias("_toks"))
             .select(id_col, F.posexplode(sh).alias("pos0", "shingle"))
             .select(id_col, (F.col("pos0") + 1).alias("idx"), "shingle"))
 
@@ -97,7 +109,11 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
     over the set, so skipping ``.distinct()`` drops a whole shuffle and
     lets the groupBy run map-side partial min-aggregation.
     """
-    sh = shingles(docs, shingle_n, id_col, text_col) \
+    # work_factor: one md5 per (shingle, seed) runs map-side under the
+    # partial min-aggregation — num_hashes hashes per shingle on top of
+    # the shingle build (measured 10x plain tokenize at num_hashes=8)
+    sh = shingles(docs, shingle_n, id_col, text_col,
+                  work_factor=2.0 + num_hashes) \
         .select(id_col, "shingle")
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
     salted = sh.select(id_col, "shingle", seeds.alias("seed"))
@@ -144,7 +160,10 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
     # bucket join, vs three for the (doc, seed)-exploded layout. No
     # shingle distinct: min over the multiset == min over the set, and
     # skipping it saves a shuffle + enables map-side partial aggs.
-    sh = shingles(docs, shingle_n, id_col, text_col) \
+    # same map-side hash load as minhash_signatures: num_hashes md5
+    # evaluations per shingle inside the partial aggregation
+    sh = shingles(docs, shingle_n, id_col, text_col,
+                  work_factor=2.0 + num_hashes) \
         .select(id_col, "shingle")
     mins = [F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle"))))
             .alias(f"mh{s}") for s in range(num_hashes)]

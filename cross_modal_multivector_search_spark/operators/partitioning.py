@@ -23,11 +23,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-#: below this many bytes per scan task the whole map stage is sub-second
-#: single-threaded even through a shingle+md5 pipeline — the extra
-#: round-robin shuffle (one full stage + exchange, ~0.3 s of fixed job
-#:  cost) can never pay for itself.
-_BYTES_PER_TASK_WORTH_SPLITTING = 4 << 20
+#: below this many WORK-WEIGHTED bytes per scan task the single-task
+#: map stage finishes under the fixed cost of the extra round-robin
+#: shuffle, so splitting cannot pay. Recalibrated round 15 from stage
+#: metrics: the split tax measures ~0.28 s (token_stats 0.45 -> 0.73 s
+#: forced-split at sf0.1) and plain tokenize burns ~0.3 s per MB of
+#: parquet single-task, so the break-even sits near 1 MB of factor-1
+#: input — the old 4 MB gate left a 1.8 s single-task md5 stage
+#: (minhash at sf0.1, 584 KB file, measured) unsplit on a 32-core box.
+#: Callers whose per-byte map work is a multiple of plain tokenize
+#: scale their footprint with ``work_factor`` instead of this constant.
+_BYTES_PER_TASK_WORTH_SPLITTING = 768 << 10
 
 
 #: compression suffixes Spark cannot byte-range split — one task per
@@ -138,7 +144,8 @@ def _max_partition_bytes(df: DataFrame) -> int:
 
 
 def ensure_parallelism(df: DataFrame,
-                       min_partitions: int | None = None) -> DataFrame:
+                       min_partitions: int | None = None,
+                       work_factor: float = 1.0) -> DataFrame:
     """Repartition pathologically-concentrated inputs up to cluster
     parallelism — and ONLY those.
 
@@ -168,11 +175,19 @@ def ensure_parallelism(df: DataFrame,
     fp = _input_footprint(df, _max_partition_bytes(df))
     if fp is not None:
         total, est_parts = fp
-        if total < _BYTES_PER_TASK_WORTH_SPLITTING * 2:
+        # ``work_factor`` = the caller's per-byte map cost relative to
+        # plain tokenize (the calibration workload): a minhash pipeline
+        # hashing every shingle num_hashes times does ~that multiple of
+        # work per input byte, so its break-even input is that much
+        # smaller. Measured r15 (sf0.1, 584 KB docs, single split):
+        # tokenize 0.18 s/task, lang_quality 0.47 s (~3x), shingle+
+        # shuffle-write 0.53 s (~3x), 8-hash minhash 1.78 s (~10x).
+        eff = int(total * work_factor)
+        if eff < _BYTES_PER_TASK_WORTH_SPLITTING * 2:
             return df          # tiny input: single task beats a shuffle
         # only repartition when the scan concentrates real work on
         # fewer tasks than the cluster has cores
-        if est_parts >= target or total // est_parts \
+        if est_parts >= target or eff // est_parts \
                 < _BYTES_PER_TASK_WORTH_SPLITTING:
             return df
         return df.repartition(target)

@@ -327,8 +327,12 @@ def lang_quality(docs: DataFrame, id_col: str = "doc_id",
     caller fuse its own per-doc keys (e.g. a content digest) into this
     pass instead of re-scanning the corpus for them.
     """
+    # work_factor 3: the fused pass runs 9 partial aggregates plus the
+    # carried digest md5 map-side — measured 0.47 s single-task vs
+    # 0.18 s for plain tokenize over the same sf0.1 file (r15)
     t = tokens(docs.select(id_col, text_col, *carry_cols),
-               id_col, text_col, extra_cols=carry_cols)
+               id_col, text_col, extra_cols=carry_cols,
+               work_factor=3.0)
     stop = F.col("token").isin(STOPWORDS).cast("long")
     alpha_chars = F.length(F.regexp_replace("token", "[^a-zA-Z]", ""))
     hit_cols = [
@@ -367,7 +371,8 @@ def winnow_fingerprints(docs: DataFrame, shingle_n: int = 3,
     every ``window`` consecutive shingles, keep the distinct mins: the
     standard MOSS-style fingerprint set, here as pure window functions.
     """
-    sh = shingles(docs, shingle_n, id_col, text_col)
+    # +1 over the shingle default: one md5 per shingle fuses map-side
+    sh = shingles(docs, shingle_n, id_col, text_col, work_factor=4.0)
     h = sh.select(
         id_col, "idx",
         F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)

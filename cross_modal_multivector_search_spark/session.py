@@ -34,6 +34,18 @@ def get_spark(app_name: str = "cross-modal-multivector-search-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing targets BYTES per partition, but this engine's
+        # post-shuffle stages are often CPU-bound Python/GEMM kernels
+        # (mapInPandas scoring, beam search) where 1 MB of grouped
+        # vectors is hundreds of ms of compute: the 1m default collapsed
+        # those stages to ONE task (r15 stage metrics; e.g. the chamfer
+        # batch-GEMM scorer ran 406 ms single-task on a 32-core box).
+        # 64k keeps small-but-expensive shuffles parallel; at production
+        # shuffle sizes partitions are far above either bound, so this
+        # only changes the small-input regime. Overridable for
+        # deployments via SPARK_GRAFT_AQE_MIN_PARTITION.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
         # Arrow for every Python<->JVM boundary (pandas UDFs, mapInPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
