@@ -212,7 +212,8 @@ def q_rerank_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             _qvecs("members", sf_dir, members), b, N_CAND, metric="ip") \
         .select((F.col("query_id") / M).cast("long").alias("query_set_id"),
                 F.col("base_id").alias("base_vec_id"))
-    out = rerank.rerank(cands, q, v, K, metric="smooth_chamfer", m=M)
+    out = rerank.rerank(cands, q, v, K, metric="smooth_chamfer", m=M,
+                        q_sets=_qsets("fixed", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -666,7 +667,8 @@ def q_ann_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, v = _queries_norm(spark, sf_dir)
     out = graph_search.search_and_rerank(
         index, q, v, K,
-        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M)
+        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M,
+        q_sets=_qsets("fixed", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -685,7 +687,8 @@ def q_ann_window_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, v = _queries_norm(spark, sf_dir)
     out = graph_search.search_and_rerank(
         index, q, v, K,
-        graph_search.SearchParams(min_pq=5, max_pq=600, budget=600), m=M)
+        graph_search.SearchParams(min_pq=5, max_pq=600, budget=600), m=M,
+        q_sets=_qsets("fixed", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -710,7 +713,8 @@ def q_nsg_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, v = _queries_norm(spark, sf_dir)
     out = graph_search.search_and_rerank(
         index, q, v, K,
-        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M)
+        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M,
+        q_sets=_qsets("fixed", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -736,7 +740,8 @@ def q_ann_distbuild_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, v = _queries_norm(spark, sf_dir)
     out = graph_search.search_and_rerank(
         index, q, v, K,
-        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M)
+        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M,
+        q_sets=_qsets("fixed", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -786,7 +791,8 @@ def q_ann_bootstrap_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, v = _queries_norm(spark, sf_dir)
     out = graph_search.search_and_rerank(
         index, q, v, K,
-        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M)
+        graph_search.SearchParams(min_pq=5, max_pq=400, budget=400), m=M,
+        q_sets=_qsets("fixed", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -833,7 +839,7 @@ def q_ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         None, v.select("vec_id", "vec"), _qsets("fixed", sf_dir, q),
         min_pq=5, max_pq=100, budget=100, n_shards=N_SHARDS, work=work)
     out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
-                        q, v, K, m=M)
+                        q, v, K, m=M, q_sets=_qsets("fixed", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -913,7 +919,7 @@ def q_ann_qpart_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         work_path, q, book, nprobe=N_QPART_CELLS, min_pq=5,
         max_pq=n, budget=M * n, adaptive=False)
     out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
-                        q, v, K, m=M)
+                        q, v, K, m=M, q_sets=_qsets("fixed", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -970,7 +976,7 @@ def q_ann_varcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = graph_search.search_and_rerank(
         index, q, varv, K,
         graph_search.SearchParams(min_pq=5, max_pq=400, budget=400),
-        mapping=m_map)
+        mapping=m_map, q_sets=_qsets("varcard", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -1053,7 +1059,8 @@ def q_hnsw_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ann_multivector_search`."""
     index = _hnsw_index(spark, sf_dir)
     q, v = _queries_norm(spark, sf_dir)
-    out = hnsw.search_and_rerank_hnsw(index, q, v, K, budget=M * 500, m=M)
+    out = hnsw.search_and_rerank_hnsw(index, q, v, K, budget=M * 500, m=M,
+                                      q_sets=_qsets("fixed", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -1117,7 +1124,7 @@ def q_hnsw_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, v = _queries_norm(spark, sf_dir)
     cands = hnsw.search_hnsw_sharded(work, q, budget=M * 500)
     out = rerank.rerank(cands.select("query_set_id", "base_vec_id"),
-                        q, v, K, m=M)
+                        q, v, K, m=M, q_sets=_qsets("fixed", sf_dir, q))
     return _r(out, "score").withColumn("rank", F.col("rank").cast("long"))
 
 

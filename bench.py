@@ -91,7 +91,8 @@ def main() -> None:
         index = E._hnsw_index(spark, sf_dir)
         q, v = E._queries_norm(spark, sf_dir)
         return _h.search_and_rerank_hnsw(index, q, v, E.K, budget=400,
-                                         m=E.M)
+                                         m=E.M,
+                                         q_sets=E._qsets("fixed", sf_dir, q))
 
     # ann_window_search_b1600: the same RoarGraph pipeline at budget
     # 1600 — far above WINDOW_ENGINE_MIN_PQ, so the search stage runs
@@ -104,7 +105,8 @@ def main() -> None:
         q, v = E._queries_norm(spark, sf_dir)
         return _gs.search_and_rerank(
             index, q, v, E.K,
-            _gs.SearchParams(min_pq=5, max_pq=1600, budget=1600), m=E.M)
+            _gs.SearchParams(min_pq=5, max_pq=1600, budget=1600), m=E.M,
+            q_sets=E._qsets("fixed", sf_dir, q))
 
     timed = {name: qs[name] for name in HEADLINE}
     timed["hnsw_search_b400"] = hnsw_b400

@@ -113,13 +113,17 @@ def knn_exact_gemm(queries, base: DataFrame, k: int,
     kernel (the reference's fill-diagonal for self-kNN build inputs) —
     cheaper and cleaner than fetching k+1 and re-ranking after a filter.
     """
+    from ..util import cached_broadcast
+
     if metric not in _SQL_METRICS:
         raise ValueError(f"unknown metric {metric!r}")
     spark = base.sparkSession
     if isinstance(queries, tuple):
         # pre-fetched (ids, matrix) — callers that slice one Arrow fetch
-        # into many kNN invocations (shard_self_knn) skip per-call jobs
-        q_ids, q_mat = queries
+        # into many kNN invocations (shard_self_knn) skip per-call jobs;
+        # the cached tuple broadcasts once per session, knobs ride in
+        # the closure
+        bc = cached_broadcast(spark, queries)
     else:
         # Arrow fetch: the query side can be a whole shard's worth of
         # rows, where per-row Row objects are the slow path
@@ -127,8 +131,7 @@ def knn_exact_gemm(queries, base: DataFrame, k: int,
         q_ids = q_pdf[query_id].to_numpy(dtype=np.int64)
         q_mat = (np.vstack(q_pdf[vec_col].to_numpy()).astype(np.float64)
                  if len(q_pdf) else np.empty((0, 0)))
-    bc = spark.sparkContext.broadcast(
-        (q_ids, q_mat, metric, k, exclude_self))
+        bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     schema = StructType([
         StructField("query_id", LongType()),
@@ -145,7 +148,8 @@ def knn_exact_gemm(queries, base: DataFrame, k: int,
     Q_BLOCK = 4096
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_qm, met, kk, excl = bc.value
+        all_ids, all_qm = bc.value
+        met, kk, excl = metric, k, exclude_self
         if len(all_ids) == 0:
             return
         for pdf in it:

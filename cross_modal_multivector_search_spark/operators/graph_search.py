@@ -68,11 +68,17 @@ def multivector_search(index: RoarGraphIndex, query_vecs: DataFrame,
     a whole budget sweep then runs as ONE pass instead of one search
     job per budget.
     """
+    from ..util import cached_broadcast
+
     spark = query_vecs.sparkSession
-    bc = spark.sparkContext.broadcast(
-        (index.adj, index.vecs, index.ids, index.entry_point,
-         params.min_pq, params.max_pq, params.budget, params.adaptive,
-         params.shared_visited, budget_col is not None))
+    # the index handle is broadcast ONCE per session (cached_broadcast —
+    # repeated searches reuse the broadcast id, so neither the driver
+    # re-pickles it per call nor reused workers re-unpickle it per id);
+    # the per-call search knobs ride in the tiny function closure
+    bc = cached_broadcast(spark, index)
+    min_pq, max_pq, budget = params.min_pq, params.max_pq, params.budget
+    adaptive, shared = params.adaptive, params.shared_visited
+    per_set_budget = budget_col is not None
 
     aggs = [F.sort_array(F.collect_list(F.struct(
         F.col(vec_id).alias("vid"), F.col(vec_col).alias("v")
@@ -85,10 +91,20 @@ def multivector_search(index: RoarGraphIndex, query_vecs: DataFrame,
     if budget_col is not None:
         cols.append("_budget")
     grouped = grouped.select(*cols)
+    # The grouped query sets are BYTE-tiny (m x dim doubles per row) but
+    # each row is a full beam search — AQE's byte-based coalescing would
+    # run the whole batch in one task (r15 stage metrics: 420-560 ms
+    # single-task at sf0.1 on 32 cores). An explicit round-robin
+    # repartition pins the search stage at cluster parallelism; the
+    # extra exchange moves only the query sets (small by the workload's
+    # definition: |Q| << base), and AQE never coalesces a user-specified
+    # partition count.
+    grouped = grouped.repartition(
+        spark.sparkContext.defaultParallelism)
 
     def search_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        (adj, vecs, ids, ep, min_pq, max_pq, budget, adaptive,
-         shared, per_set_budget) = bc.value
+        idx = bc.value
+        adj, vecs, ids, ep = idx.adj, idx.vecs, idx.ids, idx.entry_point
         for pdf in it:
             frames = []
             if shared:
@@ -142,10 +158,14 @@ def search_and_rerank(index: RoarGraphIndex, query_vecs: DataFrame,
                       params: SearchParams = SearchParams(),
                       metric: str = "smooth_chamfer",
                       m: int | None = None,
-                      mapping: DataFrame | None = None) -> DataFrame:
-    """The full flagship pipeline: ANN candidates -> set-level rerank."""
+                      mapping: DataFrame | None = None,
+                      q_sets: list | None = None) -> DataFrame:
+    """The full flagship pipeline: ANN candidates -> set-level rerank.
+
+    ``q_sets``: optional pre-fetched query-side matrices for the rerank
+    stage (see ``rerank.rerank``)."""
     from .rerank import rerank
     cands = multivector_search(index, query_vecs, params)
     return rerank(cands.select("query_set_id", "base_vec_id"),
                   query_vecs, data_vecs, k, metric=metric, m=m,
-                  mapping=mapping)
+                  mapping=mapping, q_sets=q_sets)

@@ -355,23 +355,28 @@ def multivector_search_hnsw(index: HnswIndex, query_vecs: DataFrame,
     beam budget (this is precisely what RoarGraph's adaptive allocation
     improves on). Emits the same candidate schema as
     `graph_search.multivector_search`, so the same rerank applies."""
+    from ..util import cached_broadcast
+
     spark = query_vecs.sparkSession
-    bc = spark.sparkContext.broadcast(
-        (index.ids, index.vecs, index.levels, index.adj,
-         index.entry_point, index.max_level, budget))
+    # index broadcast once per session (see graph_search); budget rides
+    # in the closure
+    bc = cached_broadcast(spark, index)
 
     grouped = (query_vecs.groupBy(F.col(set_id).alias("query_set_id"))
                .agg(F.sort_array(F.collect_list(F.struct(
                    F.col(vec_id).alias("vid"),
                    F.col(vec_col).alias("v")))).alias("members"))
                .select("query_set_id",
-                       F.col("members.v").alias("mats")))
+                       F.col("members.v").alias("mats"))
+               # byte-tiny rows, CPU-heavy per row: pin the search stage
+               # at cluster parallelism (see graph_search.multivector_
+               # search — AQE's byte-based coalescing would serialize it)
+               .repartition(spark.sparkContext.defaultParallelism))
 
     def search_batches(it: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
-        ids, vecs, levels, adj, ep0, maxl, bud = bc.value
-        idx = HnswIndex(ids=ids, vecs=vecs, levels=levels, adj=adj,
-                        entry_point=ep0, max_level=maxl)
+        idx = bc.value
+        ids, bud = idx.ids, budget
         for pdf in it:
             frames = []
             for qsid, mats in zip(pdf["query_set_id"], pdf["mats"]):
@@ -396,13 +401,17 @@ def multivector_search_hnsw(index: HnswIndex, query_vecs: DataFrame,
 def search_and_rerank_hnsw(index: HnswIndex, query_vecs: DataFrame,
                            data_vecs: DataFrame, k: int, budget: int,
                            m: int | None = None,
-                           metric: str = "smooth_chamfer") -> DataFrame:
+                           metric: str = "smooth_chamfer",
+                           q_sets: list | None = None) -> DataFrame:
     """Two-phase HNSW baseline: fixed-split member searches -> set-level
-    rerank — the complete `search_rerank_hnsw.cpp` pipeline."""
+    rerank — the complete `search_rerank_hnsw.cpp` pipeline.
+    ``q_sets``: optional pre-fetched rerank query matrices
+    (see ``rerank.rerank``)."""
     from . import rerank
     cands = multivector_search_hnsw(index, query_vecs, budget)
     return rerank.rerank(cands.select("query_set_id", "base_vec_id"),
-                         query_vecs, data_vecs, k, m=m, metric=metric)
+                         query_vecs, data_vecs, k, m=m, metric=metric,
+                         q_sets=q_sets)
 
 
 # ---------------------------------------------------------------------------

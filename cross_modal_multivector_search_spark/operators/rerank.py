@@ -54,7 +54,8 @@ def rerank(candidates: DataFrame, query_vecs: DataFrame,
            data_vecs: DataFrame, k: int,
            metric: str = "smooth_chamfer", m: int | None = None,
            mapping: DataFrame | None = None,
-           impl: str = "gemm") -> DataFrame:
+           impl: str = "gemm",
+           q_sets: list | None = None) -> DataFrame:
     """candidates(query_set_id, base_vec_id) -> top-k reranked sets.
 
     impl="sql": scoring via the declarative LSE aggregation (restricted
@@ -63,10 +64,17 @@ def rerank(candidates: DataFrame, query_vecs: DataFrame,
     proposing query sets, one NumPy kernel call per (data set, query set)
     against broadcast query matrices, then window top-k. Identical
     scores; ~3 stages instead of ~10.
+
+    ``q_sets``: optional pre-fetched ``set_search.fetch_grouped_sets``
+    list of the SAME query side — build-once / search-many callers (the
+    reference loads its query fbin once and benchmarks search alone)
+    skip the 2-3 Spark jobs of the per-call grouped Arrow fetch, the
+    same contract ``set_topk_gemm`` already offers. gemm path only.
     """
     cand_sets = candidates_to_sets(candidates, m=m, mapping=mapping)
     if impl == "gemm":
-        return _rerank_gemm(cand_sets, query_vecs, data_vecs, k, metric)
+        return _rerank_gemm(cand_sets, query_vecs, data_vecs, k, metric,
+                            q_sets=q_sets)
     # Restrict the data side to candidate sets before scoring: a semi-join
     # prunes the expensive GEMM/LSE to the candidate universe.
     cand_data_ids = cand_sets.select(
@@ -88,7 +96,8 @@ def rerank(candidates: DataFrame, query_vecs: DataFrame,
 
 
 def _rerank_gemm(cand_sets: DataFrame, query_vecs: DataFrame,
-                 data_vecs: DataFrame, k: int, metric: str) -> DataFrame:
+                 data_vecs: DataFrame, k: int, metric: str,
+                 q_sets: list | None = None) -> DataFrame:
     """Candidate-pruned NumPy scoring (`MultiVectorReranker::Rerank`'s
     gather+GEMM, distributed over data sets)."""
     from typing import Iterator
@@ -100,16 +109,25 @@ def _rerank_gemm(cand_sets: DataFrame, query_vecs: DataFrame,
 
     from ..functions import metrics as M
 
+    from ..util import cached_broadcast
+
     spark = query_vecs.sparkSession
-    q_pdf = (query_vecs.groupBy("set_id")
-             .agg(F.sort_array(F.collect_list(F.struct(
-                 F.col("vec_id").alias("o"), F.col("vec").alias("v"))))
-                 .alias("rows"))
-             .select("set_id", F.col("rows.v").alias("mat")).toPandas())
-    q_mats = {int(s): np.array([np.asarray(v) for v in m],
-                               dtype=np.float64)
-              for s, m in zip(q_pdf["set_id"], q_pdf["mat"])}
-    bc = spark.sparkContext.broadcast((q_mats, metric))
+    if q_sets is not None:
+        # pre-fetched (set_id, matrix) list: identical content to the
+        # grouped fetch below (same grouping, same vec_id member order).
+        # The cached list broadcasts once per session; workers build the
+        # lookup dict from it (cheap, once per task at most).
+        bc = cached_broadcast(spark, q_sets)
+    else:
+        q_pdf = (query_vecs.groupBy("set_id")
+                 .agg(F.sort_array(F.collect_list(F.struct(
+                     F.col("vec_id").alias("o"), F.col("vec").alias("v"))))
+                     .alias("rows"))
+                 .select("set_id", F.col("rows.v").alias("mat")).toPandas())
+        q_mats = {int(s): np.array([np.asarray(v) for v in m],
+                                   dtype=np.float64)
+                  for s, m in zip(q_pdf["set_id"], q_pdf["mat"])}
+        bc = spark.sparkContext.broadcast(q_mats)
 
     # one shuffle: each candidate data set carries its proposing queries
     per_data = (cand_sets.groupBy("data_set_id")
@@ -128,8 +146,10 @@ def _rerank_gemm(cand_sets: DataFrame, query_vecs: DataFrame,
     ])
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_mats_l, met = bc.value
-        fn = M.SET_METRICS[met]
+        val = bc.value
+        q_mats_l = ({int(s): np.asarray(m, dtype=np.float64)
+                     for s, m in val} if isinstance(val, list) else val)
+        fn = M.SET_METRICS[metric]
         for pdf in it:
             out_q, out_d, out_s = [], [], []
             for dsid, qsids, mat in zip(pdf["data_set_id"], pdf["qsids"],

@@ -146,12 +146,17 @@ def set_topk_gemm(query_vecs, data_vecs: DataFrame, k: int,
     """
     if metric not in M.SET_METRICS_BATCH:
         raise ValueError(f"unknown metric {metric!r}")
+    from ..util import cached_broadcast
+
     if isinstance(query_vecs, list):
         q_sets = query_vecs
     else:
         q_sets = fetch_grouped_sets(query_vecs, set_id, pos, vec_col)
     spark = data_vecs.sparkSession
-    bc = spark.sparkContext.broadcast((q_sets, metric, k))
+    # a pre-fetched (build-once) query list broadcasts once per session;
+    # metric/k ride in the closure
+    bc = (cached_broadcast(spark, q_sets) if isinstance(query_vecs, list)
+          else spark.sparkContext.broadcast(q_sets))
 
     schema = StructType([
         StructField("query_set_id", LongType()),
@@ -160,7 +165,7 @@ def set_topk_gemm(query_vecs, data_vecs: DataFrame, k: int,
     ])
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_sets_l, met, kk = bc.value
+        q_sets_l, met, kk = bc.value, metric, k
         fn = M.SET_METRICS_BATCH[met]
         for pdf in it:
             d_ids = pdf["set_id"].to_numpy(dtype=np.int64)

@@ -49,3 +49,25 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
         return
     sc.addPyFile(_package_zip())
     _SHIPPED.add(key)
+
+
+# One sc.broadcast per (session, payload object): the gemm/search
+# operators broadcast their driver-resident handles (index, pre-fetched
+# query matrices) on EVERY invocation, which re-pickles megabytes and
+# mints a new broadcast id each call — reused Python workers then
+# unpickle the identical value once per id instead of once per process.
+# Caching by object identity (the payloads are themselves cached for
+# process lifetime: _INDEX_CACHE / _QSETS_CACHE / _QVECS_CACHE) makes
+# repeated searches reuse one broadcast id end-to-end. The payload is
+# pinned in the entry so a recycled id() can never alias a new object.
+_BC_CACHE: dict[tuple, tuple] = {}
+
+
+def cached_broadcast(spark: SparkSession, obj):
+    key = (spark.sparkContext.applicationId, id(obj))
+    hit = _BC_CACHE.get(key)
+    if hit is not None and hit[0] is obj:
+        return hit[1]
+    bc = spark.sparkContext.broadcast(obj)
+    _BC_CACHE[key] = (obj, bc)
+    return bc
