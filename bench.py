@@ -109,8 +109,10 @@ def main() -> None:
             q_sets=E._qsets("fixed", sf_dir, q))
 
     timed = {name: qs[name] for name in HEADLINE}
-    timed["hnsw_search_b400"] = hnsw_b400
-    timed["ann_window_search_b1600"] = ann_window_b1600
+    # same prepared-plan protocol as the queries() rows (E._shipped)
+    timed["hnsw_search_b400"] = E._shipped(hnsw_b400, "hnsw_search_b400")
+    timed["ann_window_search_b1600"] = E._shipped(
+        ann_window_b1600, "ann_window_search_b1600")
     for fn in timed.values():
         fn(spark, sf_dir).count()
 

@@ -150,8 +150,14 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5,
     from .topk import grouped_topk
     t = tokens(docs, id_col, text_col)
     tf = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n = tf.select(id_col).distinct() \
+    # df and n_docs aggregate over the SAME tf table the scorer joins;
+    # counting the tf COLUMN (never null, so count(tf) == count(*))
+    # keeps their tf subtrees byte-identical to the scorer's instead of
+    # letting column pruning specialize them — AQE's exchange reuse then
+    # runs the tokenize+tf map ONCE for all three consumers (r15: the
+    # pruned forms ran it three times, one full corpus scan each).
+    df_t = tf.groupBy("token").agg(F.count("tf").alias("df"))
+    n = tf.groupBy(id_col).agg(F.count("tf").alias("_c")) \
         .agg(F.count("*").alias("n_docs"))
     scored = (tf.join(df_t, "token")
               .crossJoin(F.broadcast(n))
@@ -190,7 +196,10 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 20,
     stats = dl.agg(F.count("*").alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
     tf_q = tf_all.filter(F.col("token").isin(list(terms)))
-    df_t = tf_q.groupBy("token").agg(F.count("*").alias("df"))
+    # count(tf) == count(*) (tf never null); referencing the column
+    # keeps df's subtree identical to tf_q's so AQE reuses one exchange
+    # (see tfidf_top_terms) instead of re-running the filtered scan
+    df_t = tf_q.groupBy("token").agg(F.count("tf").alias("df"))
     idf = F.log(F.lit(1.0)
                 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
