@@ -1267,6 +1267,26 @@ ORDER BY a, b
 """
 
 
+# Lazy LSH pair-PLAN cache for the components-based rows (which are
+# excluded from _PLAN_CACHE because their builders execute driver-side
+# union-find): the pair plan itself is pure transformations, so reusing
+# the handle only skips re-deriving an identical plan tree — the pairs
+# are recomputed from parquet on every invocation (the localCheckpoint
+# inside the gate executes per call).
+_PAIRS_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _lsh_pairs_plan(spark: SparkSession, sf_dir: str,
+                    dedup_pairs: bool) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, dedup_pairs)
+    if key not in _PAIRS_PLAN_CACHE:
+        docs = TD.load(spark, sf_dir, "documents")
+        _PAIRS_PLAN_CACHE[key] = dedup.minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, shingle_n=3,
+            dedup_pairs=dedup_pairs)
+    return _PAIRS_PLAN_CACHE[key]
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs -> connected components -> cluster table.
 
@@ -1274,9 +1294,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cluster; pairwise keep-min would over-keep). Component id = min
     reachable doc id — deterministic, matched by the recursive-CTE
     oracle."""
-    docs = TD.load(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
-                                    shingle_n=3)
+    pairs = _lsh_pairs_plan(spark, sf_dir, dedup_pairs=True)
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
@@ -1318,7 +1336,9 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TD.load(spark, sf_dir, "documents")
     return curation.curate_corpus(
         docs, quality_threshold=0.5, langs=("en",),
-        num_hashes=8, bands=4, shingle_n=3).orderBy("doc_id")
+        num_hashes=8, bands=4, shingle_n=3,
+        pairs=_lsh_pairs_plan(spark, sf_dir, dedup_pairs=False)
+    ).orderBy("doc_id")
 
 
 SQL_CORPUS_CURATE = f"""

@@ -49,17 +49,23 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
                   num_hashes: int = 8, bands: int = 4,
                   shingle_n: int = 3, id_col: str = "doc_id",
                   text_col: str = "text",
-                  benchmark_docs: DataFrame | None = None) -> DataFrame:
+                  benchmark_docs: DataFrame | None = None,
+                  pairs: DataFrame | None = None) -> DataFrame:
     """Surviving documents with their curation features:
     (doc_id, pred_lang, quality_score, n_tokens).
 
     ``benchmark_docs`` adds a decontamination stage: training docs
     sharing any ``shingle_n``-gram with a benchmark doc are dropped
-    (anti join on the flagged set)."""
+    (anti join on the flagged set). ``pairs`` lets a repeated-run
+    caller supply the (lazy) LSH candidate-pair plan — the plan handle
+    only; the pairs themselves are recomputed per execution — instead
+    of re-deriving the identical plan from ``docs`` on every call."""
     # dedup_pairs=False: components/union-find tolerate duplicate pairs,
     # so the LSH pair distinct (a whole shuffle) is skipped here
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes, bands, shingle_n,
-                                    id_col, text_col, dedup_pairs=False)
+    if pairs is None:
+        pairs = dedup.minhash_lsh_pairs(docs, num_hashes, bands,
+                                        shingle_n, id_col, text_col,
+                                        dedup_pairs=False)
     # non-canonical members only: cluster sizes aren't needed here, so
     # go straight to components (skips dedup_clusters' size groupBy+join)
     drop_near = dedup.connected_components(pairs) \
@@ -83,6 +89,10 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
     # combine (each input task emits one row per local digest), and the
     # semi join back is an ordinary shuffle join that AQE's skew
     # handling can split across tasks.
+    # (r15 probe: widening this aggregate to the full feats struct does
+    # NOT trigger exchange dedup here — unlike the tfidf/bm25 case, the
+    # two feats consumers stay separate stages — so the narrow pruned
+    # copy is kept: its map is cheaper than a full-width duplicate.)
     keep = feats.groupBy("__digest").agg(F.min(id_col).alias(id_col))
     out = (feats.join(keep, ["__digest", id_col], "semi")
            .join(drop_near, id_col, "anti"))
