@@ -71,30 +71,35 @@ def curate_corpus(docs: DataFrame, quality_threshold: float = 0.5,
     drop_near = dedup.connected_components(pairs) \
         .filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
-    # language + quality features in one token pass, with the exact-dedup
-    # digest CARRIED THROUGH the same groupBy (carry_cols): the exact
-    # stage then reduces to a window over this small feature table —
-    # no second corpus scan, no digest groupBy, no semi join. A digest
-    # group's docs have identical text, so they all reach the feature
-    # table together (or, for token-less docs, all drop here exactly as
-    # the former inner join with the feature table dropped them).
-    feats = text.lang_quality(
-        docs.withColumn("__digest", F.md5(F.col(text_col))),
-        id_col, text_col, carry_cols=("__digest",))
-    # canonical = min id per digest, via a REAL partial aggregation
-    # (groupBy + semi join back), not a window: WindowExec — even with
-    # no orderBy — still shuffles and sorts every row of a digest key
-    # into one task, so a massively duplicated document (the hot case
-    # at 100 TB) would serialize there. groupBy(min) gets map-side
-    # combine (each input task emits one row per local digest), and the
-    # semi join back is an ordinary shuffle join that AQE's skew
-    # handling can split across tasks.
-    # (r15 probe: widening this aggregate to the full feats struct does
-    # NOT trigger exchange dedup here — unlike the tfidf/bm25 case, the
-    # two feats consumers stay separate stages — so the narrow pruned
-    # copy is kept: its map is cheaper than a full-width duplicate.)
-    keep = feats.groupBy("__digest").agg(F.min(id_col).alias(id_col))
-    out = (feats.join(keep, ["__digest", id_col], "semi")
+    # language + quality features in one token pass. The former design
+    # carried the exact-dedup digest THROUGH this groupBy (carry_cols)
+    # so the keep-set could derive from the feature table — but the
+    # keep aggregate prunes to (digest, id), which makes its copy of
+    # the feats subtree canonically different from the join side's, so
+    # the tokenize+9-aggregate map executed TWICE (r15 stage profile;
+    # exchange dedup does not fire across the differently-pruned
+    # copies, and widening the aggregate to force a match was probed
+    # and does not dedupe either). The keep-set instead comes from a
+    # digest-only pass over the raw docs — one md5 per document and a
+    # map-combined min, no tokenize — strictly cheaper than a
+    # duplicated feature map at every scale.
+    feats = text.lang_quality(docs, id_col, text_col)
+    # canonical = min id per digest via a REAL partial aggregation, not
+    # a window: WindowExec — even with no orderBy — still shuffles and
+    # sorts every row of a digest key into one task, so a massively
+    # duplicated document (the hot case at 100 TB) would serialize
+    # there; groupBy(min) gets map-side combine, and the semi join back
+    # is an ordinary shuffle join AQE's skew handling can split.
+    # Result-identical to the carried-digest form: a digest group's
+    # docs share text, so its min id is the same whether computed over
+    # all docs or the token-having ones that reach feats, and ids are
+    # unique, so the semi join on the id alone reproduces the
+    # (digest, id) join.
+    keep = (docs.select(F.md5(F.col(text_col)).alias("__digest"),
+                        F.col(id_col))
+            .groupBy("__digest").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    out = (feats.join(keep, id_col, "semi")
            .join(drop_near, id_col, "anti"))
     if benchmark_docs is not None:
         contaminated = decontaminate(
