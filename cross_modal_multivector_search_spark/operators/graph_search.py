@@ -85,22 +85,23 @@ def multivector_search(index: RoarGraphIndex, query_vecs: DataFrame,
     ))).alias("members")]
     if budget_col is not None:
         aggs.append(F.first(budget_col).alias("_budget"))
-    grouped = query_vecs.groupBy(F.col(set_id).alias("query_set_id")) \
+    # The grouped query sets are BYTE-tiny (m x dim doubles per row) but
+    # each row is a full beam search — AQE's byte-based coalescing would
+    # run the whole batch in one task (r15 stage metrics: 420-560 ms
+    # single-task at sf0.1 on 32 cores). Repartitioning BY THE GROUP KEY
+    # before the groupBy pins the search stage at cluster parallelism
+    # with ZERO extra exchanges: the aggregation reuses the explicit
+    # hash partitioning (same key, same count), and AQE never coalesces
+    # a user-specified partition count.
+    grouped = query_vecs \
+        .repartition(spark.sparkContext.defaultParallelism,
+                     F.col(set_id)) \
+        .groupBy(F.col(set_id).alias("query_set_id")) \
         .agg(*aggs)
     cols = ["query_set_id", F.col("members.v").alias("mats")]
     if budget_col is not None:
         cols.append("_budget")
     grouped = grouped.select(*cols)
-    # The grouped query sets are BYTE-tiny (m x dim doubles per row) but
-    # each row is a full beam search — AQE's byte-based coalescing would
-    # run the whole batch in one task (r15 stage metrics: 420-560 ms
-    # single-task at sf0.1 on 32 cores). An explicit round-robin
-    # repartition pins the search stage at cluster parallelism; the
-    # extra exchange moves only the query sets (small by the workload's
-    # definition: |Q| << base), and AQE never coalesces a user-specified
-    # partition count.
-    grouped = grouped.repartition(
-        spark.sparkContext.defaultParallelism)
 
     def search_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = bc.value

@@ -362,16 +362,20 @@ def multivector_search_hnsw(index: HnswIndex, query_vecs: DataFrame,
     # in the closure
     bc = cached_broadcast(spark, index)
 
-    grouped = (query_vecs.groupBy(F.col(set_id).alias("query_set_id"))
+    # keyed repartition BEFORE the groupBy: the aggregation reuses the
+    # explicit hash partitioning, so the CPU-heavy search stage runs at
+    # cluster parallelism with zero extra exchanges (see
+    # graph_search.multivector_search — AQE's byte-based coalescing
+    # would otherwise serialize the byte-tiny grouped rows)
+    grouped = (query_vecs
+               .repartition(spark.sparkContext.defaultParallelism,
+                            F.col(set_id))
+               .groupBy(F.col(set_id).alias("query_set_id"))
                .agg(F.sort_array(F.collect_list(F.struct(
                    F.col(vec_id).alias("vid"),
                    F.col(vec_col).alias("v")))).alias("members"))
                .select("query_set_id",
-                       F.col("members.v").alias("mats"))
-               # byte-tiny rows, CPU-heavy per row: pin the search stage
-               # at cluster parallelism (see graph_search.multivector_
-               # search — AQE's byte-based coalescing would serialize it)
-               .repartition(spark.sparkContext.defaultParallelism))
+                       F.col("members.v").alias("mats")))
 
     def search_batches(it: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:

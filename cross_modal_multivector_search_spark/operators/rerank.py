@@ -27,12 +27,18 @@ from .topk import grouped_topk
 def candidates_to_sets(candidates: DataFrame, m: int | None = None,
                        mapping: DataFrame | None = None,
                        query_set_col: str = "query_set_id",
-                       base_vec_col: str = "base_vec_id") -> DataFrame:
+                       base_vec_col: str = "base_vec_id",
+                       dedup: bool = True) -> DataFrame:
     """Distinct (query_set_id, data_set_id) candidate pairs.
 
     Fixed cardinality: set = vid div m. Variable cardinality: broadcast
     join against mapping(first_vid, cardinality, set_id) with a range
     predicate (first_vid <= vid < first_vid+cardinality).
+
+    ``dedup=False`` skips the final dropDuplicates — a full shuffle of
+    the candidate stream — for consumers that dedup inherently (a
+    set-aggregation or semi join downstream); the pair MULTISET then
+    still maps to the same pair set.
     """
     if mapping is not None:
         j = candidates.join(
@@ -47,6 +53,8 @@ def candidates_to_sets(candidates: DataFrame, m: int | None = None,
             (F.col(base_vec_col) / m).cast("long").alias("data_set_id"))
     else:
         raise ValueError("need fixed m or a cardinality mapping")
+    if not dedup:
+        return pairs
     return pairs.dropDuplicates([query_set_col, "data_set_id"])
 
 
@@ -71,7 +79,12 @@ def rerank(candidates: DataFrame, query_vecs: DataFrame,
     skip the 2-3 Spark jobs of the per-call grouped Arrow fetch, the
     same contract ``set_topk_gemm`` already offers. gemm path only.
     """
-    cand_sets = candidates_to_sets(candidates, m=m, mapping=mapping)
+    # dedup=False: BOTH scoring paths dedup inherently (the gemm path's
+    # collect_set per data set; the sql path's semi join), so the
+    # dropDuplicates exchange re-shuffled the same candidate stream for
+    # nothing — removing it drops one full shuffle per rerank (r15)
+    cand_sets = candidates_to_sets(candidates, m=m, mapping=mapping,
+                                   dedup=False)
     if impl == "gemm":
         return _rerank_gemm(cand_sets, query_vecs, data_vecs, k, metric,
                             q_sets=q_sets)
