@@ -53,24 +53,33 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTZ is cast to the session timestamp under a pinned UTC session
     timezone so epoch extraction agrees with DuckDB's naive epoch_us.
     """
-    key = (_session_key(spark), sf_dir, "__events_ts")
-    if key in _DF_CACHE:
-        return _DF_CACHE[key]
     # nanosAsLong must be live BEFORE the parquet read that infers the
-    # schema, so this reader never goes through the plain load() cache
+    # schema, so this reader never goes through the plain load() cache.
+    # Both confs are (re)applied on cache HITS too: a sibling
+    # newSession() shares the applicationId cache key but NOT the
+    # session conf, so a hit must not skip the conf pins (r16 advice).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (_session_key(spark), sf_dir, "__events_ts")
+    hit = _DF_CACHE.get(key)
+    if hit is not None:
+        out, needs_utc = hit
+        if needs_utc:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return out
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     dt = dict(e.dtypes)["ts"]
     if dt.startswith("timestamp"):
         # naive wall-clock == UTC so both engines see identical epochs
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        out = e.withColumn("ts", F.col("ts").cast("timestamp"))
+        out, needs_utc = e.withColumn(
+            "ts", F.col("ts").cast("timestamp")), True
     else:
         # integer DIV, not /: float division of int64 nanos loses
         # precision (2^63-scale values exceed double's 53-bit mantissa)
         # and rounds the microsecond up
-        out = e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    _DF_CACHE[key] = out
+        out, needs_utc = e.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))), False
+    _DF_CACHE[key] = (out, needs_utc)
     return out
 
 

@@ -60,7 +60,14 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
 # process lifetime: _INDEX_CACHE / _QSETS_CACHE / _QVECS_CACHE) makes
 # repeated searches reuse one broadcast id end-to-end. The payload is
 # pinned in the entry so a recycled id() can never alias a new object.
+# Bounded FIFO (r16): a library caller looping over FRESH payload
+# tuples mints a new entry per call; past the bound the oldest entries
+# are dropped, Python GC releases the payload+Broadcast pair, and
+# Spark's ContextCleaner unpersists the executor blocks (explicit
+# unpersist here could break a still-cached plan whose closure holds
+# the Broadcast). The engine's own long-lived payloads number ~10.
 _BC_CACHE: dict[tuple, tuple] = {}
+_BC_CACHE_MAX = 64
 
 
 def cached_broadcast(spark: SparkSession, obj):
@@ -69,5 +76,7 @@ def cached_broadcast(spark: SparkSession, obj):
     if hit is not None and hit[0] is obj:
         return hit[1]
     bc = spark.sparkContext.broadcast(obj)
+    if hit is None and len(_BC_CACHE) >= _BC_CACHE_MAX:
+        _BC_CACHE.pop(next(iter(_BC_CACHE)))
     _BC_CACHE[key] = (obj, bc)
     return bc
