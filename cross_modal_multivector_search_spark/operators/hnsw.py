@@ -362,15 +362,17 @@ def multivector_search_hnsw(index: HnswIndex, query_vecs: DataFrame,
     # in the closure
     bc = cached_broadcast(spark, index)
 
-    # keyed repartition BEFORE the groupBy: the aggregation reuses the
-    # explicit hash partitioning, so the CPU-heavy search stage runs at
-    # cluster parallelism with zero extra exchanges (see
-    # graph_search.multivector_search — AQE's byte-based coalescing
-    # would otherwise serialize the byte-tiny grouped rows)
-    grouped = (query_vecs
-               .repartition(spark.sparkContext.defaultParallelism,
-                            F.col(set_id))
-               .groupBy(F.col(set_id).alias("query_set_id"))
+    # balanced keyed repartition BEFORE the groupBy (see
+    # graph_search._balanced_grouped): the aggregation reuses the
+    # explicit partitioning, so the CPU-heavy search stage runs at
+    # cluster parallelism with zero extra exchanges, and small query
+    # batches spread one-set-per-partition instead of hash-colliding
+    # (AQE's byte-based coalescing would otherwise serialize the
+    # byte-tiny grouped rows)
+    from .graph_search import _balanced_grouped
+    grouped = (_balanced_grouped(query_vecs, set_id)
+               .groupBy(F.col(set_id).alias("query_set_id"),
+                        F.col("__slotkey"))
                .agg(F.sort_array(F.collect_list(F.struct(
                    F.col(vec_id).alias("vid"),
                    F.col(vec_col).alias("v")))).alias("members"))
