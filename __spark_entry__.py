@@ -842,6 +842,13 @@ def _sharded_work(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn = sharded.shard_self_knn(base, N_SHARDS, p.m_sq)
         sharded.build_sharded(base, N_SHARDS, p, train_knn=knn) \
             .write.mode("overwrite").parquet(cache)
+    # shard x query-block sub-partitions (prepare_search_work
+    # query_blocks=) were implemented for VERDICT r15 #5 and A/B'd:
+    # at this sf the per-set search (budget 100, ~5 ms/set) is smaller
+    # than the widened fan-out's per-task overhead (32 tasks at 0.51 s
+    # min vs 4 tasks at 0.44 s; wash at budget 1000), so the bench
+    # layout stays at 1 block — flip query_blocks on when per-set
+    # search dominates per-task assembly (big shards, deep budgets).
     work = sharded.prepare_search_work(
         spark.read.parquet(cache), v.select("vec_id", "vec"),
         N_SHARDS).cache()

@@ -799,12 +799,16 @@ def build_hnsw_sharded(base: DataFrame, n_shards: int,
 def prepare_hnsw_work(shard_graph: DataFrame, base: DataFrame,
                       n_shards: int, id_col: str = "vec_id",
                       vec_col: str = "vec",
-                      shard_col: str | None = None) -> DataFrame:
+                      shard_col: str | None = None,
+                      query_blocks: int = 1) -> DataFrame:
     """Join the per-level shard adjacency to its vectors, grouped+sorted
     by shard — the search-ready layout (cache() for build-once /
     search-many). A node appearing on L levels repeats its vector L
     times; levels above 0 hold <1/m of the nodes, so the overhead is
-    a few percent and the search task needs no second join."""
+    a few percent and the search task needs no second join.
+    ``query_blocks``: sub-partitions per shard (see
+    ``sharded.prepare_search_work`` — uncaps the search fan-out when
+    shards < cores; block b searches sets with set_id % blocks == b)."""
     from .partitioning import repartition_by_shard
     from .sharded import _shard_expr
     if shard_col is not None:
@@ -817,8 +821,18 @@ def prepare_hnsw_work(shard_graph: DataFrame, base: DataFrame,
         vecs_sharded.select("shard", F.col(id_col).alias("src"),
                             F.col(vec_col).alias("v")),
         ["shard", "src"])
-    return repartition_by_shard(joined, n_shards, "shard") \
-        .sortWithinPartitions("shard", "level", "src")
+    qb = max(1, int(query_blocks))
+    if qb == 1:
+        return repartition_by_shard(joined, n_shards, "shard") \
+            .sortWithinPartitions("shard", "level", "src")
+    expl = joined.withColumn(
+        "_qblock",
+        F.explode(F.array(*[F.lit(i) for i in range(qb)])))
+    expl = expl.withColumn("_qblocks", F.lit(qb)).withColumn(
+        "_spart", F.col("shard").cast("int") * qb + F.col("_qblock"))
+    return (repartition_by_shard(expl, n_shards * qb, "_spart")
+            .drop("_spart")
+            .sortWithinPartitions("shard", "_qblock", "level", "src"))
 
 
 def search_hnsw_sharded(work: DataFrame, query_vecs: DataFrame,
@@ -841,10 +855,13 @@ def search_hnsw_sharded(work: DataFrame, query_vecs: DataFrame,
               for s, m in zip(q_pdf["qsid"], q_pdf["mats"])]
     bc_q = spark.sparkContext.broadcast((q_sets, budget))
 
+    blocked = "_qblock" in work.columns
+
     def search(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_sets_l, budget_l = bc_q.value
         cur = None
         rows_acc: list[tuple] = []
+        blk_state = [0, 1]          # (block, n_blocks) of rows_acc
 
         def run_shard():
             ids_order = []           # contiguous local ids, level-0 order
@@ -863,7 +880,10 @@ def search_hnsw_sharded(work: DataFrame, query_vecs: DataFrame,
             idx = HnswIndex(ids=ids, vecs=vecs, levels=levels, adj=adj,
                             entry_point=entry, max_level=max_level)
             frames = []
+            blk, nblk = blk_state
             for qsid, qmat in q_sets_l:
+                if qsid % nblk != blk:
+                    continue
                 ef = max(1, budget_l // len(qmat))
                 for pos in range(len(qmat)):
                     cids, cdists = search_knn_local(
@@ -880,15 +900,21 @@ def search_hnsw_sharded(work: DataFrame, query_vecs: DataFrame,
             return pd.concat(frames) if frames else None
 
         for pdf in it:
-            for shard, lvl, src, nbrs, is_ep, v in zip(
-                    pdf["shard"], pdf["level"], pdf["src"], pdf["nbrs"],
-                    pdf["is_entry"], pdf["v"]):
-                if cur is not None and shard != cur:
+            qbs = pdf["_qblock"] if blocked else np.zeros(len(pdf),
+                                                          dtype=np.int64)
+            nqb = pdf["_qblocks"] if blocked else np.ones(len(pdf),
+                                                          dtype=np.int64)
+            for shard, qb, nb, lvl, src, nbrs, is_ep, v in zip(
+                    pdf["shard"], qbs, nqb, pdf["level"], pdf["src"],
+                    pdf["nbrs"], pdf["is_entry"], pdf["v"]):
+                key = (int(shard), int(qb), int(nb))
+                if cur is not None and key != cur:
                     out = run_shard()
                     if out is not None:
                         yield out
                     rows_acc = []
-                cur = shard
+                cur = key
+                blk_state[0], blk_state[1] = int(qb), int(nb)
                 rows_acc.append((int(lvl), src, nbrs, is_ep, v))
         if rows_acc:
             out = run_shard()

@@ -1322,3 +1322,26 @@ def test_mjpeg_mkv_multi_cluster_long_timeline():
     direct = multimodal.decode_image(payload)
     assert np.array_equal(out[0][2][..., :3], direct)
     assert np.array_equal(out[-1][2][..., :3], direct)
+
+
+def test_embedding_near_dup_blocked_equals_sql_and_gemm(spark):
+    """The lazy block-pair exact path (r16 — what the auto gate now
+    routes to below the gate) must equal both the declarative SQL join
+    and the broadcast GEMM, at several block counts including B >
+    distinct ids' spread."""
+    from cross_modal_multivector_search_spark.functions import vector as V
+    e = TD.load(spark, SF_SMOKE, "embeddings")
+    v = V.with_l2_normalized(e, "embedding", "vec").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "vec")
+    want = {(r["a"], r["b"], round(r["cos"], 9)) for r in
+            dedup.embedding_near_dup_pairs(v, 0.4, impl="sql").collect()}
+    norm = V.with_l2_normalized(v, "vec", "_v").select("vec_id", "_v")
+    for blocks in (1, 3, 16):
+        got = {(r["a"], r["b"], round(r["cos"], 9)) for r in
+               dedup._near_dup_blocked_exact(
+                   norm, 0.4, "vec_id", n_blocks=blocks).collect()}
+        assert got == want, f"blocked(B={blocks}) != sql"
+    auto = {(r["a"], r["b"], round(r["cos"], 9)) for r in
+            dedup.embedding_near_dup_pairs(v, 0.4, impl="blocked")
+            .collect()}
+    assert auto == want

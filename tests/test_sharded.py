@@ -456,3 +456,48 @@ def test_stable_top_cells_matches_stable_argsort():
     assert np.array_equal(
         sharded._stable_top_cells(small, 5),
         np.argsort(-small, axis=1, kind="stable")[:, :5])
+
+
+def test_query_blocked_fanout_matches_unblocked(spark, shard_graph):
+    """query_blocks > 1 (shard x block sub-partitions, r16) must emit
+    the same candidate multiset as the unblocked layout — every set
+    still meets every shard exactly once, only the fan-out widens —
+    and the blocked work layout must carry one (shard, block) pair per
+    partition."""
+    vecs = TD.embeddings_norm(spark, SF_SMOKE)
+    queries = vecs.filter(F.col("set_id") < 10)
+    base = vecs.select("vec_id", "vec")
+    w1 = sharded.prepare_search_work(shard_graph, base, N_SHARDS)
+    w3 = sharded.prepare_search_work(shard_graph, base, N_SHARDS,
+                                     query_blocks=3)
+    assert w3.rdd.getNumPartitions() == N_SHARDS * 3
+    pairs = (w3.select("shard", "_qblock").distinct().collect())
+    assert len(pairs) == N_SHARDS * 3
+    a = sharded.search_sharded(
+        None, base, queries, min_pq=5, max_pq=100, budget=100,
+        n_shards=N_SHARDS, work=w1)
+    b = sharded.search_sharded(
+        None, base, queries, min_pq=5, max_pq=100, budget=100,
+        n_shards=N_SHARDS, work=w3)
+    key = ["query_set_id", "member_pos", "base_vec_id"]
+    ra = sorted(tuple(r) for r in a.select(*key).collect())
+    rb = sorted(tuple(r) for r in b.select(*key).collect())
+    assert ra == rb
+
+
+def test_query_blocked_hnsw_fanout_matches_unblocked(spark):
+    from cross_modal_multivector_search_spark.operators import hnsw
+    vecs = TD.embeddings_norm(spark, SF_SMOKE)
+    queries = vecs.filter(F.col("set_id") < 10)
+    base = vecs.select("vec_id", "vec")
+    g = hnsw.build_hnsw_sharded(
+        base, N_SHARDS, hnsw.HnswParams(m=8, ef_construction=40, seed=3))
+    g = g.cache(); g.count()
+    w1 = hnsw.prepare_hnsw_work(g, base, N_SHARDS)
+    w3 = hnsw.prepare_hnsw_work(g, base, N_SHARDS, query_blocks=3)
+    a = hnsw.search_hnsw_sharded(w1, queries, budget=100)
+    b = hnsw.search_hnsw_sharded(w3, queries, budget=100)
+    key = ["query_set_id", "member_pos", "base_vec_id"]
+    ra = sorted(tuple(r) for r in a.select(*key).collect())
+    rb = sorted(tuple(r) for r in b.select(*key).collect())
+    assert ra == rb
