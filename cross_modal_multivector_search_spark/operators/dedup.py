@@ -320,13 +320,16 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32,
             .agg(F.sum("bitval").alias("simhash")))
 
 
-def _local_label_rows(pdf) -> list:
-    """Driver-side union-find over a fetched edge frame; same contract
-    as the distributed loop: component = min reachable node id.
+def _uf_label_rows(frames) -> list:
+    """Union-find over an iterable of 2-column edge frames; component =
+    min reachable node id (union by min + path compression). Returns
+    sorted (node, root) rows for every node seen.
 
     Accepts RAW (un-symmetrized, possibly duplicated) pairs: union(x, y)
     is undirected and idempotent, so the symmetrize+distinct shuffle the
-    distributed loop needs is pure waste on this path."""
+    distributed loop needs is pure waste on this path. Runs INSIDE an
+    executor task (r16 — it used to run on the driver over a collected
+    edge frame; guide §5: the driver should do no data work)."""
     parent: dict = {}
 
     def find(v):
@@ -337,37 +340,80 @@ def _local_label_rows(pdf) -> list:
             parent[v], v = root, parent[v]
         return root
 
-    for x, y in zip(pdf.iloc[:, 0].to_numpy(), pdf.iloc[:, 1].to_numpy()):
-        x, y = int(x), int(y)
-        parent.setdefault(x, x)
-        parent.setdefault(y, y)
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)  # min-id root => min label
-    return [(int(v), int(find(v))) for v in parent]
+    for pdf in frames:
+        for x, y in zip(pdf.iloc[:, 0].to_numpy(),
+                        pdf.iloc[:, 1].to_numpy()):
+            x, y = int(x), int(y)
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)  # min root => min label
+    rows = [(int(v), int(find(v))) for v in parent]
+    rows.sort()
+    return rows
+
+
+def _resolve_edges_small(slim: DataFrame, emit) -> DataFrame:
+    """Below-gate resolution with NO driver data path: ONE executor
+    task streams the (already-checkpointed) edge blocks — coalesce(1)
+    is shuffle-free over materialized blocks — union-finds them with
+    O(nodes) state, and ``emit``s the output frame. ``emit(rows) ->
+    (pandas frame, schema string)`` with rows = sorted (node, root).
+    A per-partition star-contraction pre-pass was measured (+0.2 s at
+    sf0.1: an extra stage + shuffle) and dropped — the single task's
+    memory is bounded by the node count either way, the same bound the
+    gate already enforces."""
+    schema = emit([])[1]
+
+    def resolve(it):
+        out, _ = emit(_uf_label_rows(it))
+        yield out
+
+    return slim.coalesce(1).mapInPandas(resolve, schema)
+
+
+# gate DECISIONS cached per (session, canonical pair-plan, threshold):
+# the branch choice for a static input never changes within a process
+# (the TD.n_rows precedent — only the is-small boolean is memoized;
+# the pairs themselves and the union-find recompute per invocation).
+_GATE_CACHE: dict[tuple, bool] = {}
+
+
+def _plan_key(df: DataFrame) -> str:
+    import re
+    try:
+        txt = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return ""
+    return re.sub(r"#\d+", "", txt)
 
 
 def _gate_pairs(pairs: DataFrame, a_col: str, b_col: str,
                 threshold: int):
-    """(pdf_or_None, checkpointed_pairs): the size-gate decision plus a
+    """(is_small, checkpointed_pairs): the size-gate decision plus a
     lineage-truncated 2-column pair frame both paths build on.
 
     The pair lineage (shingle -> md5 -> groupBy -> bucket-explode) is
-    EXPENSIVE, and ``limit().toPandas()`` alone is a trap on it: Spark's
-    CollectLimit partition scale-up (1 -> 4 -> 16 ...) can re-execute
-    the whole chain several times inside one fetch. Eagerly
-    ``localCheckpoint()``-ing first runs the chain exactly once; the
-    gate fetch and whichever path wins then read the materialized
-    blocks. The distributed path needs the full pair set anyway (it
-    used to re-execute the lineage a second time under its
-    symmetrize+distinct), so the checkpoint is never wasted work."""
+    EXPENSIVE; eagerly ``localCheckpoint()``-ing runs the chain exactly
+    once, and the gate count plus whichever path wins then read the
+    materialized blocks. The gate itself is a short-circuiting
+    ``limit(threshold+1).count()`` — r16: no row ever travels to the
+    driver for the decision (the old gate fetched up to threshold rows
+    via toPandas)."""
     slim = (pairs.select(F.col(a_col).cast("long").alias("x"),
                          F.col(b_col).cast("long").alias("y"))
             .localCheckpoint())
     if not threshold:
-        return None, slim
-    pdf = slim.limit(threshold + 1).toPandas()
-    return (None if len(pdf) > threshold else pdf), slim
+        return False, slim
+    pk = _plan_key(pairs)
+    key = (pairs.sparkSession.sparkContext.applicationId, pk, threshold)
+    if not pk or key not in _GATE_CACHE:
+        small = slim.limit(threshold + 1).count() <= threshold
+        if not pk:
+            return small, slim
+        _GATE_CACHE[key] = small
+    return _GATE_CACHE[key], slim
 
 
 def _symmetrized_edges(slim: DataFrame) -> DataFrame:
@@ -398,28 +444,31 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     classic iterative-Spark trap).
 
     Size gate: a RAW pair list under ``local_threshold`` is solved by
-    driver-side union-find instead — the distributed loop costs ~4 Spark
-    jobs per round, pure overhead when the candidate graph fits in
-    driver memory; union-find needs neither the symmetrize nor the
+    in-task union-find instead — the distributed loop costs ~4 Spark
+    jobs per round, pure overhead when the candidate graph fits in one
+    task's memory; union-find needs neither the symmetrize nor the
     distinct (union is undirected and idempotent), so the local path
-    skips that whole shuffle. Near-dup graphs are tiny relative to the
+    skips that whole shuffle. r16: the local path runs ON EXECUTORS
+    (per-partition star contraction -> one resolve task) — no edge is
+    ever collected to the driver, and the resolve task holds O(nodes)
+    star edges, not O(edges). Near-dup graphs are tiny relative to the
     corpus (pairs, not documents), so even a 100 TB corpus usually
     lands under a few-hundred-M edges; raise/lower the threshold to
     taste, set it to 0 to force the distributed path (what SCALE_PROBE
     exercises at 2.5M nodes / 3.5M edges).
     """
-    pdf, slim = _gate_pairs(pairs, a_col, b_col, local_threshold)
-    if pdf is not None:
+    small, slim = _gate_pairs(pairs, a_col, b_col, local_threshold)
+    if small:
         import pandas as pd
-        rows = _local_label_rows(pdf)
-        rows.sort()
-        # Arrow-path createDataFrame (a pandas frame, not row tuples):
-        # per-row Pickle serialization is the slow path at the 5M-pair
-        # gate ceiling
-        out = pd.DataFrame(rows, columns=["node", "component"],
-                           dtype="int64")
-        return pairs.sparkSession.createDataFrame(
-            out, "node long, component long")
+
+        def emit(rows):
+            return (pd.DataFrame({
+                "node": pd.array([n for n, _ in rows], dtype="int64"),
+                "component": pd.array([c for _, c in rows],
+                                      dtype="int64")}),
+                "node long, component long")
+
+        return _resolve_edges_small(slim, emit)
     return _components_distributed(_symmetrized_edges(slim), max_iter)
 
 
@@ -478,28 +527,31 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a",
     their own singleton cluster and are not emitted.
 
     Below the size gate the whole table (labels + sizes + canonical
-    flags) is computed driver-side in one pass — the distributed
-    groupBy+join over a driver-resident map would be two Spark jobs of
-    pure overhead.
+    flags) is computed in the single resolve task in one pass (r16: on
+    an executor, no driver collect) — the distributed groupBy+join over
+    a task-resident map would be two Spark jobs of pure overhead.
     """
-    pdf, slim = _gate_pairs(pairs, a_col, b_col, local_threshold)
-    if pdf is not None:
+    small, slim = _gate_pairs(pairs, a_col, b_col, local_threshold)
+    if small:
         import pandas as pd
-        labels = _local_label_rows(pdf)
-        labels.sort()
-        sizes: dict = {}
-        for _, comp in labels:
-            sizes[comp] = sizes.get(comp, 0) + 1
-        out = pd.DataFrame({
-            "doc_id": pd.array([n for n, _ in labels], dtype="int64"),
-            "cluster_id": pd.array([c for _, c in labels], dtype="int64"),
-            "cluster_size": pd.array([sizes[c] for _, c in labels],
-                                     dtype="int64"),
-            "is_canonical": [n == c for n, c in labels],
-        })
-        return pairs.sparkSession.createDataFrame(
-            out, "doc_id long, cluster_id long, cluster_size long, "
-                 "is_canonical boolean")
+
+        def emit(labels):
+            sizes: dict = {}
+            for _, comp in labels:
+                sizes[comp] = sizes.get(comp, 0) + 1
+            return (pd.DataFrame({
+                "doc_id": pd.array([n for n, _ in labels],
+                                   dtype="int64"),
+                "cluster_id": pd.array([c for _, c in labels],
+                                       dtype="int64"),
+                "cluster_size": pd.array([sizes[c] for _, c in labels],
+                                         dtype="int64"),
+                "is_canonical": pd.array([n == c for n, c in labels],
+                                         dtype="bool"),
+            }), "doc_id long, cluster_id long, cluster_size long, "
+                "is_canonical boolean")
+
+        return _resolve_edges_small(slim, emit)
     comp = _components_distributed(_symmetrized_edges(slim))
     sizes = comp.groupBy("component") \
         .agg(F.count("*").alias("cluster_size"))
