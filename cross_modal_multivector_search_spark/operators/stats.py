@@ -68,9 +68,12 @@ def graph_connectivity(graph: DataFrame, entry_point: int | None = None,
     actually reach; the search path follows directed edges).
 
     Size gate (same rationale as connected_components): an edge list
-    under ``local_threshold`` is resolved driver-side in one Arrow fetch
-    — union-find for components plus a plain BFS — instead of ~3 Spark
-    jobs per BFS round on a graph that fits in driver memory. The
+    under ``local_threshold`` is resolved by ONE executor task — the
+    task streams the checkpointed edge blocks plus the tagged node
+    rows, union-finds components and runs the plain BFS in-memory —
+    instead of ~3 Spark jobs per BFS round on a graph that fits in one
+    task. r16: this used to fetch every edge to the driver (guide §5);
+    now nothing but the 1-row result leaves the executors. The
     distributed path (join-per-round frontier expansion; RoarGraph
     diameters are O(log n)) is the beyond-memory shape.
     """
@@ -79,47 +82,62 @@ def graph_connectivity(graph: DataFrame, entry_point: int | None = None,
                          F.explode(F.col(nbrs_col)).alias("b")) \
         .localCheckpoint()
     if local_threshold and edges.count() <= local_threshold:
-        import numpy as np
-        epdf = edges.toPandas()
-        nodes = graph.select(F.col(src_col)).toPandas() \
-            .iloc[:, 0].to_numpy(dtype=np.int64)
-        ea = epdf["a"].to_numpy(dtype=np.int64)
-        eb = epdf["b"].to_numpy(dtype=np.int64)
-        parent = {int(v): int(v) for v in nodes}
+        import pandas as pd
+        # node rows ride along tagged with a NULL b so isolated nodes
+        # (and the true node count) reach the same single task
+        tagged = edges.select(F.col("a").cast("long"),
+                              F.col("b").cast("long")) \
+            .unionByName(graph.select(
+                F.col(src_col).cast("long").alias("a"),
+                F.lit(None).cast("long").alias("b")))
+        ep = None if entry_point is None else int(entry_point)
+        schema = ("n_nodes long, n_components long"
+                  if ep is None else
+                  "n_nodes long, n_components long, reachable_from_ep long")
 
-        def find(v):
-            r = v
-            while parent[r] != r:
-                r = parent[r]
-            while parent[v] != r:
-                parent[v], v = r, parent[v]
-            return r
+        def resolve(it):
+            parent: dict = {}
+            adj: dict[int, list] = {}
 
-        for x, y in zip(ea, eb):
-            x, y = int(x), int(y)
-            parent.setdefault(x, x)
-            parent.setdefault(y, y)
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                parent[max(rx, ry)] = min(rx, ry)
-        n_nodes = len(parent)
-        n_comp = sum(1 for v in parent if find(v) == v)
-        if entry_point is None:
-            return spark.createDataFrame(
-                [(n_nodes, n_comp)], "n_nodes long, n_components long")
-        adj: dict[int, list] = {}
-        for x, y in zip(ea, eb):
-            adj.setdefault(int(x), []).append(int(y))
-        seen = {int(entry_point)}
-        stack = [int(entry_point)]
-        while stack:
-            for nb in adj.get(stack.pop(), ()):
-                if nb not in seen:
-                    seen.add(nb)
-                    stack.append(nb)
-        return spark.createDataFrame(
-            [(n_nodes, n_comp, len(seen))],
-            "n_nodes long, n_components long, reachable_from_ep long")
+            def find(v):
+                r = v
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[v] != r:
+                    parent[v], v = r, parent[v]
+                return r
+
+            for pdf in it:
+                for x, y in zip(pdf["a"].to_numpy(), pdf["b"]):
+                    x = int(x)
+                    parent.setdefault(x, x)
+                    if pd.isna(y):
+                        continue
+                    y = int(y)
+                    parent.setdefault(y, y)
+                    if ep is not None:
+                        adj.setdefault(x, []).append(y)
+                    rx, ry = find(x), find(y)
+                    if rx != ry:
+                        parent[max(rx, ry)] = min(rx, ry)
+            n_nodes = len(parent)
+            n_comp = sum(1 for v in parent if find(v) == v)
+            if ep is None:
+                yield pd.DataFrame({"n_nodes": [n_nodes],
+                                    "n_components": [n_comp]})
+                return
+            seen = {ep}
+            stack = [ep]
+            while stack:
+                for nb in adj.get(stack.pop(), ()):
+                    if nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+            yield pd.DataFrame({"n_nodes": [n_nodes],
+                                "n_components": [n_comp],
+                                "reachable_from_ep": [len(seen)]})
+
+        return tagged.coalesce(1).mapInPandas(resolve, schema)
 
     from .dedup import connected_components
     comp = connected_components(edges)

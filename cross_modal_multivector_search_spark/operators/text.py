@@ -129,6 +129,23 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
                       count_expr.cast("long").alias("n_redactions"))
 
 
+def _tf_subtree_shared(docs: DataFrame) -> bool:
+    """True when the input is big enough that consolidating the
+    tokenize+tf subtree into one shared exchange beats running the
+    duplicated per-consumer copies concurrently — the same calibrated
+    footprint gate ensure_parallelism uses (a single-task-sized input
+    is where concurrent duplicates win; an input that splits is where
+    repeated corpus passes cost). Unknown footprint (object stores,
+    non-file sources) defaults to shared — the scale-safe choice."""
+    from .partitioning import (_BYTES_PER_TASK_WORTH_SPLITTING,
+                               _input_footprint, _max_partition_bytes)
+    fp = _input_footprint(docs, _max_partition_bytes(docs))
+    if fp is None:
+        return True
+    total, _ = fp
+    return total >= _BYTES_PER_TASK_WORTH_SPLITTING * 2
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
@@ -150,15 +167,36 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5,
     from .topk import grouped_topk
     t = tokens(docs, id_col, text_col)
     tf = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    # df and n_docs aggregate over the SAME tf table the scorer joins;
-    # counting the tf COLUMN (never null, so count(tf) == count(*))
-    # keeps their tf subtrees byte-identical to the scorer's instead of
-    # letting column pruning specialize them — AQE's exchange reuse then
-    # runs the tokenize+tf map ONCE for all three consumers (r15: the
-    # pruned forms ran it three times, one full corpus scan each).
-    df_t = tf.groupBy("token").agg(F.count("tf").alias("df"))
-    n = tf.groupBy(id_col).agg(F.count("tf").alias("_c")) \
-        .agg(F.count("*").alias("n_docs"))
+    # df and n_docs aggregate over the SAME tf table the scorer joins —
+    # but whether their subtrees should be CANONICALLY SHARED with the
+    # scorer's is a scale question, measured at both operating points
+    # (r16, interleaved A/B):
+    #   * big input (splits into multiple scan tasks): sharing wins —
+    #     ONE tokenize+tf pass feeds all three consumers instead of
+    #     three full corpus passes (sf1.0: 3.58 -> 3.42 min, and the
+    #     at-scale property: the corpus pass dominates everything).
+    #   * tiny single-task input: the three DUPLICATED subtrees run
+    #     CONCURRENTLY on idle cores, while the shared tf exchange
+    #     serializes the chain behind one 0.4 s single-task map
+    #     (sf0.1: 0.81 -> 1.01 min shared). Duplicates win exactly
+    #     while the input is below the ensure_parallelism split gate,
+    #     so the same calibrated footprint decides both.
+    # Sharing requires aggregates that REFERENCE tf in a way Catalyst
+    # cannot eliminate: r15's count(tf) (== count(*), tf never null)
+    # was undone by count-elimination + column pruning — the fragility
+    # the r15 advice flagged, confirmed by the r16 sf1.0 plan audit
+    # (three full passes). count_if(tf > 0) / max(tf) keep a live
+    # reference, making every consumer's tf subtree byte-identical
+    # (plan-verified at sf1.0: one Generate, tf exchange read 3x).
+    if _tf_subtree_shared(docs):
+        df_t = tf.groupBy("token").agg(F.count_if(F.col("tf") > 0)
+                                       .alias("df"))
+        n = tf.groupBy(id_col).agg(F.max("tf").alias("_c")) \
+            .agg(F.count_if(F.col("_c") > 0).alias("n_docs"))
+    else:
+        df_t = tf.groupBy("token").agg(F.count("tf").alias("df"))
+        n = tf.groupBy(id_col).agg(F.count("tf").alias("_c")) \
+            .agg(F.count("*").alias("n_docs"))
     scored = (tf.join(df_t, "token")
               .crossJoin(F.broadcast(n))
               .withColumn("tfidf", F.round(
@@ -190,16 +228,31 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 20,
     distributed per-partition partial top-k — instead of sorting every
     matching document in one WindowExec task (for a common query term
     that is a large fraction of the corpus)."""
+    # the scored join infers isnotnull(doc_id) into ITS copies of the
+    # tf/dl subtrees but not into df's/stats' copies, which makes the
+    # otherwise-identical subtrees canonically different — every
+    # consumer then re-runs the full token aggregation (r16 sf1.0 plan
+    # audit: two duplicated token exchanges). Filtering the input once
+    # puts the same isnotnull below every copy. No-op semantically:
+    # doc_id is the documents table's key (never null); a hypothetical
+    # null-id doc would already be unscorable (dropped by the join).
+    docs = docs.filter(F.col(id_col).isNotNull())
     t = tokens(docs, id_col, text_col)
     tf_all = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     dl = t.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_docs"),
+    # count_if(dl > 0) == count(*) (dl >= 1 for every emitted doc) but
+    # keeps a live dl reference, so stats' copy of the dl subtree stays
+    # identical to the scorer join's and the per-doc length aggregation
+    # runs once (see tfidf_top_terms — plain count(*) lets Catalyst
+    # specialize the copy into a distinct aggregate with its own full
+    # token pass; r16 plan audit)
+    stats = dl.agg(F.count_if(F.col("dl") > 0).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
     tf_q = tf_all.filter(F.col("token").isin(list(terms)))
-    # count(tf) == count(*) (tf never null); referencing the column
-    # keeps df's subtree identical to tf_q's so AQE reuses one exchange
-    # (see tfidf_top_terms) instead of re-running the filtered scan
-    df_t = tf_q.groupBy("token").agg(F.count("tf").alias("df"))
+    # same live-reference rule for df over the filtered tf (r15 used
+    # count(tf), which Catalyst's count-elimination undid)
+    df_t = tf_q.groupBy("token").agg(F.count_if(F.col("tf") > 0)
+                                     .alias("df"))
     idf = F.log(F.lit(1.0)
                 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))

@@ -1345,3 +1345,43 @@ def test_embedding_near_dup_blocked_equals_sql_and_gemm(spark):
             dedup.embedding_near_dup_pairs(v, 0.4, impl="blocked")
             .collect()}
     assert auto == want
+
+
+def test_tfidf_shared_subtrees_keep_live_tf_refs(spark, tmp_path):
+    """Plan-shape canary (r15 advice / r16 fix): above the footprint
+    gate, tfidf's df/n aggregates must keep a LIVE tf reference —
+    Catalyst's count-elimination otherwise rewrites them into distinct
+    aggregates (functions=[]) whose subtrees no longer match the
+    scorer's, silently reverting to one full corpus pass per consumer.
+    bm25's input pre-filter must likewise keep every copy's scan
+    identical (isnotnull divergence)."""
+    import pandas as pd
+    from cross_modal_multivector_search_spark.operators import text
+
+    import hashlib
+    rows = pd.DataFrame({
+        "doc_id": range(2000),
+        # incompressible doc-unique tokens so the parquet footprint
+        # clears the gate, plus the query terms
+        "text": ["data search " + " ".join(
+            hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+            for i in range(40)) for j in range(2000)],
+    })
+    path = str(tmp_path / "docs.parquet")
+    rows.to_parquet(path)
+    d = spark.read.parquet(path)
+    assert text._tf_subtree_shared(d), "fixture must clear the gate"
+    plan = text.tfidf_top_terms(d) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert ", functions=[]," not in plan, (
+        "a tf consumer degenerated into a distinct aggregate — the "
+        "shared-subtree contract broke (count-elimination?)")
+    bplan = text.bm25_rank(d, ["data", "search"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert ", functions=[]," not in bplan
+    # every scan copy must carry the same pushed isnotnull (the r16
+    # divergence): no FileScan without the doc_id null filter
+    import re
+    scans = re.findall(r"FileScan parquet.*?DataFilters: \[(.*?)\]",
+                       bplan)
+    assert scans and all("isnotnull(doc_id" in s for s in scans), scans
